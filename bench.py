@@ -1,0 +1,117 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline metric: change-events/sec applied end-to-end (synthetic
+transcript change stream -> normalize -> LWW dedup -> MERGE into the
+lake table), plus per-query wall times for the representative operator
+suite at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Query timing materializes the full result via the `noop` sink (no
+driver collect, no column pruning shortcuts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    from omniparser_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="omniparser_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+
+    # ---- CDC apply throughput (the north metric) ----
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.sources.changefeed import FeedSpec, materialize_feed
+    from pyspark.sql import functions as F
+
+    n_events = max(int(2_000_000 * sf), 20_000)
+    spec = FeedSpec(
+        n_events=n_events,
+        n_convs=max(n_events // 40, 100),
+        seed=42,
+    )
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_bench_")
+    try:
+        pipe = CdcPipeline(
+            spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=max(cpus, 16)
+        )
+
+        # feed materialization is generation, not apply — not timed
+        feed = materialize_feed(
+            spark, spec, f"{tmp}/feed", num_partitions=cpus * 2
+        )
+
+        def feed_for_range(start: int, end: int):
+            return feed.filter(
+                (F.col("offset") >= start) & (F.col("offset") <= end)
+            )
+
+        t0 = time.time()
+        pipe.run(feed_for_range, spec.n_events, batch_size=max(n_events // 4, 1))
+        cdc_secs = time.time() - t0
+        timings["cdc_apply_e2e"] = round(cdc_secs, 3)
+        events_per_sec = n_events / cdc_secs
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # ---- representative operator suite ----
+    bench_queries = [
+        "lww_dedup",
+        "decode_csv_roundtrip",
+        "decode_json_payload",
+        "decode_xmlish_roundtrip",
+        "decode_fixed_roundtrip",
+        "agg_pricing_summary",
+        "join_broadcast_enrich",
+        "topk_per_group",
+        "sessionize_events",
+        "text_fingerprint",
+        "minhash_signature",
+        "cosine_topk_bruteforce",
+    ]
+    qs = entrymod.queries()
+    for name in bench_queries:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "change-events/sec applied e2e (normalize+LWW+MERGE)",
+        "value": round(events_per_sec, 1),
+        "unit": "events/sec",
+        "queries": timings,
+        "sf": sf,
+        "cdc_events": n_events,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+These go beyond the reference's operator set (required additions for
+the 100 TB training-data use case): language ID, quality scoring,
+token counting, and document fingerprinting — each a pure column
+expression (codegen'd, shuffle-free, scan-bound at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword inventories for the n-gram/stopword
+# heuristic language ID (public common-words lists)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "por", "con"],
+}
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def token_count(col) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    c = F.trim(_c(col))
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(
+        F.size(F.split(c, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col) -> Column:
+    """BPE-ish subword proxy: count regex word pieces + digits + punct
+    runs — a deterministic, vocabulary-free stand-in for tokenizer
+    counts, good enough for length filtering at scale."""
+    c = _c(col)
+    pieces = F.regexp_extract_all(
+        c, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"), 0
+    )
+    return F.size(pieces)
+
+
+def _word_set(col) -> Column:
+    return F.array_distinct(
+        F.split(F.lower(F.trim(_c(col))), r"[^\p{L}\p{Nd}]+")
+    )
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    """Fraction of distinct words that are stopwords of `lang`."""
+    words = _word_set(col)
+    words = F.filter(words, lambda w: F.length(w) > 0)
+    hits = F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+    return F.when(F.size(words) > 0, hits / F.size(words)).otherwise(F.lit(0.0))
+
+
+def detect_language(col) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit
+    counts; 'und' (undetermined) when nothing matches."""
+    words = _word_set(col)
+    scores = [
+        (
+            lang,
+            F.size(
+                F.array_intersect(
+                    words, F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+                )
+            ),
+        )
+        for lang in sorted(STOPWORDS)
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reversed so earlier (alphabetical) languages win ties
+    for lang, s in reversed(scores):
+        expr = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(col) -> Column:
+    """Deterministic document-quality heuristic in [0, 1]:
+    length score x alpha ratio x (1 - punct excess). Mirrors common
+    pretraining-corpus filters (length / symbol-ratio / word stats)."""
+    c = _c(col)
+    n = F.length(c).cast("double")
+    n_alpha = F.length(F.regexp_replace(c, r"[^\p{L}]", "")).cast("double")
+    n_punct = F.length(F.regexp_replace(c, r"[\p{L}\p{Nd}\s]", "")).cast("double")
+    n_tokens = token_count(c).cast("double")
+    len_score = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    alpha_ratio = F.when(n > 0, n_alpha / n).otherwise(F.lit(0.0))
+    punct_penalty = F.when(n > 0, F.least(n_punct / n * 4.0, F.lit(1.0))).otherwise(
+        F.lit(1.0)
+    )
+    return F.round(len_score * alpha_ratio * (1.0 - punct_penalty), 6)
+
+
+def fingerprint(col, modulus: int = 1_000_000_007, base: int = 257) -> Column:
+    """Rolling polynomial hash over the document's words (order-aware
+    document fingerprint). fp = sum(word_hash_i * base^(n-1-i)) mod m,
+    computed with F.aggregate — distributed, no UDF.
+
+    word_hash = first 8 hex chars of md5(word), an engine-independent
+    31-bit value (reproducible in any SQL engine for oracle checks).
+    """
+    words = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    hashes = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+        % F.lit(modulus),
+    )
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * base + h) % F.lit(modulus),
+    )

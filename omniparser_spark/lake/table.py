@@ -1,0 +1,294 @@
+"""Snapshot lake table with Iceberg commit semantics over plain parquet.
+
+The sandbox image ships no Iceberg/Delta jars, so the engine implements
+the *semantics* it needs from Iceberg directly over parquet, shaped so
+the production swap-in is 1:1:
+
+- **bucket partitioning**: data files live under ``_bucket=k`` dirs
+  where ``k = pmod(xxhash64(conv_id), n_buckets)`` — the same partition
+  transform as Iceberg's ``bucket(N, conv_id)``. A MERGE touching B
+  buckets reads and rewrites only those B directories (file-level
+  pruning), so merge cost scales with the *batch's* key footprint, not
+  the table size — the property that makes COW MERGE viable at 100 TB.
+- **snapshot metadata + atomic pointer**: each commit writes
+  ``metadata/v{N}.metadata.json`` (schema, per-bucket data dirs,
+  summary properties, parent pointer) and atomically swaps
+  ``metadata/version-hint.text`` via ``os.replace`` — the single-writer
+  analogue of Iceberg's optimistic metadata CAS.
+- **snapshot summary properties** carry ``batch_id`` /
+  ``max_offset_applied`` — the exactly-once fence: a re-delivered
+  micro-batch is detected *before* any work (reference analogue: the
+  UUIDv3 record checksum used for idempotency,
+  ``extensions/omniv21/ingester.go:16-28``).
+- **additive schema evolution without rewrite**: the table schema is a
+  metadata fact; reads apply the current schema to all data files, so
+  files written before a column existed yield NULL for it (exactly
+  Iceberg ``ALTER TABLE ... ADD COLUMN``).
+
+On a real cluster with an Iceberg catalog configured,
+:func:`omniparser_spark.lake.merge.merge_into` emits a genuine
+``MERGE INTO`` SQL statement instead (see ``_iceberg_available``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+VERSION_HINT = "version-hint.text"
+
+
+def bucket_expr(key_col: str | Column, n_buckets: int) -> Column:
+    """Iceberg-style bucket transform: pmod(xxhash64(key), N)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.pmod(F.xxhash64(c.cast("string")), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_json: dict[str, Any]
+    bucket_dirs: dict[str, str]  # bucket id (as str) -> dir relative to table root
+    summary: dict[str, Any] = field(default_factory=dict)
+    parent_version: int | None = None
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "schema": self.schema_json,
+                "bucket_dirs": self.bucket_dirs,
+                "summary": self.summary,
+                "parent_version": self.parent_version,
+            },
+            indent=1,
+            sort_keys=True,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        return Snapshot(
+            version=d["version"],
+            schema_json=d["schema"],
+            bucket_dirs=d["bucket_dirs"],
+            summary=d.get("summary", {}),
+            parent_version=d.get("parent_version"),
+        )
+
+
+class LakeTable:
+    """A bucket-partitioned snapshot table. Single-writer, atomic commits."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ---------- lifecycle ----------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType | str,
+        key_col: str = "conv_id",
+        n_buckets: int = 16,
+    ) -> "LakeTable":
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        # hidden engine columns ride along in the stored schema
+        hidden = [
+            T.StructField("_last_offset", T.LongType(), True),
+            T.StructField("_deleted", T.BooleanType(), True),
+        ]
+        names = {f.name for f in schema.fields}
+        schema = T.StructType(
+            schema.fields + [f for f in hidden if f.name not in names]
+        )
+        t = cls(spark, path)
+        os.makedirs(t._meta_dir, exist_ok=True)
+        os.makedirs(os.path.join(t.path, "data"), exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            schema_json=json.loads(schema.json()),
+            bucket_dirs={},
+            summary={
+                "key_col": key_col,
+                "n_buckets": n_buckets,
+                "batch_id": -1,
+                "max_offset_applied": -1,
+            },
+        )
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(path, "metadata", VERSION_HINT))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        t.current()  # raises if missing
+        return t
+
+    # ---------- metadata ----------
+
+    @property
+    def _meta_dir(self) -> str:
+        return os.path.join(self.path, "metadata")
+
+    def current(self) -> Snapshot:
+        with open(os.path.join(self._meta_dir, VERSION_HINT)) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(self._meta_dir, f"v{v}.metadata.json")) as f:
+            return Snapshot.from_json(f.read())
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.current().schema_json)
+
+    def summary(self) -> dict[str, Any]:
+        return dict(self.current().summary)
+
+    def history(self) -> list[Snapshot]:
+        snaps, cur = [], self.current()
+        while cur is not None:
+            snaps.append(cur)
+            if cur.parent_version is None:
+                break
+            with open(
+                os.path.join(self._meta_dir, f"v{cur.parent_version}.metadata.json")
+            ) as f:
+                cur = Snapshot.from_json(f.read())
+        return snaps
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        """Iceberg-style commit: write immutable metadata file, then
+        atomically swap the version pointer (os.replace is atomic on
+        POSIX — the single-writer analogue of the catalog CAS)."""
+        meta_path = os.path.join(self._meta_dir, f"v{snap.version}.metadata.json")
+        with open(meta_path, "w") as f:
+            f.write(snap.to_json())
+        fd, tmp = tempfile.mkstemp(dir=self._meta_dir)
+        with os.fdopen(fd, "w") as f:
+            f.write(str(snap.version))
+        os.replace(tmp, os.path.join(self._meta_dir, VERSION_HINT))
+
+    # ---------- read ----------
+
+    def read(
+        self, buckets: list[int] | None = None, include_hidden: bool = False
+    ) -> DataFrame:
+        """Read the current snapshot, optionally pruned to some buckets.
+
+        The current table schema is applied to every file; files
+        predating an added column surface NULL for it (additive
+        evolution without rewrite).
+        """
+        snap = self.current()
+        schema = T.StructType.fromJson(snap.schema_json)
+        dirs = [
+            os.path.join(self.path, d)
+            for b, d in sorted(snap.bucket_dirs.items(), key=lambda kv: int(kv[0]))
+            if buckets is None or int(b) in buckets
+        ]
+        if not dirs:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*dirs)
+        if not include_hidden:
+            if "_deleted" in df.columns:
+                df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            df = df.drop(*[c for c in df.columns if c.startswith("_")])
+        return df
+
+    # ---------- write ----------
+
+    def commit(
+        self,
+        df: DataFrame,
+        touched_buckets: list[int] | None,
+        summary_updates: dict[str, Any],
+        new_schema: T.StructType | None = None,
+    ) -> Snapshot:
+        """Write `df` as the new content of `touched_buckets` (None = all),
+        carrying over untouched buckets by reference, then commit.
+
+        `df` must contain a ``_bucket`` int column; data is written
+        ``partitionBy("_bucket")`` so each bucket gets its own directory
+        (file-level pruning for later merges). ``_bucket`` itself is a
+        derived partition transform, recomputed from the key on read
+        when needed — it is not stored in the row data (same as Iceberg
+        hidden partitioning).
+        """
+        prev = self.current()
+        version = prev.version + 1
+        snap_rel = os.path.join("data", f"snap-{version}-{uuid.uuid4().hex[:8]}")
+        snap_dir = os.path.join(self.path, snap_rel)
+
+        (
+            df.write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(snap_dir)
+        )
+
+        # discover written bucket dirs (a bucket whose content became
+        # empty — e.g. all rows deleted — simply disappears)
+        new_dirs: dict[str, str] = {}
+        if os.path.isdir(snap_dir):
+            for entry in os.listdir(snap_dir):
+                if entry.startswith("_bucket="):
+                    b = entry.split("=", 1)[1]
+                    new_dirs[b] = os.path.join(snap_rel, entry)
+
+        bucket_dirs = dict(prev.bucket_dirs)
+        if touched_buckets is None:
+            bucket_dirs = new_dirs
+        else:
+            for b in touched_buckets:
+                bucket_dirs.pop(str(b), None)
+            bucket_dirs.update(new_dirs)
+
+        schema_json = (
+            json.loads(new_schema.json()) if new_schema is not None else prev.schema_json
+        )
+        summary = dict(prev.summary)
+        summary.update(summary_updates)
+        snap = Snapshot(
+            version=version,
+            schema_json=schema_json,
+            bucket_dirs=bucket_dirs,
+            summary=summary,
+            parent_version=prev.version,
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    def evolve_schema_additive(self, new_cols: T.StructType) -> None:
+        """ALTER TABLE ADD COLUMNS — metadata-only, no data rewrite."""
+        prev = self.current()
+        schema = T.StructType.fromJson(prev.schema_json)
+        existing = {f.name for f in schema.fields}
+        added = [f for f in new_cols.fields if f.name not in existing]
+        if not added:
+            return
+        merged = T.StructType(schema.fields + [
+            T.StructField(f.name, f.dataType, True) for f in added
+        ])
+        snap = Snapshot(
+            version=prev.version + 1,
+            schema_json=json.loads(merged.json()),
+            bucket_dirs=prev.bucket_dirs,
+            summary=dict(prev.summary),
+            parent_version=prev.version,
+        )
+        self._write_snapshot(snap)

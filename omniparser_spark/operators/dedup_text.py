@@ -1,0 +1,280 @@
+"""Content deduplication family for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection over
+a document table — the operations a 100 TB corpus pipeline needs, each
+expressed so the expensive parts stay in the JVM and the only shuffles
+are the ones the algorithm fundamentally requires (band bucket joins /
+signature groupBys).
+
+Hash primitive: ``h(s) = first-8-hex-of-md5(s) as int64`` — chosen over
+``xxhash64`` so every signature is reproducible in any SQL engine
+(DuckDB oracle parity), at identical plan shape/cost class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _h(col: Column, seed: str = "") -> Column:
+    """Engine-independent 32-bit hash as long (md5-prefix)."""
+    x = F.concat(F.lit(seed), col) if seed else col
+    return F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+
+
+def normalized_text(col) -> Column:
+    """Canonical text for dedup: lowercase, collapse whitespace, strip."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    hash-groupBy on md5(normalized text): one shuffle, map-side
+    partial agg, output only groups with >1 member.
+    """
+    key = F.md5(normalized_text(text_col)).alias("content_hash")
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per identical content."""
+    key = F.md5(normalized_text(text_col))
+    return (
+        df.withColumn("_ch", key)
+        .groupBy("_ch")
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_r"))
+        .select("_r.*")
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def word_shingles(col, k: int = 3) -> Column:
+    """k-word shingles as an array<string> (distinct)."""
+    c = normalized_text(col)
+    words = F.split(c, " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")
+    )
+    return F.when(n >= k, F.array_distinct(shingles)).otherwise(
+        F.array(c)
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+def minhash_signature(col, num_hashes: int = 32, k: int = 3) -> Column:
+    """MinHash signature: per seed i, min over shingles of h_i(shingle).
+
+    array<long> of length num_hashes; one pass over the shingle array
+    per row, no shuffle, no UDF.
+    """
+    shingles = word_shingles(col, k)
+
+    def hasher(i: int):
+        # NB: must be a 1-arg callable — pyspark treats a 2-arg lambda
+        # passed to F.transform as (element, index)
+        return lambda s: _h(s, f"mh{i}:")
+
+    sig = [
+        F.array_min(F.transform(shingles, hasher(i)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH.
+
+    shingle -> minhash -> split signature into `bands` bands of
+    r = num_hashes/bands rows -> bucket-join on (band_idx, band_hash).
+    Only the band explode shuffles; pair generation is a self-join on
+    the bucket key (equi-join, AQE-skew-splittable). Returns distinct
+    (id_a < id_b) candidate pairs with their estimated jaccard from
+    full-signature agreement.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    base = df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+    banded = base.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(*[
+                F.md5(F.array_join(F.slice("sig", b * r + 1, r), ","))
+                for b in range(bands)
+            ])
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+
+
+# --------------------------------------------------------------- simhash
+
+def simhash(col, bits: int = 32) -> Column:
+    """SimHash over words: bit b of the result is 1 iff the sum over
+    words of (+1 if bit b of h(word) else -1) is positive.
+
+    Expressed as bit-count aggregation per bit via F.aggregate over the
+    word array — no UDF, no shuffle.
+    """
+    words = F.split(normalized_text(col), " ")
+    hashes = F.transform(words, lambda w: _h(w))
+    n = F.size(hashes).cast("long")
+    def bit_counter(b: int):
+        # 2-arg closure (acc, h) — keep arity exact for F.aggregate
+        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1))
+
+    bit_exprs = []
+    for b in range(bits):
+        ones = F.aggregate(hashes, F.lit(0).cast("long"), bit_counter(b))
+        bit_exprs.append(
+            F.when(ones * 2 > n, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out + e
+    return out
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dups by SimHash with block-permutation candidate pruning:
+    split the fingerprint into n_blocks blocks; by pigeonhole any pair
+    within max_hamming (< n_blocks) shares at least one exact block ->
+    equi-join per block, then verify full hamming distance."""
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    base = df.select(
+        F.col(id_col).alias("doc_id"), simhash(F.col(text_col), bits).alias("sh")
+    )
+    blocked = base.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("sh", i * block_bits).bitwiseAND(F.lit(mask))
+                for i in range(n_blocks)
+            ])
+        ).alias("block_idx", "block_val"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming_distance(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# -------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via shingle inverted index:
+    explode shingles -> self-join on shingle (counts intersections) ->
+    |A∩B| / (|A| + |B| - |A∩B|). The inverted-index join only pairs
+    documents sharing at least one shingle — never the full n^2."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    inv = base.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return inter.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

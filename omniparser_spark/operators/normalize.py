@@ -1,0 +1,104 @@
+"""Normalize decoded change events into the canonical typed change schema.
+
+Canonical change schema (envelope + input_hint turn columns):
+
+    offset:long  op:string  source_part:int
+    conv_id:string  turn_idx:int  role:string  text:string  tool:string
+    ts:timestamp  event_checksum:string
+
+Policies re-expressed from the reference's transform layer:
+- **trim** by default on fixed-width fields (``transform/value.go:84-89``),
+- **empty/null pruning** for optional scalars — `tool` '' → NULL
+  (``transform/value.go:90-116``); `text` NULL → '' (text is a
+  required field; all formats agree on '' for an empty turn),
+- **type cast** string→int/timestamp with *continuable* failure
+  (``transform/value.go:21-82`` + error taxonomy ``errs/errs.go:12-25``):
+  rows that fail normalize flow to the quarantine DataFrame with
+  lineage columns, mirroring ``CtxAwareErr`` context formatting
+  (``errs/ctxAwareErr.go:7-9``).
+- **event checksum** — stable content hash per applied event for audit
+  and idempotency (reference ``RawRecord.Checksum()`` UUIDv3-of-JSON,
+  ``extensions/omniv21/ingester.go:16-28``); here
+  ``md5(concat_ws(0x1f, ...))`` as a pure column expression.
+
+Everything is whole-stage-codegen column expressions — at 10^10 events
+this stage is scan-bound, shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from omniparser_spark.sources.decoders import RFC3339_FMT, decode_payload
+
+CANONICAL_COLS = [
+    "offset",
+    "op",
+    "source_part",
+    "conv_id",
+    "turn_idx",
+    "role",
+    "text",
+    "tool",
+    "ts",
+    "event_checksum",
+]
+
+
+def normalize_changes(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """raw envelope feed -> (canonical_good, quarantine).
+
+    `raw` needs columns offset/op/format/payload/ts/source_part.
+    The returned pair shares one decode pass (Spark reuses the scan via
+    the cached `decoded` plan only if persisted; both branches are
+    cheap filters over the same lineage so we leave persistence to the
+    caller / AQE).
+    """
+    decoded = decode_payload(raw)
+
+    payload_ts = F.to_timestamp(F.col("turn.ts"), RFC3339_FMT)
+    canon = decoded.select(
+        F.col("offset"),
+        F.col("op"),
+        F.col("source_part"),
+        F.col("turn.conv_id").alias("conv_id"),
+        F.col("turn.turn_idx").alias("turn_idx"),
+        F.col("turn.role").alias("role"),
+        F.coalesce(F.col("turn.text"), F.lit("")).alias("text"),
+        F.nullif(F.col("turn.tool"), F.lit("")).alias("tool"),
+        F.coalesce(payload_ts, F.col("ts")).alias("ts"),
+        F.col("_ok"),
+        F.col("_error"),
+        F.col("format"),
+        F.col("payload"),
+    )
+
+    ok = F.col("_ok") & F.col("ts").isNotNull()
+    checksum = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.col("conv_id"),
+            F.col("turn_idx").cast("string"),
+            F.col("op"),
+            F.coalesce(F.col("role"), F.lit("")),
+            F.col("text"),
+            F.coalesce(F.col("tool"), F.lit("")),
+            F.col("ts").cast("string"),
+        )
+    )
+
+    good = canon.filter(ok).withColumn("event_checksum", checksum).select(
+        *CANONICAL_COLS
+    )
+    quarantine = canon.filter(~ok).select(
+        "offset",
+        "source_part",
+        "format",
+        "payload",
+        F.coalesce(
+            F.col("_error"),
+            F.format_string("normalize failed: offset=%d", F.col("offset")),
+        ).alias("error"),
+    )
+    return good, quarantine

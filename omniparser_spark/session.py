@@ -1,0 +1,69 @@
+"""SparkSession factory tuned for the CDC engine.
+
+Local mode is the sandbox stand-in for a multi-executor cluster; every
+conf below is equally valid on a 1000-executor deployment (AQE, Arrow,
+UTC session TZ, shuffle-partition sizing). ``shuffle_partitions``
+defaults to the core count locally; on a real cluster it should be
+~2-3x total executor cores (or left to AQE coalescing from a high
+initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "omniparser_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard confs.
+
+    - AQE on: runtime shuffle-partition coalescing + skew-join splits.
+    - Arrow on: every pandas UDF / toPandas crossing is Arrow-batched.
+    - UTC session timezone: deterministic timestamp semantics and
+      apples-to-apples comparison with the DuckDB oracle.
+    - ``spark.python.worker.reuse``: warm Python workers across Arrow
+      batches (the engine's analogue of the reference's cached JS VM
+      pool, ``extensions/omniv21/customfuncs/javascript.go:73-97``).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    master = master or f"local[{cpus}]"
+    n_shuffle = shuffle_partitions or _default_shuffle_partitions(master)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _default_shuffle_partitions(master: str) -> int:
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or 8
+        try:
+            return max(4, int(inner))
+        except ValueError:
+            return 32
+    return 200

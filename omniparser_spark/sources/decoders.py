@@ -1,0 +1,154 @@
+"""Vectorized per-format payload decoders with a `format` dispatch column.
+
+This is the Spark-first re-imagining of omniparser's ``FileFormat``
+probing (reference: ``extensions/omniv21/schemahandler.go:88-97``): the
+reference probes 7 formats in fixed order per *stream*; here every
+change event carries a ``format`` column and a single ``when()``
+dispatch selects the decoded struct per *row* — one scan, zero
+shuffles, whole-stage codegen throughout, because all four decoders are
+built-in JVM expressions:
+
+- json   → ``from_json``        (reference: ``idr/jsonreader.go``)
+- csv    → ``from_csv``         (reference: ``fileformat/flatfile/csv/reader.go``,
+                                 quote handling ``replace_double_quotes`` decl.go:14-165)
+- xmlish → ``from_xml``         (reference: ``idr/xmlreader.go`` — attributes
+                                 as nodes; here attributePrefix mapping)
+- fixed  → ``substring`` slices (reference: ``fileformat/flatfile/fixedlength/decl.go:34-55``
+                                 — 1-based *rune* positions; Spark substring is
+                                 code-point-based on strings, matching Go runes)
+
+Per-record parse failures are **continuable** (reference error taxonomy:
+``errs/errs.go:12-25``): a row that fails to decode gets ``_ok=false``
+and an ``_error`` message, and flows to the quarantine/dead-letter side
+of the pipeline instead of failing the batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from omniparser_spark.sources.changefeed import FIXED_LAYOUT
+
+# Canonical decoded turn schema (BASELINE.json input_hint), pre-cast.
+TURN_FIELDS = [
+    ("conv_id", T.StringType()),
+    ("turn_idx", T.IntegerType()),
+    ("role", T.StringType()),
+    ("text", T.StringType()),
+    ("tool", T.StringType()),
+    ("ts", T.StringType()),  # RFC3339 string at decode; cast in normalize
+]
+
+_DECODE_STRUCT = T.StructType(
+    [T.StructField(n, t, True) for n, t in TURN_FIELDS]
+)
+
+RFC3339_FMT = "yyyy-MM-dd'T'HH:mm:ssXXX"
+
+
+def _json_decoder(payload: Column) -> Column:
+    return F.from_json(payload, _DECODE_STRUCT)
+
+
+def _csv_decoder(payload: Column) -> Column:
+    # pipe-delimited, RFC-4180 double-quote escaping — matches the
+    # csv2 fixture (FIXTURES.md §2b). `mode=PERMISSIVE` keeps bad rows
+    # as nulls (continuable error, not batch failure).
+    schema_ddl = "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    return F.from_csv(
+        payload,
+        F.lit(schema_ddl),
+        {"sep": "|", "quote": '"', "escape": '"', "mode": "PERMISSIVE"},
+    )
+
+
+def _xml_decoder(payload: Column) -> Column:
+    # attributes conv_id/idx + child elements; from_xml handles entity
+    # unescaping, attribute extraction, missing-element → null.
+    xml_schema = T.StructType(
+        [
+            T.StructField("_conv_id", T.StringType(), True),
+            T.StructField("_idx", T.IntegerType(), True),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", T.StringType(), True),
+        ]
+    )
+    parsed = F.from_xml(payload, xml_schema, {"attributePrefix": "_"})
+    return F.struct(
+        parsed.getField("_conv_id").alias("conv_id"),
+        parsed.getField("_idx").alias("turn_idx"),
+        parsed.getField("role").alias("role"),
+        parsed.getField("text").alias("text"),
+        parsed.getField("tool").alias("tool"),
+        parsed.getField("ts").alias("ts"),
+    )
+
+
+def _fixed_decoder(payload: Column) -> Column:
+    # 1-based rune slicing per FIXED_LAYOUT; trailing-pad trim is the
+    # default trim policy (reference transform/value.go:84-89).
+    fields = []
+    for name, start, length in FIXED_LAYOUT:
+        raw = F.substring(payload, start, length)
+        val = F.rtrim(raw)
+        if name == "turn_idx":
+            fields.append(F.trim(raw).try_cast("int").alias(name))
+        else:
+            fields.append(val.alias(name))
+    return F.struct(*fields)
+
+
+_DECODERS = {
+    "json": _json_decoder,
+    "csv": _csv_decoder,
+    "xmlish": _xml_decoder,
+    "fixed": _fixed_decoder,
+}
+
+
+def decode_payload(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach a decoded `turn` struct column via per-format dispatch.
+
+    Input must have `format` and `payload` columns. Output adds:
+    `turn` (struct), `_ok` (bool), `_error` (string or null).
+
+    Dispatch is **filter + union per format**, not a single ``when()``
+    chain: Catalyst inlines a when() of four parser expressions into
+    every downstream field extraction, multiplying plan size by
+    (#fields x #formats) and ballooning codegen (observed 9 MiB task
+    binaries, ~50x slowdown). With one branch per format each plan
+    carries exactly one parser, the filter prunes rows before parsing,
+    and the union is a zero-shuffle concatenation of partitions.
+    """
+    p = F.col(payload_col)
+    branches = [
+        df.filter(F.col("format") == fmt).withColumn("turn", dec(p))
+        for fmt, dec in _DECODERS.items()
+    ]
+    unknown = df.filter(
+        F.col("format").isNull() | ~F.col("format").isin(*_DECODERS)
+    ).withColumn("turn", F.lit(None).cast(_DECODE_STRUCT))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    df = out.unionAll(unknown)
+    ok = (
+        F.col("turn").isNotNull()
+        & F.col("turn.conv_id").isNotNull()
+        & (F.length("turn.conv_id") > 0)
+        & F.col("turn.turn_idx").isNotNull()
+    )
+    err = F.when(
+        ~ok,
+        F.concat(
+            F.lit("decode failed: format="),
+            F.coalesce(F.col("format"), F.lit("?")),
+            F.lit(" offset="),
+            F.col("offset").cast("string"),
+        ),
+    )
+    return df.withColumn("_ok", ok).withColumn("_error", err)
