@@ -111,12 +111,20 @@ def lsh_topk(
     k: int = 10,
     n_bits: int = 12,
     n_tables: int = 4,
+    multiprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: candidates from any-table bucket collision,
-    exact cosine re-rank of candidates only."""
+    exact cosine re-rank of candidates only.
+
+    ``multiprobe=1`` additionally probes, per table, every bucket at
+    Hamming distance 1 from the query's signature (bit flips on the
+    query side only — the big corpus side stays one row per table).
+    This is the standard multiprobe-LSH recall boost: with per-bit
+    disagreement prob q = theta/pi, per-table hit prob rises from
+    (1-q)^b to (1-q)^b + b*q*(1-q)^(b-1)."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
@@ -126,19 +134,31 @@ def lsh_topk(
         F.col(vec_col).cast("array<double>").alias("qvec"),
     )
 
-    def with_buckets(df: DataFrame, vcol: str) -> DataFrame:
-        return df.select(
-            "*",
-            F.posexplode(
-                F.array(*[
-                    hyperplane_signature(F.col(vcol), dim, n_bits, seed=1000 + t)
-                    for t in range(n_tables)
-                ])
-            ).alias("table_idx", "bucket"),
+    def with_buckets(df: DataFrame, vcol: str, probe: bool) -> DataFrame:
+        sigs = [
+            hyperplane_signature(F.col(vcol), dim, n_bits, seed=1000 + t)
+            for t in range(n_tables)
+        ]
+        rows = []
+        for t, sig in enumerate(sigs):
+            rows.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
+            if probe and multiprobe >= 1:
+                for bit in range(n_bits):
+                    rows.append(
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            sig.bitwiseXOR(F.lit(1 << bit)).alias("b"),
+                        )
+                    )
+        exploded = F.explode(F.array(*rows)).alias("tb")
+        return df.select("*", exploded).select(
+            *df.columns,
+            F.col("tb.t").alias("table_idx"),
+            F.col("tb.b").alias("bucket"),
         )
 
-    cb = with_buckets(c, "cvec")
-    qb = with_buckets(q, "qvec")
+    cb = with_buckets(c, "cvec", probe=False)
+    qb = with_buckets(q, "qvec", probe=True)
     cand = (
         cb.join(F.broadcast(qb), ["table_idx", "bucket"])
         .select("query_id", "vec_id", "cvec", "qvec")
