@@ -810,12 +810,17 @@ def _fp(spark, sf_dir):
 @_q(
     "dedup_exact_groups",
     """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+    )
     SELECT content_hash, n_docs, doc_ids_str FROM (
       SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                AS content_hash,
              count(*) AS n_docs,
              array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_str
-      FROM documents GROUP BY 1
+      FROM docs GROUP BY 1
     ) WHERE n_docs > 1
     """,
 )
@@ -823,6 +828,7 @@ def _dedup_exact(spark, sf_dir):
     from omniparser_spark.operators.dedup_text import exact_duplicates
 
     d = _t(spark, sf_dir, "documents")
+    d = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
     out = exact_duplicates(d)
     return out.select(
         "content_hash",
@@ -950,6 +956,738 @@ def _cos_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return cosine_topk_bruteforce(e, q, k=10)
+
+
+# --------------------------------------------------------------- CDC replay
+# The flagship at the oracle gate: a deterministic change feed derived
+# from the shared `events` table (identically derivable in SQL), replayed
+# through the REAL pipeline (vectorized decode of 4 payload formats ->
+# normalize -> LWW dedup -> fenced MERGE across 4 micro-batches); the
+# oracle computes the equivalent final state declaratively.
+
+def _events_change_fields(ev: DataFrame) -> DataFrame:
+    """Map the events table to plaintext transcript-change fields —
+    every expression here has an exact DuckDB twin in the oracle."""
+    off = F.col("event_id")
+    return ev.select(
+        off.alias("offset"),
+        F.when(off % 11 == 0, "D")
+        .when(off % 3 == 0, "I")
+        .when(off % 3 == 1, "U")
+        .otherwise("UP")
+        .alias("op"),
+        F.when(off % 4 == 0, "json")
+        .when(off % 4 == 1, "csv")
+        .when(off % 4 == 2, "xmlish")
+        .otherwise("fixed")
+        .alias("format"),
+        F.format_string("conv_%04d", (F.col("user_id") % 97).cast("int")).alias(
+            "conv_id"
+        ),
+        (off % 23).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(F.lit("turn "), F.md5(off.cast("string"))).alias("text"),
+        F.when(off % 4 == 0, "search")
+        .when(off % 4 == 1, "python")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tool"),
+        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
+        (off % 8).cast("int").alias("source_part"),
+    )
+
+
+_CDC_FEED_SQL = """
+      SELECT event_id AS src_offset,
+             CASE WHEN event_id % 11 = 0 THEN 'D'
+                  WHEN event_id % 3 = 0 THEN 'I'
+                  WHEN event_id % 3 = 1 THEN 'U'
+                  ELSE 'UP' END AS op,
+             printf('conv_%04d', (user_id % 97)::INT) AS conv_id,
+             (event_id % 23)::INT AS turn_idx,
+             event_type AS role,
+             'turn ' || md5(event_id::VARCHAR) AS text,
+             CASE WHEN event_id % 4 = 0 THEN 'search'
+                  WHEN event_id % 4 = 1 THEN 'python'
+                  ELSE NULL END AS tool,
+             date_trunc('second', ts) AS ts
+      FROM events
+"""
+
+
+@_q(
+    "cdc_replay_final_state",
+    f"""
+    WITH feed AS (
+{_CDC_FEED_SQL}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, src_offset DESC) AS rn
+      FROM feed
+    )
+    SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def _cdc_replay(spark, sf_dir):
+    """Full CDC apply vs declarative oracle: the engine encodes each
+    change as a json/csv/xmlish/fixed payload, replays 4 micro-batches
+    through decode -> normalize -> LWW -> fenced MERGE (tombstoned
+    deletes), and the final table state must equal the oracle's global
+    LWW-winner-per-(conv_id, turn_idx) with delete winners absent."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.sources.changefeed import FeedSpec, encode_payload
+
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev)
+    # evolution_frac=0 -> every JSON payload carries the tool key
+    feed = encode_payload(fields, FeedSpec(n_events=1, evolution_frac=0.0)).select(
+        "offset", "op", "format", "payload", "ts", "source_part"
+    )
+    feed = feed.persist()
+    try:
+        total = feed.agg(F.max("offset")).collect()[0][0] + 1
+        tmp = tempfile.mkdtemp(prefix="omniparser_spark_replay_")
+        pipe = CdcPipeline(spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8)
+
+        def feed_for_range(start: int, end: int) -> DataFrame:
+            return feed.filter(
+                (F.col("offset") >= start) & (F.col("offset") <= end)
+            )
+
+        pipe.run(feed_for_range, total, batch_size=(total + 3) // 4)
+        out = pipe.read_table().select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            _us("ts").alias("ts_us"),
+        )
+        out = out.persist()
+        out.count()  # materialize before dropping the feed cache
+        return out
+    finally:
+        feed.unpersist()
+
+
+@_q(
+    "quarantine_deadletter",
+    """
+    SELECT event_id AS offset,
+           CASE WHEN event_id % 17 = 0 THEN 'bogus'
+                WHEN event_id % 4 = 0 THEN 'json'
+                WHEN event_id % 4 = 1 THEN 'csv'
+                WHEN event_id % 4 = 2 THEN 'xmlish'
+                ELSE 'fixed' END AS format
+    FROM events
+    WHERE event_id % 17 = 0 OR event_id % 13 = 0
+    """,
+)
+def _quarantine(spark, sf_dir):
+    """Dead-letter path (E1/E2): unknown formats and truncated payloads
+    route to quarantine with lineage instead of failing the batch
+    (reference continuable-error taxonomy errs/errs.go:12-25)."""
+    from omniparser_spark.operators.normalize import normalize_changes
+    from omniparser_spark.sources.changefeed import FeedSpec, encode_payload
+
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev)
+    raw = encode_payload(fields, FeedSpec(n_events=1, evolution_frac=0.0))
+    off = F.col("offset")
+    raw = raw.select(
+        "offset",
+        "op",
+        F.when(off % 17 == 0, "bogus").otherwise(F.col("format")).alias("format"),
+        F.when(off % 13 == 0, F.substring("payload", 1, 10))
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+        "ts",
+        "source_part",
+    )
+    _good, quarantine = normalize_changes(raw)
+    return quarantine.select("offset", "format")
+
+
+# ------------------------------------------------------------ spec compiler
+
+_SPEC_UUID3_SQL = (
+    "lower(substr(hx,1,8) || '-' || substr(hx,9,4) || '-3' || substr(hx,14,3)"
+    " || '-' || lpad(to_hex((('0x'||substr(hx,17,2))::BIGINT & 63) | 128), 2,"
+    " '0') || substr(hx,19,2) || '-' || substr(hx,21,12))"
+)
+
+
+@_q(
+    "spec_transform",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             lower(o_orderstatus) AS status_lc,
+             trunc(o_totalprice)::BIGINT AS total_int,
+             'sf-test' AS src,
+             'order-' || (CASE WHEN o_orderstatus <> '' THEN o_orderstatus
+                               ELSE 'unknown' END) AS label,
+             [upper(o_orderstatus), 'BULK'] AS tags,
+             md5(repeat(chr(0), 16) ||
+                 CASE WHEN o_orderstatus <> '' THEN o_orderstatus
+                      ELSE 'unknown' END) AS hx
+      FROM orders
+    )
+    SELECT okey, status_lc, total_int, src, label, tags,
+           {_SPEC_UUID3_SQL} AS cs
+    FROM base
+    """,
+)
+def _spec_transform(spark, sf_dir):
+    """The omniparser re-imagining end-to-end: a declarative mapping
+    spec (const/external/path/object/array-map/custom_func/template +
+    cast/trim policies) compiled once into column expressions
+    (spec/compiler.py; reference transform_declarations,
+    transform/decl.go:14-23)."""
+    from omniparser_spark.spec.compiler import apply_spec
+
+    spec = {
+        "transform_declarations": {
+            "FINAL_OUTPUT": {
+                "object": {
+                    "okey": {"path": "okey"},
+                    "status_lc": {
+                        "custom_func": {
+                            "name": "lower",
+                            "args": [{"path": "status"}],
+                        }
+                    },
+                    "total_int": {"path": "total", "type": "int"},
+                    "src": {"external": "source_system", "type": "string"},
+                    "label": {
+                        "custom_func": {
+                            "name": "concat",
+                            "args": [
+                                {"const": "order-"},
+                                {"template": "status_tpl"},
+                            ],
+                        }
+                    },
+                    "tags": {
+                        "map_each": {
+                            "custom_func": {
+                                "name": "upper",
+                                "args": [{"path": "."}],
+                            }
+                        },
+                        "path": "tags",
+                    },
+                    "cs": {
+                        "custom_func": {
+                            "name": "uuidv3",
+                            "args": [{"template": "status_tpl"}],
+                        }
+                    },
+                }
+            },
+            "status_tpl": {
+                "custom_func": {
+                    "name": "coalesce",
+                    "args": [{"path": "status"}, {"const": "unknown"}],
+                }
+            },
+        }
+    }
+    o = _t(spark, sf_dir, "orders")
+    anchored = o.select(
+        F.struct(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+            F.array(F.col("o_orderstatus"), F.lit("bulk")).alias("tags"),
+        ).alias("rec")
+    )
+    return apply_spec(
+        anchored, spec, "rec", externals={"source_system": "sf-test"}
+    )
+
+
+# ------------------------------------------------------ hierarchical assembly
+
+@_q(
+    "assembly_hierarchical",
+    """
+    WITH lines AS (
+      SELECT o_orderkey % 50 AS file_id, o_orderkey * 8 AS line_no,
+             o_orderkey AS k1, 0 AS k2
+      FROM orders
+      UNION ALL
+      SELECT l_orderkey % 50, l_orderkey * 8 + l_linenumber,
+             l_orderkey, l_linenumber::INT
+      FROM lineitem
+    ),
+    tagged AS (
+      SELECT *, sum(CASE WHEN k2 = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY file_id ORDER BY line_no) AS parent_seq
+      FROM lines
+    )
+    SELECT file_id, parent_seq::BIGINT AS record_seq,
+           max(CASE WHEN k2 = 0 THEN k1 END) AS okey,
+           count(CASE WHEN k2 <> 0 THEN 1 END) AS n_children,
+           coalesce(array_to_string(
+             list(k2::VARCHAR ORDER BY line_no) FILTER (WHERE k2 <> 0), ','),
+             '') AS child_lines
+    FROM tagged
+    WHERE parent_seq > 0
+    GROUP BY file_id, parent_seq
+    """,
+)
+def _assembly(spark, sf_dir):
+    """Hierarchical record assembly (H1): flat parent/child line stream
+    -> nested records via the prefix-sum stack machine
+    (operators/assembly.py; reference hierarchyReader.go:50-272)."""
+    from omniparser_spark.operators.assembly import assemble_parent_child
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 50).alias("file_id"),
+        (F.col("o_orderkey") * 8).alias("line_no"),
+        F.col("o_orderkey").alias("k1"),
+        F.lit(0).cast("int").alias("k2"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 50).alias("file_id"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("line_no"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").cast("int").alias("k2"),
+    )
+    records, _quar = assemble_parent_child(
+        o.unionByName(li), F.col("k2") == 0
+    )
+    return records.select(
+        "file_id",
+        "record_seq",
+        F.col("parent.k1").alias("okey"),
+        "n_children",
+        F.array_join(
+            F.transform("children", lambda c: c.getField("k2").cast("string")),
+            ",",
+        ).alias("child_lines"),
+    )
+
+
+@_q(
+    "assembly_payload",
+    """
+    WITH enc AS (
+      SELECT o_orderkey AS okey,
+             'H,' || o_orderkey || ',' || o_orderstatus ||
+             chr(10) || 'D,a,' || (o_orderkey % 7) ||
+             chr(10) || 'D,b,' || (o_orderkey % 3) AS payload
+      FROM orders
+    )
+    SELECT okey,
+           string_split(string_split(payload, chr(10))[1], ',')[3] AS status,
+           len(string_split(payload, chr(10))) - 1 AS n_details,
+           string_split(string_split(payload, chr(10))[2], ',')[3] AS d1,
+           string_split(string_split(payload, chr(10))[3], ',')[3] AS d2
+    FROM enc
+    """,
+)
+def _assembly_payload(spark, sf_dir):
+    """Within-payload H/D assembly (CDC shape: one event carries a whole
+    nested block) — explode-free array expressions
+    (operators/assembly.py assemble_delimited_payload)."""
+    from omniparser_spark.operators.assembly import assemble_delimited_payload
+
+    o = _t(spark, sf_dir, "orders")
+    enc = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.concat(
+            F.lit("H,"),
+            F.col("o_orderkey").cast("string"),
+            F.lit(","),
+            F.col("o_orderstatus"),
+            F.lit("\nD,a,"),
+            (F.col("o_orderkey") % 7).cast("string"),
+            F.lit("\nD,b,"),
+            (F.col("o_orderkey") % 3).cast("string"),
+        ).alias("payload"),
+    )
+    out = assemble_delimited_payload(enc, parent_prefix="H")
+    return out.select(
+        "okey",
+        F.element_at("header", 3).alias("status"),
+        F.size("details").alias("n_details"),
+        F.element_at(F.element_at("details", 1), 3).alias("d1"),
+        F.element_at(F.element_at("details", 2), 3).alias("d2"),
+    )
+
+
+# ----------------------------------------------------- simhash / LSH dedup
+
+def _simhash_sql_core(bits: int = 32) -> str:
+    """DuckDB twin of operators/dedup_text.simhash (32-bit, md5-based)."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {b}) & 1)) > n"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return bit_terms
+
+
+_SIMHASH_WORDS_SQL = (
+    "list_transform(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',"
+    " 'g')), ' '), w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)"
+)
+
+
+@_q(
+    "simhash_signature",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_SIMHASH_WORDS_SQL} AS hs FROM documents
+    ),
+    c AS (SELECT doc_id, hs, len(hs)::BIGINT AS n FROM w)
+    SELECT doc_id, ({_simhash_sql_core(32)})::BIGINT AS sh FROM c
+    """,
+)
+def _simhash_sig(spark, sf_dir):
+    """SimHash fingerprints (32-bit, word-level) — per-bit majority vote
+    via F.aggregate, no UDF, no shuffle (operators/dedup_text.py)."""
+    from omniparser_spark.operators.dedup_text import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash(F.col("text"), 32).alias("sh"))
+
+
+@_q(
+    "simhash_near_dups",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+    ),
+    w AS (
+      SELECT doc_id, {_SIMHASH_WORDS_SQL} AS hs FROM docs
+    ),
+    c AS (SELECT doc_id, hs, len(hs)::BIGINT AS n FROM w),
+    s AS (SELECT doc_id, ({_simhash_sql_core(32)})::BIGINT AS sh FROM c)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh))::INT AS hamming
+    FROM s a JOIN s b
+      ON a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def _simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs with block-permutation pruning: pigeonhole
+    (4 blocks, hamming<=3) makes the block equi-join lossless, so the
+    engine's pruned join must equal the oracle's exhaustive O(n^2) scan."""
+    from omniparser_spark.operators.dedup_text import simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    return simhash_near_dups(d2, bits=32, max_hamming=3, n_blocks=4)
+
+
+def _minhash_lsh_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    r = num_hashes // bands
+    mins = ",\n             ".join(
+        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('mh{i}:' || s),"
+        f" 1, 8))::BIGINT)) AS m{i}"
+        for i in range(num_hashes)
+    )
+    sig_list = "[" + ", ".join(f"m{i}" for i in range(num_hashes)) + "]"
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+    ),
+    ws AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM docs
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+             ELSE [array_to_string(w, ' ')] END AS sh
+      FROM ws
+    ),
+    sigs0 AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh
+    ),
+    sigs AS (SELECT doc_id, {sig_list} AS sig FROM sigs0),
+    banded AS (
+      SELECT doc_id, sig, band_idx,
+             md5(array_to_string(
+               sig[band_idx * {r} + 1 : band_idx * {r} + {r}], ',')) AS bh
+      FROM sigs, range({bands}) t(band_idx)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_filter(range(1, {num_hashes + 1}),
+                                 i -> a.sig[i] = b.sig[i]))
+                 / {num_hashes}.0, 6) AS est_jaccard
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+
+@_q("minhash_lsh_candidates", _minhash_lsh_oracle_sql(16, 4))
+def _minhash_lsh(spark, sf_dir):
+    """Banded MinHash LSH candidate pairs (shingle -> minhash -> band
+    bucket-join), est. jaccard from full-signature agreement."""
+    from omniparser_spark.operators.dedup_text import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    return minhash_lsh_candidates(d2, num_hashes=16, bands=4, k=3)
+
+
+def _hyperplane_comp(seed: int, bit: int, j: int) -> float:
+    import hashlib as _hl
+
+    h = _hl.md5(f"{seed}:{bit}:{j}".encode()).hexdigest()
+    return (int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0
+
+
+def _embed_lsh_oracle_sql(
+    dim: int = 64, n_bits: int = 8, n_tables: int = 2, threshold: float = 0.9
+) -> str:
+    tables = []
+    for t in range(n_tables):
+        bits = []
+        for b in range(n_bits):
+            plane = ", ".join(
+                repr(_hyperplane_comp(2000 + t, b, j)) for j in range(dim)
+            )
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, [{plane}]) >= 0"
+                f" THEN {1 << b} ELSE 0 END)"
+            )
+        tables.append(" + ".join(bits))
+    table_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, v, {t} AS table_idx, ({expr})::BIGINT AS bucket"
+        f" FROM base"
+        for t, expr in enumerate(tables)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
+    ),
+    bkt AS (
+{table_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bkt a JOIN bkt b
+        ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+        AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             round(list_dot_product(x.v, y.v) /
+                   (sqrt(list_dot_product(x.v, x.v)) *
+                    sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim
+      FROM cand c
+      JOIN (SELECT doc_id, any_value(v) AS v FROM base GROUP BY doc_id) x
+        ON c.id_a = x.doc_id
+      JOIN (SELECT doc_id, any_value(v) AS v FROM base GROUP BY doc_id) y
+        ON c.id_b = y.doc_id
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
+    """
+
+
+@_q("embedding_near_dups_lsh", _embed_lsh_oracle_sql(64, 8, 2, 0.9))
+def _embed_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dups via random-hyperplane LSH self-join +
+    exact verify; the oracle bakes the identical hyperplanes as SQL
+    literals, so candidates AND scores must match exactly."""
+    from omniparser_spark.operators.similarity import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings")
+    e2 = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + 100000))
+    return embedding_near_dups(
+        e2, dim=64, threshold=0.9, n_bits=8, n_tables=2
+    )
+
+
+@_q("lsh_topk_ann")  # approximate ANN: rows-only check; recall vs brute
+def _ann(spark, sf_dir):  # force is asserted in tests/test_operators.py
+    """Approximate top-k neighbors: multiprobe hyperplane LSH buckets ->
+    exact re-rank of candidates only (operators/similarity.py lsh_topk)."""
+    from omniparser_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return lsh_topk(e, q, dim=64, k=10, n_bits=12, n_tables=4, multiprobe=1)
+
+
+# ----------------------------------------------------- text analysis (cont.)
+
+_LANGID_STOPWORDS_SQL = {
+    "de": "['der','die','und','das','ist','nicht','mit','ein','auf','zu']",
+    "en": "['the','and','of','to','in','is','that','it','for','was']",
+    "es": "['el','la','los','de','que','y','en','un','por','con']",
+    "fr": "['le','la','les','et','des','est','une','dans','que','pour']",
+}
+
+
+@_q(
+    "text_language_id",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(lower(trim(text)),
+               '[^\\p{{L}}\\p{{Nd}}]+')) AS ws
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+             len(list_filter(ws, x -> list_contains({_LANGID_STOPWORDS_SQL['de']}, x))) AS n_de,
+             len(list_filter(ws, x -> list_contains({_LANGID_STOPWORDS_SQL['en']}, x))) AS n_en,
+             len(list_filter(ws, x -> list_contains({_LANGID_STOPWORDS_SQL['es']}, x))) AS n_es,
+             len(list_filter(ws, x -> list_contains({_LANGID_STOPWORDS_SQL['fr']}, x))) AS n_fr
+      FROM w
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+                WHEN n_de = greatest(n_de, n_en, n_es, n_fr) THEN 'de'
+                WHEN n_en = greatest(n_de, n_en, n_es, n_fr) THEN 'en'
+                WHEN n_es = greatest(n_de, n_en, n_es, n_fr) THEN 'es'
+                ELSE 'fr' END AS lang_id
+    FROM sc
+    """,
+)
+def _langid(spark, sf_dir):
+    """Heuristic language ID (stopword-hit argmax, alphabetical
+    tie-break) — pure column expressions (functions/text.py)."""
+    from omniparser_spark.functions.text import detect_language
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", detect_language(F.col("text")).alias("lang_id"))
+
+
+@_q(
+    "text_quality_score",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             length(text)::DOUBLE AS n,
+             length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE
+               AS n_alpha,
+             length(regexp_replace(text, '[\\p{L}\\p{Nd}\\s]', '', 'g'))::DOUBLE
+               AS n_punct,
+             (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END)::DOUBLE AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           round(least(n_tokens / 20.0, 1.0)
+                 * (CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END)
+                 * (1.0 - CASE WHEN n > 0
+                               THEN least(n_punct / n * 4.0, 1.0)
+                               ELSE 1.0 END), 6) AS q
+    FROM m
+    """,
+)
+def _quality(spark, sf_dir):
+    """Document quality heuristic (length x alpha-ratio x punct penalty)
+    — the pretraining-corpus filter family (functions/text.py)."""
+    from omniparser_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("q"))
+
+
+@_q(
+    "text_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))
+             AS n_pieces
+    FROM documents
+    """,
+)
+def _bpe_count(spark, sf_dir):
+    """BPE-ish subword-piece count (vocabulary-free tokenizer proxy for
+    length filtering; functions/text.py)."""
+    from omniparser_spark.functions.text import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count("text").alias("n_pieces"))
+
+
+# ------------------------------------------------------------- multimodal
+
+@_q(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           octet_length(encode(text))::INT AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def _multimodal(spark, sf_dir):
+    """Multimodal plumbing: binary blobs + typed metadata through an
+    Arrow-batched mapInPandas feature extractor (decode itself is a
+    deterministic stub; schema/partitioning/batch shape are real).
+    Compared columns are the engine-independent ones (byte count,
+    sha256); the feature vectors are asserted in tests."""
+    from omniparser_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("blob"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(1).alias("width"),
+            F.lit(1).alias("height"),
+            F.lit(0).alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "sha256"
+    )
+
+
+# ------------------------------------------------------------- streaming
+
+@_q("cdc_streaming_apply")  # stateful streaming: rows-only check by design
+def _streaming(spark, sf_dir):
+    """Structured Streaming front-end: file-source readStream ->
+    foreachBatch -> the same exactly-once apply path (streaming/
+    stream.py). Final state convergence vs the batch path is asserted
+    in tests/test_cdc_e2e.py; here the driver checks schema + rows."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.sources.changefeed import FeedSpec, generate_changes
+    from omniparser_spark.streaming.stream import run_streaming_apply
+
+    spec = FeedSpec(n_events=1200, n_convs=40, seed=7)
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_stream_")
+    generate_changes(spark, spec, num_partitions=8).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/feed")
+    pipe = CdcPipeline(spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8)
+    run_streaming_apply(pipe, f"{tmp}/feed", max_files_per_trigger=4)
+    return pipe.read_table().orderBy("conv_id", "turn_idx")
 
 
 # --------------------------------------------------------------------------

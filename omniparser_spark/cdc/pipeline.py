@@ -83,6 +83,29 @@ class CdcPipeline:
         offset_end: int,
     ) -> dict[str, Any]:
         """Apply one bounded slice of the change feed."""
+        # batch fence up front: a re-delivered batch must be a complete
+        # no-op — including its quarantine append and metrics — not just
+        # a skipped MERGE (exactly-once covers side outputs too).
+        if batch_id <= int(self.table.summary().get("batch_id", -1)):
+            record: dict[str, Any] = {
+                "batch_id": batch_id,
+                "offset_start": offset_start,
+                "offset_end": offset_end,
+                "events_in": 0,
+                "quarantined": 0,
+                "after_dedup": 0,
+                "applied_rows": 0,
+                "fenced": True,
+                "snapshot_version": self.table.current().version,
+                "touched_buckets": [],
+                "lineage": [],
+            }
+            # still checkpoint: this is the crashed-between-commit-and-
+            # checkpoint repair path (see module docstring).
+            self.checkpoints.commit(record)
+            self.metrics.record(record)
+            return record
+
         good, quarantine = normalize_changes(raw)
         good = good.persist()
         try:
