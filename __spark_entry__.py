@@ -840,21 +840,24 @@ def _dedup_exact(spark, sf_dir):
 
 
 def _minhash_oracle_sql(num_hashes: int = 8) -> str:
+    from omniparser_spark.operators.dedup_text import MINHASH_P, minhash_params
+
     mins = ",\n           ".join(
-        f"list_min(list_transform(ws, s -> ('0x' || substr(md5('mh{i}:' || s), 1, 8))::BIGINT)) AS m{i}"
-        for i in range(num_hashes)
+        f"list_min(list_transform(xs, x -> (x * {a} + {b}) % {MINHASH_P}))"
+        f" AS m{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     )
     return f"""
     WITH w AS (
       SELECT doc_id,
-             list_distinct(
-               regexp_split_to_array(
-                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
-             ) AS ws
+             list_transform(
+               list_distinct(
+                 regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')),
+               s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P}
+             ) AS xs
       FROM documents
-      WHERE len(regexp_split_to_array(
-              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 1
-        AND length(trim(text)) > 0
+      WHERE length(trim(text)) > 0
     )
     SELECT doc_id,
            {mins}
@@ -866,12 +869,13 @@ def _minhash_oracle_sql(num_hashes: int = 8) -> str:
 def _minhash_sig(spark, sf_dir):
     """MinHash signatures (word unigrams, 8 seeds) — oracle recomputes
     the identical md5-based min per seed in SQL."""
-    from omniparser_spark.operators.dedup_text import minhash_signature
+    from omniparser_spark.operators.dedup_text import with_minhash_signature
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    sig = minhash_signature(F.col("text"), num_hashes=8, k=1)
-    return d.select(
-        "doc_id", *[F.element_at(sig, i + 1).alias(f"m{i}") for i in range(8)]
+    staged = with_minhash_signature(d, num_hashes=8, k=1)
+    return staged.select(
+        "doc_id",
+        *[F.element_at("sig", i + 1).alias(f"m{i}") for i in range(8)],
     )
 
 
@@ -1351,10 +1355,10 @@ _SIMHASH_WORDS_SQL = (
 def _simhash_sig(spark, sf_dir):
     """SimHash fingerprints (32-bit, word-level) — per-bit majority vote
     via F.aggregate, no UDF, no shuffle (operators/dedup_text.py)."""
-    from omniparser_spark.operators.dedup_text import simhash
+    from omniparser_spark.operators.dedup_text import with_simhash
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash(F.col("text"), 32).alias("sh"))
+    return with_simhash(d, bits=32).select("doc_id", "sh")
 
 
 @_q(
@@ -1388,11 +1392,13 @@ def _simhash_pairs(spark, sf_dir):
 
 
 def _minhash_lsh_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    from omniparser_spark.operators.dedup_text import MINHASH_P, minhash_params
+
     r = num_hashes // bands
     mins = ",\n             ".join(
-        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('mh{i}:' || s),"
-        f" 1, 8))::BIGINT)) AS m{i}"
-        for i in range(num_hashes)
+        f"list_min(list_transform(xs, x -> (x * {a} + {b}) % {MINHASH_P}))"
+        f" AS m{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     )
     sig_list = "[" + ", ".join(f"m{i}" for i in range(num_hashes)) + "]"
     return f"""
@@ -1415,10 +1421,16 @@ def _minhash_lsh_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
              ELSE [array_to_string(w, ' ')] END AS sh
       FROM ws
     ),
+    hx AS (
+      SELECT doc_id,
+             list_transform(sh,
+               s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P}) AS xs
+      FROM sh
+    ),
     sigs0 AS (
       SELECT doc_id,
              {mins}
-      FROM sh
+      FROM hx
     ),
     sigs AS (SELECT doc_id, {sig_list} AS sig FROM sigs0),
     banded AS (

@@ -33,7 +33,7 @@ from omniparser_spark.cdc.metrics import MetricsLog
 from omniparser_spark.lake.merge import merge_into
 from omniparser_spark.lake.table import LakeTable
 from omniparser_spark.operators.dedup import lww_dedup
-from omniparser_spark.operators.normalize import normalize_changes
+from omniparser_spark.operators.normalize import normalize_flagged, split_flagged
 
 TRANSCRIPTS_SCHEMA = T.StructType(
     [
@@ -106,28 +106,34 @@ class CdcPipeline:
             self.metrics.record(record)
             return record
 
-        good, quarantine = normalize_changes(raw)
-        good = good.persist()
+        canon = normalize_flagged(raw).persist()
         try:
-            # one aggregate pass for batch metrics + per-partition lineage
+            good, quarantine = split_flagged(canon)
+            # one aggregate pass over the cached decode for batch
+            # metrics + per-partition lineage + quarantine count
             lineage_rows = (
-                good.groupBy("source_part")
+                canon.groupBy("source_part")
                 .agg(
-                    F.count("*").alias("rows"),
-                    F.min("offset").alias("offset_min"),
-                    F.max("offset").alias("offset_max"),
+                    F.count(F.when(F.col("_ok"), 1)).alias("rows"),
+                    F.min(F.when(F.col("_ok"), F.col("offset"))).alias(
+                        "offset_min"
+                    ),
+                    F.max(F.when(F.col("_ok"), F.col("offset"))).alias(
+                        "offset_max"
+                    ),
+                    F.count(F.when(~F.col("_ok"), 1)).alias("bad"),
                 )
                 .collect()
             )
             events_in = sum(int(r["rows"]) for r in lineage_rows)
-            n_quarantined = quarantine.count()
+            n_quarantined = sum(int(r["bad"]) for r in lineage_rows)
             if self.quarantine_path and n_quarantined:
                 quarantine.write.mode("append").parquet(self.quarantine_path)
 
             deduped = lww_dedup(good, keys=("conv_id", "turn_idx"))
             stats = merge_into(self.table, deduped, batch_id=batch_id)
         finally:
-            good.unpersist()
+            canon.unpersist()
 
         record: dict[str, Any] = {
             "batch_id": batch_id,
@@ -151,6 +157,7 @@ class CdcPipeline:
                         "offset_max": int(r["offset_max"]),
                     }
                     for r in lineage_rows
+                    if int(r["rows"]) > 0
                 ),
                 key=lambda d: d["source_part"],
             ),

@@ -104,12 +104,17 @@ def merge_into(
         if f.name not in batch.columns and not f.name.startswith("_"):
             batch = batch.withColumn(f.name, F.lit(None).cast(f.dataType))
 
-    batch = batch.withColumn("_bucket", bucket_expr(key_col, n_buckets))
+    # persist: the deduped batch is consumed twice (stats aggregate +
+    # merge join) and its LWW shuffle must not recompute per action
+    batch = batch.withColumn("_bucket", bucket_expr(key_col, n_buckets)).persist()
 
-    # file-level pruning: only buckets the batch touches participate
-    touched = [
-        r["_bucket"] for r in batch.select("_bucket").distinct().collect()
-    ]
+    # one driver action for bucket pruning + fence bookkeeping + count
+    stats_row = batch.agg(
+        F.collect_set("_bucket").alias("buckets"),
+        F.max("offset").alias("mx"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    touched = sorted(int(b) for b in (stats_row["buckets"] or []))
     target = table.read(buckets=touched, include_hidden=True)
     if "_last_offset" not in target.columns:
         target = target.withColumn("_last_offset", F.lit(-1).cast("long"))
@@ -168,23 +173,23 @@ def merge_into(
     merged = j.select(*out_cols)
     merged = merged.withColumn("_bucket", bucket_expr(key_col, n_buckets))
 
-    max_offset_row = batch.agg(
-        F.max("offset").alias("mx"), F.count("*").alias("n")
-    ).collect()[0]
-    snap = table.commit(
-        merged,
-        touched_buckets=touched,
-        summary_updates={
-            "batch_id": batch_id,
-            "max_offset_applied": max(
-                int(summary.get("max_offset_applied", -1)),
-                int(max_offset_row["mx"] if max_offset_row["mx"] is not None else -1),
-            ),
-        },
-    )
+    try:
+        snap = table.commit(
+            merged,
+            touched_buckets=touched,
+            summary_updates={
+                "batch_id": batch_id,
+                "max_offset_applied": max(
+                    int(summary.get("max_offset_applied", -1)),
+                    int(stats_row["mx"] if stats_row["mx"] is not None else -1),
+                ),
+            },
+        )
+    finally:
+        batch.unpersist()
     return {
         "batch_id": batch_id,
         "snapshot_version": snap.version,
-        "touched_buckets": sorted(touched),
-        "batch_rows": int(max_offset_row["n"]),
+        "touched_buckets": touched,
+        "batch_rows": int(stats_row["n"]),
     }

@@ -80,24 +80,76 @@ def word_shingles(col, k: int = 3) -> Column:
 
 # -------------------------------------------------------------- minhash
 
+MINHASH_P = 1_000_000_007  # 30-bit prime: a*x + b stays far inside int64
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic per-seed affine coefficients (a_i, b_i) mod P.
+
+    Shared with the SQL oracle generator so signatures are reproducible
+    in any engine."""
+    import random
+
+    rnd = random.Random(0x5EED)
+    return [
+        (rnd.randrange(1, MINHASH_P), rnd.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signature(col, num_hashes: int = 32, k: int = 3) -> Column:
-    """MinHash signature: per seed i, min over shingles of h_i(shingle).
+    """MinHash signature: per seed i, min over shingles of h_i(shingle)
+    where h_i(s) = (a_i * h(s) + b_i) mod P — the base hash h (md5) is
+    computed ONCE per shingle and the per-seed rehash is integer
+    arithmetic, so cost is O(shingles + seeds * shingles-cheap) instead
+    of O(seeds * md5).
 
     array<long> of length num_hashes; one pass over the shingle array
     per row, no shuffle, no UDF.
     """
     shingles = word_shingles(col, k)
+    xs = F.transform(shingles, lambda s: _h(s) % MINHASH_P)
 
-    def hasher(i: int):
-        # NB: must be a 1-arg callable — pyspark treats a 2-arg lambda
-        # passed to F.transform as (element, index)
-        return lambda s: _h(s, f"mh{i}:")
+    def rehash(a: int, b: int):
+        # NB: must be a 1-arg callable — pyspark maps extra lambda
+        # params (incl. defaults) onto (element, index, ...) slots
+        return lambda x: (x * a + b) % MINHASH_P
 
     sig = [
-        F.array_min(F.transform(shingles, hasher(i)))
-        for i in range(num_hashes)
+        F.array_min(F.transform(xs, rehash(a, b)))
+        for a, b in minhash_params(num_hashes)
     ]
     return F.array(*sig)
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "sig",
+    num_hashes: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """Staged MinHash: adds `out_col` (array<long> of num_hashes mins).
+
+    Stages the hashed-shingle array as its own projection so the
+    md5-per-shingle base pass runs ONCE per row; higher-order lambda
+    expressions are interpreted (no whole-stage codegen), so Catalyst's
+    project-collapse would otherwise inline the shingle pipeline into
+    every per-seed min (num_hashes x md5 cost — measured 7x slower).
+    """
+    xs = F.transform(
+        word_shingles(F.col(text_col), k), lambda s: _h(s) % MINHASH_P
+    )
+
+    def rehash(a: int, b: int):
+        return lambda x: (x * a + b) % MINHASH_P
+
+    staged = df.withColumn("_mh_xs", xs)
+    mins = [
+        F.array_min(F.transform("_mh_xs", rehash(a, b)))
+        for a, b in minhash_params(num_hashes)
+    ]
+    return staged.withColumn(out_col, F.array(*mins)).drop("_mh_xs")
 
 
 def minhash_lsh_candidates(
@@ -119,8 +171,13 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, k)
-    base = df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    base = with_minhash_signature(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        text_col=text_col,
+        out_col="sig",
+        num_hashes=num_hashes,
+        k=k,
+    ).select("doc_id", "sig")
 
     banded = base.select(
         "doc_id",
@@ -189,6 +246,39 @@ def simhash(col, bits: int = 32) -> Column:
     return out
 
 
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "sh", bits: int = 32
+) -> DataFrame:
+    """Staged SimHash: adds `out_col` (long fingerprint).
+
+    Same staging rationale as :func:`with_minhash_signature` — the word
+    hash array is projected once, so the md5 pass doesn't get inlined
+    into all `bits` per-bit aggregates.
+    """
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    hashes = F.transform(words, lambda w: _h(w))
+
+    def bit_counter(b: int):
+        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1))
+
+    staged = df.withColumn("_sh_hs", hashes).withColumn(
+        "_sh_n", F.size("_sh_hs").cast("long")
+    )
+    bit_exprs = []
+    for b in range(bits):
+        ones = F.aggregate(
+            F.col("_sh_hs"), F.lit(0).cast("long"), bit_counter(b)
+        )
+        bit_exprs.append(
+            F.when(ones * 2 > F.col("_sh_n"), F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out + e
+    return staged.withColumn(out_col, out).drop("_sh_hs", "_sh_n")
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -207,9 +297,12 @@ def simhash_near_dups(
     equi-join per block, then verify full hamming distance."""
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
-    base = df.select(
-        F.col(id_col).alias("doc_id"), simhash(F.col(text_col), bits).alias("sh")
-    )
+    base = with_simhash(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        text_col=text_col,
+        out_col="sh",
+        bits=bits,
+    ).select("doc_id", "sh")
     blocked = base.select(
         "doc_id",
         "sh",

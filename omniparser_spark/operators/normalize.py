@@ -46,14 +46,14 @@ CANONICAL_COLS = [
 ]
 
 
-def normalize_changes(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """raw envelope feed -> (canonical_good, quarantine).
+def normalize_flagged(raw: DataFrame) -> DataFrame:
+    """raw envelope feed -> one canonical row per event with `_ok` /
+    `_error` flags still attached (good and quarantine not yet split).
 
+    The apply loop persists THIS frame so the vectorized decode runs
+    exactly once per micro-batch; good rows, quarantine rows, and the
+    lineage/metrics aggregate are all cheap filters over the cache.
     `raw` needs columns offset/op/format/payload/ts/source_part.
-    The returned pair shares one decode pass (Spark reuses the scan via
-    the cached `decoded` plan only if persisted; both branches are
-    cheap filters over the same lineage so we leave persistence to the
-    caller / AQE).
     """
     decoded = decode_payload(raw)
 
@@ -87,11 +87,15 @@ def normalize_changes(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("ts").cast("string"),
         )
     )
-
-    good = canon.filter(ok).withColumn("event_checksum", checksum).select(
-        *CANONICAL_COLS
+    return canon.withColumn("_ok", ok).withColumn(
+        "event_checksum", F.when(ok, checksum)
     )
-    quarantine = canon.filter(~ok).select(
+
+
+def split_flagged(canon: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(canonical_good, quarantine) from a normalize_flagged frame."""
+    good = canon.filter(F.col("_ok")).select(*CANONICAL_COLS)
+    quarantine = canon.filter(~F.col("_ok")).select(
         "offset",
         "source_part",
         "format",
@@ -102,3 +106,8 @@ def normalize_changes(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         ).alias("error"),
     )
     return good, quarantine
+
+
+def normalize_changes(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """raw envelope feed -> (canonical_good, quarantine)."""
+    return split_flagged(normalize_flagged(raw))
