@@ -1,0 +1,87 @@
+"""spark-submit entry point — the north rule's ship vehicle.
+
+Package the engine and submit the apply job to any cluster:
+
+    zip -r engine.zip omniparser_spark
+    spark-submit --py-files engine.zip -m omniparser_spark  # local dev:
+    python -m omniparser_spark \
+        --feed  /data/changefeed_parquet \
+        --table /lake/transcripts \
+        --checkpoint /lake/transcripts_ckpt \
+        --total-events 1000000 --batch-size 250000
+
+or, on a real cluster (cluster mode, Kafka/binlog tail via the
+streaming front-end):
+
+    spark-submit --deploy-mode cluster --py-files engine.zip \
+        $(python -c 'import omniparser_spark.__main__ as m; print(m.__file__)') \
+        --feed ... --table ... --checkpoint ... --streaming
+
+The job is resumable: re-submitting with the same --checkpoint resumes
+from the last committed offset; re-delivered batches are fenced
+(exactly-once). Lineage + metrics are printed per micro-batch as JSON
+lines on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="omniparser_spark")
+    ap.add_argument("--feed", required=True, help="parquet dir of envelope rows")
+    ap.add_argument("--table", required=True, help="lake table path")
+    ap.add_argument("--checkpoint", required=True, help="checkpoint dir")
+    ap.add_argument("--quarantine", default=None, help="dead-letter parquet dir")
+    ap.add_argument("--total-events", type=int, default=None,
+                    help="replay bound (default: max offset in feed + 1)")
+    ap.add_argument("--batch-size", type=int, default=250_000)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--master", default=None,
+                    help="override master (else spark-submit decides)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="tail --feed with Structured Streaming instead "
+                         "of a bounded batch replay")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.session import get_spark
+
+    spark = get_spark(app_name="omniparser_spark_apply", master=args.master)
+    pipe = CdcPipeline(
+        spark,
+        args.table,
+        args.checkpoint,
+        n_buckets=args.n_buckets,
+        quarantine_path=args.quarantine,
+    )
+
+    if args.streaming:
+        from omniparser_spark.streaming.stream import run_streaming_apply
+
+        records = run_streaming_apply(pipe, args.feed)
+    else:
+        feed = spark.read.parquet(args.feed)
+        total = args.total_events
+        if total is None:
+            total = (feed.agg(F.max("offset")).collect()[0][0] or -1) + 1
+
+        def feed_for_range(start: int, end: int):
+            return feed.filter(
+                (F.col("offset") >= start) & (F.col("offset") <= end)
+            )
+
+        records = pipe.run(feed_for_range, total, batch_size=args.batch_size)
+
+    for rec in records:
+        print(json.dumps(rec, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
