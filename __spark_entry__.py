@@ -45,7 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
     spec = FeedSpec(n_events=2000, n_convs=60, seed=42)
     tmp = tempfile.mkdtemp(prefix="omniparser_spark_entry_")
     pipe = CdcPipeline(
-        spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8
+        spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8,
+        n_source_parts=spec.n_source_parts,
     )
     feed = materialize_feed(spark, spec, f"{tmp}/feed")
 
@@ -1053,7 +1054,10 @@ def _cdc_replay(spark, sf_dir):
     try:
         total = feed.agg(F.max("offset")).collect()[0][0] + 1
         tmp = tempfile.mkdtemp(prefix="omniparser_spark_replay_")
-        pipe = CdcPipeline(spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8)
+        pipe = CdcPipeline(
+            spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8,
+            n_source_parts=8,
+        )
 
         def feed_for_range(start: int, end: int) -> DataFrame:
             return feed.filter(
@@ -1680,6 +1684,149 @@ def _multimodal(spark, sf_dir):
     )
 
 
+@_q(
+    "decode_custom_plugin",
+    """
+    WITH enc AS (
+      SELECT event_id,
+             'conv_id=c' || (user_id % 50) || ';turn_idx=' || (event_id % 9)
+             || ';role=' || event_type || ';text=t' || md5(event_id::VARCHAR)
+               AS payload
+      FROM events
+    )
+    SELECT event_id,
+           regexp_extract(payload, 'conv_id=([^;]*)', 1) AS conv_id,
+           regexp_extract(payload, 'turn_idx=([^;]*)', 1)::INT AS turn_idx,
+           regexp_extract(payload, 'role=([^;]*)', 1) AS role,
+           regexp_extract(payload, 'text=([^;]*)', 1) AS text
+    FROM enc
+    """,
+)
+def _decode_plugin(spark, sf_dir):
+    """Custom file-format plug-in (S8): a user-registered 'kv' decoder
+    (k=v;k=v payloads via str_to_map, JVM-side) joins the same
+    per-format dispatch as the built-ins (sources/decoders.py
+    register_format; reference fileformat/fileformat.go:12-41)."""
+    from omniparser_spark.sources.decoders import decode_payload, register_format
+
+    def _kv_decoder(payload):
+        m = F.str_to_map(payload, F.lit(";"), F.lit("="))
+        return F.struct(
+            m["conv_id"].alias("conv_id"),
+            m["turn_idx"].cast("int").alias("turn_idx"),
+            m["role"].alias("role"),
+            m["text"].alias("text"),
+            m["tool"].alias("tool"),
+            m["ts"].alias("ts"),
+        )
+
+    register_format("kv", _kv_decoder)
+    ev = _t(spark, sf_dir, "events")
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.lit("kv").alias("format"),
+        F.concat(
+            F.lit("conv_id=c"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit(";turn_idx="),
+            (F.col("event_id") % 9).cast("string"),
+            F.lit(";role="),
+            F.col("event_type"),
+            F.lit(";text=t"),
+            F.md5(F.col("event_id").cast("string")),
+        ).alias("payload"),
+    )
+    dec = decode_payload(raw)
+    return dec.select(
+        F.col("offset").alias("event_id"),
+        F.col("turn.conv_id").alias("conv_id"),
+        F.col("turn.turn_idx").alias("turn_idx"),
+        F.col("turn.role").alias("role"),
+        F.col("turn.text").alias("text"),
+    )
+
+
+@_q(
+    "spec_pandas_udf",
+    """
+    SELECT doc_id,
+           (length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) * 2
+            + length(text)) % 1000 AS score
+    FROM documents
+    """,
+)
+def _spec_pandas(spark, sf_dir):
+    """The `javascript` escape hatch (C13) re-imagined: arbitrary custom
+    logic as an Arrow-vectorized pandas UDF registered by name and
+    invoked from a declarative spec (functions/registry.py
+    register_pandas; reference customfuncs/javascript.go:99-132)."""
+    import pandas as pd
+
+    from omniparser_spark.functions.registry import default_registry
+    from omniparser_spark.spec.compiler import apply_spec
+
+    def turn_score(s):  # pd.Series -> pd.Series (annotations break
+        # pandas_udf signature inference under `from __future__ import
+        # annotations`; the return type is declared at registration)
+        return (
+            s.str.lower().str.count("[aeiou]") * 2 + s.str.len()
+        ) % 1000
+
+    reg = default_registry()
+    reg.register_pandas("turn_score", turn_score, "long")
+
+    spec = {
+        "transform_declarations": {
+            "FINAL_OUTPUT": {
+                "object": {
+                    "doc_id": {"path": "doc_id"},
+                    "score": {
+                        "custom_func": {
+                            "name": "turn_score",
+                            "args": [{"path": "text"}],
+                        }
+                    },
+                }
+            }
+        }
+    }
+    d = _t(spark, sf_dir, "documents")
+    anchored = d.select(
+        F.struct(F.col("doc_id"), F.col("text")).alias("rec")
+    )
+    return apply_spec(anchored, spec, "rec", registry=reg)
+
+
+@_q(
+    "text_stopword_ratio",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(
+               list_distinct(regexp_split_to_array(lower(trim(text)),
+                 '[^\\p{L}\\p{Nd}]+')),
+               x -> length(x) > 0) AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           round(CASE WHEN len(ws) > 0 THEN
+             len(list_filter(ws, x -> list_contains(
+               ['the','and','of','to','in','is','that','it','for','was'], x)))
+             / len(ws)::DOUBLE
+           ELSE 0.0 END, 6) AS ratio_en
+    FROM w
+    """,
+)
+def _stopword_ratio(spark, sf_dir):
+    """Stopword-ratio quality signal (functions/text.py)."""
+    from omniparser_spark.functions.text import stopword_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(stopword_ratio("text", "en"), 6).alias("ratio_en")
+    )
+
+
 # ------------------------------------------------------------- streaming
 
 @_q("cdc_streaming_apply")  # stateful streaming: rows-only check by design
@@ -1697,7 +1844,10 @@ def _streaming(spark, sf_dir):
     generate_changes(spark, spec, num_partitions=8).write.mode(
         "overwrite"
     ).parquet(f"{tmp}/feed")
-    pipe = CdcPipeline(spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8)
+    pipe = CdcPipeline(
+        spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8,
+        n_source_parts=spec.n_source_parts,
+    )
     run_streaming_apply(pipe, f"{tmp}/feed", max_files_per_trigger=4)
     return pipe.read_table().orderBy("conv_id", "turn_idx")
 

@@ -32,7 +32,6 @@ from omniparser_spark.cdc.checkpoints import CheckpointStore
 from omniparser_spark.cdc.metrics import MetricsLog
 from omniparser_spark.lake.merge import merge_into
 from omniparser_spark.lake.table import LakeTable
-from omniparser_spark.operators.dedup import lww_dedup
 from omniparser_spark.operators.normalize import normalize_flagged, split_flagged
 
 TRANSCRIPTS_SCHEMA = T.StructType(
@@ -60,7 +59,15 @@ class CdcPipeline:
         n_buckets: int = 16,
         with_tool_column: bool = True,
         quarantine_path: str | None = None,
+        n_source_parts: int | None = None,
     ):
+        """`n_source_parts`: size of the source-partition domain (e.g.
+        Kafka partition count — always known for a real binlog tail).
+        When given, each micro-batch is ONE Spark job: lineage,
+        quarantine count, and fence bookkeeping ride the merge-write
+        action via the Observation API, and the LWW dedup is folded
+        into the merge aggregate. When None, a two-job fallback
+        computes lineage with a groupBy over a cached decode."""
         self.spark = spark
         schema = TRANSCRIPTS_SCHEMA if with_tool_column else TRANSCRIPTS_SCHEMA_NO_TOOL
         if LakeTable.exists(table_path):
@@ -72,6 +79,7 @@ class CdcPipeline:
         self.checkpoints = CheckpointStore(checkpoint_path)
         self.metrics = MetricsLog()
         self.quarantine_path = quarantine_path
+        self.n_source_parts = n_source_parts
 
     # ---------- single micro-batch ----------
 
@@ -106,34 +114,105 @@ class CdcPipeline:
             self.metrics.record(record)
             return record
 
-        canon = normalize_flagged(raw).persist()
-        try:
-            good, quarantine = split_flagged(canon)
-            # one aggregate pass over the cached decode for batch
-            # metrics + per-partition lineage + quarantine count
-            lineage_rows = (
-                canon.groupBy("source_part")
-                .agg(
-                    F.count(F.when(F.col("_ok"), 1)).alias("rows"),
-                    F.min(F.when(F.col("_ok"), F.col("offset"))).alias(
-                        "offset_min"
-                    ),
-                    F.max(F.when(F.col("_ok"), F.col("offset"))).alias(
-                        "offset_max"
-                    ),
-                    F.count(F.when(~F.col("_ok"), 1)).alias("bad"),
-                )
-                .collect()
-            )
-            events_in = sum(int(r["rows"]) for r in lineage_rows)
-            n_quarantined = sum(int(r["bad"]) for r in lineage_rows)
-            if self.quarantine_path and n_quarantined:
-                quarantine.write.mode("append").parquet(self.quarantine_path)
+        canon = normalize_flagged(raw)
 
-            deduped = lww_dedup(good, keys=("conv_id", "turn_idx"))
-            stats = merge_into(self.table, deduped, batch_id=batch_id)
-        finally:
-            canon.unpersist()
+        if self.n_source_parts is not None:
+            # ---- fast path: ONE Spark job per micro-batch ----
+            # Lineage (bounded source-partition domain), quarantine
+            # count, and events_in are observed DURING the merge-write
+            # action; the LWW dedup is subsumed by the merge's max_by
+            # aggregate (same grouping keys, same total order) so the
+            # batch-side pre-shuffle disappears entirely.
+            from pyspark.sql import Observation
+
+            ok = F.col("_ok")
+            aggs = [
+                F.count(F.when(ok, 1)).alias("rows_total"),
+                F.count(F.when(~ok, 1)).alias("bad"),
+            ]
+            for p in range(self.n_source_parts):
+                cond = ok & (F.col("source_part") == p)
+                aggs.append(F.count(F.when(cond, 1)).alias(f"rows_{p}"))
+                aggs.append(
+                    F.min(F.when(cond, F.col("offset"))).alias(f"mn_{p}")
+                )
+                aggs.append(
+                    F.max(F.when(cond, F.col("offset"))).alias(f"mx_{p}")
+                )
+            obs = Observation(f"cdc_batch_{batch_id}")
+            good, _quar = split_flagged(canon.observe(obs, *aggs))
+            stats = merge_into(
+                self.table,
+                good,
+                batch_id=batch_id,
+                expected_rows=offset_end - offset_start + 1,
+                max_offset=offset_end,
+            )
+            row = obs.get  # the merge write ran: observation is filled
+            events_in = int(row["rows_total"])
+            n_quarantined = int(row["bad"])
+            lineage_rows = [
+                {
+                    "source_part": p,
+                    "rows": int(row[f"rows_{p}"]),
+                    "offset_min": int(row[f"mn_{p}"]),
+                    "offset_max": int(row[f"mx_{p}"]),
+                }
+                for p in range(self.n_source_parts)
+                if int(row[f"rows_{p}"] or 0) > 0
+            ]
+            if self.quarantine_path and n_quarantined:
+                # error path only: one extra decode pass of this slice
+                _g, quarantine = split_flagged(normalize_flagged(raw))
+                quarantine.write.mode("append").parquet(self.quarantine_path)
+        else:
+            # ---- fallback: two jobs (unknown source-partition domain) ----
+            canon = canon.persist()
+            try:
+                good, quarantine = split_flagged(canon)
+                rows = (
+                    canon.groupBy("source_part")
+                    .agg(
+                        F.count(F.when(F.col("_ok"), 1)).alias("rows"),
+                        F.min(F.when(F.col("_ok"), F.col("offset"))).alias(
+                            "offset_min"
+                        ),
+                        F.max(F.when(F.col("_ok"), F.col("offset"))).alias(
+                            "offset_max"
+                        ),
+                        F.count(F.when(~F.col("_ok"), 1)).alias("bad"),
+                    )
+                    .collect()
+                )
+                events_in = sum(int(r["rows"]) for r in rows)
+                n_quarantined = sum(int(r["bad"]) for r in rows)
+                if self.quarantine_path and n_quarantined:
+                    quarantine.write.mode("append").parquet(
+                        self.quarantine_path
+                    )
+                stats = merge_into(
+                    self.table,
+                    good,
+                    batch_id=batch_id,
+                    expected_rows=events_in,
+                    max_offset=offset_end,
+                    batch_rows=events_in,
+                )
+                lineage_rows = sorted(
+                    (
+                        {
+                            "source_part": int(r["source_part"]),
+                            "rows": int(r["rows"]),
+                            "offset_min": int(r["offset_min"]),
+                            "offset_max": int(r["offset_max"]),
+                        }
+                        for r in rows
+                        if int(r["rows"]) > 0
+                    ),
+                    key=lambda d: d["source_part"],
+                )
+            finally:
+                canon.unpersist()
 
         record: dict[str, Any] = {
             "batch_id": batch_id,
@@ -141,26 +220,14 @@ class CdcPipeline:
             "offset_end": offset_end,
             "events_in": events_in,
             "quarantined": n_quarantined,
-            "after_dedup": stats["batch_rows"] if stats else 0,
-            "applied_rows": stats["batch_rows"] if stats else 0,
+            "after_dedup": events_in if stats else 0,
+            "applied_rows": events_in if stats else 0,
             "fenced": stats is None,
             "snapshot_version": (
                 stats["snapshot_version"] if stats else self.table.current().version
             ),
             "touched_buckets": stats["touched_buckets"] if stats else [],
-            "lineage": sorted(
-                (
-                    {
-                        "source_part": int(r["source_part"]),
-                        "rows": int(r["rows"]),
-                        "offset_min": int(r["offset_min"]),
-                        "offset_max": int(r["offset_max"]),
-                    }
-                    for r in lineage_rows
-                    if int(r["rows"]) > 0
-                ),
-                key=lambda d: d["source_part"],
-            ),
+            "lineage": lineage_rows,
         }
         self.checkpoints.commit(record)
         self.metrics.record(record)
@@ -184,20 +251,31 @@ class CdcPipeline:
         slice — both are pure functions of the range).
         """
         results = []
+        # AQE off for the apply loop: every shuffle otherwise becomes a
+        # separately-materialized query stage with a driver replan
+        # (~0.5s serial per batch). The loop's shapes are fully known
+        # (partition counts sized in session.py; skewed keys collapse
+        # in the merge's map-side partial agg), so AQE only adds
+        # latency here. Restored afterwards for ad-hoc queries.
+        saved_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         offset = self.checkpoints.next_offset()
         batch_id = self.checkpoints.next_batch_id()
-        while offset < total_events:
-            end = min(offset + batch_size - 1, total_events - 1)
-            if (
-                evolve_at_offset is not None
-                and evolved_columns is not None
-                and end >= evolve_at_offset
-            ):
-                self.table.evolve_schema_additive(evolved_columns)
-            raw = feed_for_range(offset, end)
-            results.append(self.apply_batch(raw, batch_id, offset, end))
-            offset = end + 1
-            batch_id += 1
+        try:
+            while offset < total_events:
+                end = min(offset + batch_size - 1, total_events - 1)
+                if (
+                    evolve_at_offset is not None
+                    and evolved_columns is not None
+                    and end >= evolve_at_offset
+                ):
+                    self.table.evolve_schema_additive(evolved_columns)
+                raw = feed_for_range(offset, end)
+                results.append(self.apply_batch(raw, batch_id, offset, end))
+                offset = end + 1
+                batch_id += 1
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
         return results
 
     def read_table(self) -> DataFrame:

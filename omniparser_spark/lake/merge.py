@@ -29,10 +29,10 @@ Idempotency is layered:
 
 Scale shape: the local implementation prunes the target to the buckets
 the batch touches (file-level pruning via the bucket partition
-transform), full-outer-joins *only those buckets* with the deduped
-batch, and rewrites only them (COW). The join key is also the bucket
-key, so both sides hash-partition on the same function; AQE picks
-broadcast for small micro-batches automatically.
+transform), unions *only those buckets* with the deduped batch and
+takes the per-key LWW winner with one map-side-combinable max_by
+aggregate (no sort-merge join, one shuffle), then rewrites only the
+touched buckets (COW), one data file per bucket.
 """
 
 from __future__ import annotations
@@ -80,12 +80,29 @@ def merge_into(
     batch: DataFrame,
     batch_id: int,
     keys: Sequence[str] = DEFAULT_KEYS,
+    expected_rows: int | None = None,
+    max_offset: int | None = None,
+    batch_rows: int | None = None,
 ) -> dict[str, Any] | None:
-    """Apply one LWW-deduped micro-batch. Returns merge stats, or None
-    if the batch was fenced off as already committed.
+    """Apply one micro-batch (need NOT be pre-deduped: the merge's
+    max_by aggregate picks the per-key LWW winner among all batch rows
+    AND the existing table row in one pass). Returns merge stats, or
+    None if the batch was fenced off as already committed.
 
     `batch` columns: keys + (offset, op) + any subset of the table's
     data columns (missing ones are NULL-filled — additive evolution).
+
+    `expected_rows` (event count or its upper bound, known from the
+    offset range / normalize pass) picks the pruning strategy without
+    an extra action: a batch much larger than n_buckets statistically
+    touches every bucket, so the exact distinct-buckets job is wasted
+    driver latency; rewriting a bucket the batch happens to miss is
+    still correct (its content is carried through the LWW union
+    unchanged). Small batches (streaming tail, skew) keep exact pruning.
+
+    `max_offset` / `batch_rows` are caller-known bookkeeping (offset
+    range bound, observed event count) — passed in rather than computed
+    with an extra action over the batch.
     """
     summary = table.summary()
     if batch_id <= int(summary.get("batch_id", -1)):
@@ -104,17 +121,18 @@ def merge_into(
         if f.name not in batch.columns and not f.name.startswith("_"):
             batch = batch.withColumn(f.name, F.lit(None).cast(f.dataType))
 
-    # persist: the deduped batch is consumed twice (stats aggregate +
-    # merge join) and its LWW shuffle must not recompute per action
-    batch = batch.withColumn("_bucket", bucket_expr(key_col, n_buckets)).persist()
+    batch = batch.withColumn("_bucket", bucket_expr(key_col, n_buckets))
 
-    # one driver action for bucket pruning + fence bookkeeping + count
-    stats_row = batch.agg(
-        F.collect_set("_bucket").alias("buckets"),
-        F.max("offset").alias("mx"),
-        F.count("*").alias("n"),
-    ).collect()[0]
-    touched = sorted(int(b) for b in (stats_row["buckets"] or []))
+    prune_exact = expected_rows is None or expected_rows < 64 * n_buckets
+    if prune_exact:
+        # batch consumed twice (bucket distinct + merge) — cache it
+        batch = batch.persist()
+        touched = sorted(
+            int(r["_bucket"])
+            for r in batch.select("_bucket").distinct().collect()
+        )
+    else:
+        touched = list(range(n_buckets))
     target = table.read(buckets=touched, include_hidden=True)
     if "_last_offset" not in target.columns:
         target = target.withColumn("_last_offset", F.lit(-1).cast("long"))
@@ -122,56 +140,50 @@ def merge_into(
     if "_deleted" not in target.columns:
         target = target.withColumn("_deleted", F.lit(False))
 
+    # MERGE as union + max_by aggregate: the fence "source wins iff
+    # (s.ts, s.offset) > (t.ts, t._last_offset)" is exactly the LWW
+    # winner under the total order (ts, _last_offset) with the target
+    # preferred at exact ties (equal = same event re-delivered -> no-op;
+    # idempotency at row granularity). One hash-shuffle with map-side
+    # combine, no sort — cheaper than a full-outer sort-merge join and
+    # identical semantics: per key there is at most one target row
+    # (table is key-unique) and one batch row (LWW-deduped upstream).
     t = target.select(
-        *[F.col(k).alias(f"_t_{k}") for k in keys],
-        *[F.col(c).alias(f"_t_{c}") for c in data_cols],
-        F.col("_last_offset").alias("_t_last_offset"),
-        F.col("_deleted").alias("_t_deleted"),
-    )
-    s = batch.select(
         *keys,
-        *[F.col(c).alias(f"_s_{c}") for c in data_cols],
-        F.col("offset").alias("_s_offset"),
-        F.col("op").alias("_s_op"),
-    )
-    cond = [s[k] == t[f"_t_{k}"] for k in keys]
-    j = s.join(t, cond, "full_outer")
-
-    matched = j[f"_t_{keys[0]}"].isNotNull() & j["_s_offset"].isNotNull()
-    s_only = j[f"_t_{keys[0]}"].isNull()
-    # LWW fence: the event wins iff it is strictly newer in the total
-    # order (ts, offset). Equal (ts, offset) = the same event
-    # re-delivered -> no-op (idempotency at row granularity).
-    fence_pass = F.struct(j["_s_ts"], j["_s_offset"]) > F.struct(
-        j["_t_ts"], j["_t_last_offset"]
-    )
-    is_delete = j["_s_op"] == "D"
-
-    take_source = (matched & fence_pass) | s_only
-
-    out_cols = []
-    for k in keys:
-        out_cols.append(
-            F.when(take_source, j[k]).otherwise(j[f"_t_{k}"]).alias(k)
-        )
-    for c in data_cols:
-        out_cols.append(
-            F.when(take_source, j[f"_s_{c}"]).otherwise(j[f"_t_{c}"]).alias(c)
-        )
-    out_cols.append(
-        F.when(take_source, j["_s_offset"])
-        .otherwise(j["_t_last_offset"])
-        .cast("long")
-        .alias("_last_offset")
+        *data_cols,
+        F.col("_last_offset"),
+        F.col("_deleted"),
+        F.lit(1).alias("_pref"),  # target wins exact (ts, offset) ties
     )
     # deletes become tombstones (hidden row, filtered on read) so that a
     # later-arriving *older* event for the same key cannot resurrect it
-    out_cols.append(
-        F.when(take_source, is_delete).otherwise(j["_t_deleted"]).alias("_deleted")
+    s = batch.select(
+        *keys,
+        *data_cols,
+        F.col("offset").cast("long").alias("_last_offset"),
+        (F.col("op") == "D").alias("_deleted"),
+        F.lit(0).alias("_pref"),
     )
-
-    merged = j.select(*out_cols)
-    merged = merged.withColumn("_bucket", bucket_expr(key_col, n_buckets))
+    u = t.unionByName(s)
+    payload = F.struct(*data_cols, "_last_offset", "_deleted")
+    order = F.struct(F.col("ts"), F.col("_last_offset"), F.col("_pref"))
+    merged = (
+        u.groupBy(*keys)
+        .agg(F.max_by(payload, order).alias("_w"))
+        .select(
+            *keys,
+            *[F.col(f"_w.{c}").alias(c) for c in data_cols],
+            F.col("_w._last_offset").alias("_last_offset"),
+            F.col("_w._deleted").alias("_deleted"),
+        )
+    )
+    # one data file per touched bucket: co-locate each bucket's rows in
+    # a single partition before partitionBy, else every reduce task
+    # writes a sliver into every bucket dir (tasks x buckets small
+    # files; measured 1024 files/commit at 32x32)
+    merged = merged.withColumn(
+        "_bucket", bucket_expr(key_col, n_buckets)
+    ).repartition(max(len(touched), 1), "_bucket")
 
     try:
         snap = table.commit(
@@ -181,15 +193,16 @@ def merge_into(
                 "batch_id": batch_id,
                 "max_offset_applied": max(
                     int(summary.get("max_offset_applied", -1)),
-                    int(stats_row["mx"] if stats_row["mx"] is not None else -1),
+                    int(max_offset if max_offset is not None else -1),
                 ),
             },
         )
     finally:
-        batch.unpersist()
+        if prune_exact:
+            batch.unpersist()
     return {
         "batch_id": batch_id,
         "snapshot_version": snap.version,
         "touched_buckets": touched,
-        "batch_rows": int(stats_row["n"]),
+        "batch_rows": batch_rows,
     }

@@ -110,6 +110,16 @@ _DECODERS = {
 }
 
 
+def register_format(name: str, decoder) -> None:
+    """Custom file-format plug-in (reference ``FileFormat``/``FormatReader``
+    interfaces, fileformat/fileformat.go:12-41; sample plug-in
+    ``samples/customfileformats/jsonlog``): a decoder is any callable
+    ``payload: Column -> Column`` producing the TURN_FIELDS struct.
+    Registered formats participate in the same per-format dispatch as
+    the built-ins — one filtered branch, unioned, zero shuffles."""
+    _DECODERS[name] = decoder
+
+
 def decode_payload(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Attach a decoded `turn` struct column via per-format dispatch.
 

