@@ -31,7 +31,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_one(cpus: int, n_events: int, feed_dir: str, work_dir: str) -> None:
+def run_one(
+    cpus: int, n_events: int, feed_dir: str, work_dir: str, trials: int
+) -> None:
     from pyspark.sql import functions as F
 
     from omniparser_spark.cdc.pipeline import CdcPipeline
@@ -43,34 +45,46 @@ def run_one(cpus: int, n_events: int, feed_dir: str, work_dir: str) -> None:
         shuffle_partitions=max(2 * cpus, 8),
     )
     feed = spark.read.parquet(feed_dir)
-    pipe = CdcPipeline(
-        spark, f"{work_dir}/table", f"{work_dir}/ckpt", n_buckets=max(cpus, 16),
-        n_source_parts=8,
-    )
 
     def feed_for_range(start: int, end: int):
         return feed.filter((F.col("offset") >= start) & (F.col("offset") <= end))
 
     # warm the JVM/codegen path outside the timed window with a small
-    # full-pipeline run on a scratch table (steady-state measurement)
+    # full-pipeline run on a scratch table (steady-state measurement:
+    # the deployment target is a long-lived tail daemon, not a cold JVM)
     warm = CdcPipeline(
         spark, f"{work_dir}/warm_table", f"{work_dir}/warm_ckpt", n_buckets=8,
         n_source_parts=8,
     )
     warm.run(feed_for_range, min(4000, n_events), batch_size=2000)
 
-    t0 = time.time()
-    pipe.run(feed_for_range, n_events, batch_size=max(n_events // 4, 1))
-    secs = time.time() - t0
-    n_applied = pipe.read_table().count()
+    trial_secs = []
+    final_rows = None
+    for t in range(max(trials, 1)):
+        shutil.rmtree(f"{work_dir}/table_{t}", ignore_errors=True)
+        pipe = CdcPipeline(
+            spark,
+            f"{work_dir}/table_{t}",
+            f"{work_dir}/ckpt_{t}",
+            n_buckets=max(cpus, 16),
+            n_source_parts=8,
+        )
+        t0 = time.time()
+        pipe.run(feed_for_range, n_events, batch_size=max(n_events // 4, 1))
+        trial_secs.append(round(time.time() - t0, 3))
+        final_rows = pipe.read_table().count()
+        shutil.rmtree(f"{work_dir}/table_{t}", ignore_errors=True)
+        shutil.rmtree(f"{work_dir}/ckpt_{t}", ignore_errors=True)
+    secs = min(trial_secs)
     print(
         json.dumps(
             {
                 "cpus": cpus,
                 "events": n_events,
-                "secs": round(secs, 3),
+                "secs": secs,
                 "events_per_sec": round(n_events / secs, 1),
-                "final_rows": n_applied,
+                "final_rows": final_rows,
+                "trial_secs": trial_secs,
             }
         )
     )
@@ -88,7 +102,9 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.run_one is not None:
-        run_one(args.run_one, args.events, args.feed_dir, args.work_dir)
+        run_one(
+            args.run_one, args.events, args.feed_dir, args.work_dir, args.trials
+        )
         return
 
     levels = [int(c) for c in args.cpus.split(",")]
@@ -110,35 +126,32 @@ def main() -> None:
 
         results = []
         for cpus in levels:
-            trials = []
-            for t in range(args.trials):
-                work = f"{tmp}/work_{cpus}_{t}"
-                out = subprocess.run(
-                    [
-                        sys.executable,
-                        os.path.abspath(__file__),
-                        "--run-one",
-                        str(cpus),
-                        "--events",
-                        str(args.events),
-                        "--feed-dir",
-                        f"{tmp}/feed",
-                        "--work-dir",
-                        work,
-                    ],
-                    capture_output=True,
-                    text=True,
-                    cwd=REPO,
-                )
-                line = [l for l in out.stdout.splitlines() if l.startswith("{")]
-                if not line:
-                    sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
-                    raise SystemExit(f"scaling run at local[{cpus}] failed")
-                trials.append(json.loads(line[-1]))
-                shutil.rmtree(work, ignore_errors=True)
-            best = min(trials, key=lambda r: r["secs"])
-            best["trial_secs"] = [r["secs"] for r in trials]
-            results.append(best)
+            work = f"{tmp}/work_{cpus}"
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--run-one",
+                    str(cpus),
+                    "--events",
+                    str(args.events),
+                    "--trials",
+                    str(args.trials),
+                    "--feed-dir",
+                    f"{tmp}/feed",
+                    "--work-dir",
+                    work,
+                ],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not line:
+                sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+                raise SystemExit(f"scaling run at local[{cpus}] failed")
+            results.append(json.loads(line[-1]))
+            shutil.rmtree(work, ignore_errors=True)
 
         summary = {"metric": "cdc apply scaling efficiency", "levels": results}
         if len(results) >= 2:
