@@ -614,6 +614,120 @@ def _func_dt(spark, sf_dir):
     )
 
 
+@_q(
+    "func_tz_convert",
+    """
+    SELECT event_id,
+           strftime(timezone('America/New_York', timezone('UTC', ts)),
+                    '%Y-%m-%dT%H:%M:%S') AS ny_local,
+           strftime(timezone('Asia/Tokyo', timezone('UTC', ts)),
+                    '%Y-%m-%dT%H:%M:%S') AS tokyo_local
+    FROM events
+    """,
+)
+def _func_tz(spark, sf_dir):
+    """Timezone-aware datetime conversion (C7/C8 fromTZ/toTZ binding,
+    reference customfuncs/datetime.go:32-114): IANA-zone conversion as
+    pure column expressions; both engines resolve DST through the same
+    tz database."""
+    ev = _t(spark, sf_dir, "events")
+    t = F.col("ts").cast("timestamp")
+    return ev.select(
+        "event_id",
+        F.date_format(
+            F.from_utc_timestamp(t, "America/New_York"),
+            "yyyy-MM-dd'T'HH:mm:ss",
+        ).alias("ny_local"),
+        F.date_format(
+            F.from_utc_timestamp(t, "Asia/Tokyo"), "yyyy-MM-dd'T'HH:mm:ss"
+        ).alias("tokyo_local"),
+    )
+
+
+@_q(
+    "decode_json_nested",
+    """
+    WITH enc AS (
+      SELECT user_id AS conv_no,
+             '{"conv":"c' || user_id || '","turns":[' ||
+             string_agg('{"i":' || (event_id % 7) || ',"r":"' || event_type
+                        || '"}', ',' ORDER BY event_id) || ']}' AS payload,
+             count(*) AS n_turns
+      FROM events
+      WHERE event_id % 5 = 0
+      GROUP BY user_id
+    )
+    SELECT conv_no,
+           json_extract_string(payload, '$.conv') AS conv,
+           n_turns::INT AS n_turns,
+           t.i::INT AS turn_i,
+           t.r AS turn_role
+    FROM enc,
+         LATERAL unnest(
+           from_json(json_extract(payload, '$.turns'),
+                     '[{"i": "INTEGER", "r": "VARCHAR"}]')
+         ) AS u(t)
+    """,
+)
+def _dec_json_nested(spark, sf_dir):
+    """Hierarchical JSON decode (S6 + H1): one payload carries a whole
+    conversation; from_json with a nested array schema, then explode
+    into per-turn rows (the columnar form of the reference's
+    stream-xpath record roots, idr/jsonreader.go:211-262)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    enc = (
+        ev.groupBy(F.col("user_id").alias("conv_no"))
+        .agg(
+            F.concat(
+                F.lit('{"conv":"c'),
+                F.col("user_id").cast("string"),
+                F.lit('","turns":['),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("event_id"), F.col("event_type")
+                                )
+                            )
+                        ),
+                        lambda s: F.concat(
+                            F.lit('{"i":'),
+                            (s.getField("event_id") % 7).cast("string"),
+                            F.lit(',"r":"'),
+                            s.getField("event_type"),
+                            F.lit('"}'),
+                        ),
+                    ),
+                    ",",
+                ),
+                F.lit("]}"),
+            ).alias("payload"),
+            F.count("*").cast("int").alias("n_turns"),
+        )
+    )
+    parsed = F.from_json(
+        F.col("payload"),
+        "struct<conv:string, turns:array<struct<i:int, r:string>>>",
+    )
+    return (
+        enc.withColumn("p", parsed)
+        .select(
+            "conv_no",
+            F.col("p.conv").alias("conv"),
+            "n_turns",
+            F.explode("p.turns").alias("t"),
+        )
+        .select(
+            "conv_no",
+            "conv",
+            "n_turns",
+            F.col("t.i").alias("turn_i"),
+            F.col("t.r").alias("turn_role"),
+        )
+    )
+
+
 # ------------------------------------------------------------- OLAP anchors
 
 @_q(

@@ -60,6 +60,7 @@ class CdcPipeline:
         with_tool_column: bool = True,
         quarantine_path: str | None = None,
         n_source_parts: int | None = None,
+        expire_keep_last: int | None = 2,
     ):
         """`n_source_parts`: size of the source-partition domain (e.g.
         Kafka partition count — always known for a real binlog tail).
@@ -80,6 +81,7 @@ class CdcPipeline:
         self.metrics = MetricsLog()
         self.quarantine_path = quarantine_path
         self.n_source_parts = n_source_parts
+        self.expire_keep_last = expire_keep_last
 
     # ---------- single micro-batch ----------
 
@@ -231,6 +233,10 @@ class CdcPipeline:
         }
         self.checkpoints.commit(record)
         self.metrics.record(record)
+        if self.expire_keep_last is not None and stats is not None:
+            # COW merges rewrite touched buckets each commit; expiry
+            # keeps on-disk size O(table), not O(table x batches)
+            self.table.expire_snapshots(keep_last=self.expire_keep_last)
         return record
 
     # ---------- the resumable loop ----------

@@ -273,6 +273,62 @@ class LakeTable:
         self._write_snapshot(snap)
         return snap
 
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Iceberg-style snapshot expiry: drop metadata older than the
+        last `keep_last` snapshots and delete data directories no
+        longer referenced by any kept snapshot. COW merges rewrite
+        touched buckets every commit, so without expiry a long-running
+        tail retains every historical copy of the table. Returns the
+        number of data directories removed.
+
+        Single-writer: safe to run between commits (readers in this
+        engine resolve the snapshot at read time on the same driver).
+        """
+        import shutil
+
+        snaps = self.history()  # newest first
+        keep, drop = snaps[:keep_last], snaps[keep_last:]
+        if not drop:
+            return 0
+        referenced = {d for s in keep for d in s.bucket_dirs.values()}
+        removed = 0
+        roots: set[str] = set()
+        for s in drop:
+            for d in s.bucket_dirs.values():
+                roots.add(os.path.dirname(d))
+                if d not in referenced:
+                    path = os.path.join(self.path, d)
+                    if os.path.isdir(path):
+                        shutil.rmtree(path, ignore_errors=True)
+                        removed += 1
+                    referenced.add(d)  # only attempt once
+            meta = os.path.join(self._meta_dir, f"v{s.version}.metadata.json")
+            if os.path.exists(meta):
+                os.remove(meta)
+        # drop snapshot root dirs that hold no bucket data anymore
+        # (only _SUCCESS markers left after the bucket dirs went)
+        kept_roots = {
+            os.path.dirname(d) for s in keep for d in s.bucket_dirs.values()
+        }
+        for root in roots:
+            if root in kept_roots:
+                continue
+            path = os.path.join(self.path, root)
+            if os.path.isdir(path) and not any(
+                e.startswith("_bucket=") for e in os.listdir(path)
+            ):
+                shutil.rmtree(path, ignore_errors=True)
+        # re-link the oldest kept snapshot as the history root
+        oldest = keep[-1]
+        if oldest.parent_version is not None:
+            oldest.parent_version = None
+            meta_path = os.path.join(
+                self._meta_dir, f"v{oldest.version}.metadata.json"
+            )
+            with open(meta_path, "w") as f:
+                f.write(oldest.to_json())
+        return removed
+
     def evolve_schema_additive(self, new_cols: T.StructType) -> None:
         """ALTER TABLE ADD COLUMNS — metadata-only, no data rewrite."""
         prev = self.current()

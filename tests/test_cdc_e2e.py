@@ -246,3 +246,53 @@ def test_fast_and_fallback_paths_agree(spark, feed_df, tmp_path, feed_events):
         assert fr["lineage"] == sr["lineage"]
         assert fr["events_in"] == sr["events_in"]
         assert fr["quarantined"] == sr["quarantined"]
+
+
+def test_snapshot_expiry_bounds_disk(spark, feed_df, tmp_path, feed_events):
+    """COW rewrites every touched bucket per commit; expiry must keep
+    on-disk data O(current table), and reads must stay correct."""
+    import os
+
+    p = _run_pipeline(spark, feed_df, tmp_path, batch_size=300, name="exp")
+    data_dir = os.path.join(str(tmp_path / "exp_table"), "data")
+    snap_dirs = [d for d in os.listdir(data_dir) if d.startswith("snap-")]
+    kept = {
+        d.split(os.sep)[-1]
+        for s in p.table.history()
+        for d in s.bucket_dirs.values()
+    }
+    kept_roots = {d.split("/")[1] for s in p.table.history()
+                  for d in s.bucket_dirs.values()}
+    # every surviving snap dir must be referenced by a kept snapshot
+    assert set(snap_dirs) <= kept_roots
+    # at most keep_last snapshots' worth of data roots remain
+    assert len(snap_dirs) <= 2
+    assert _spark_rows(p.read_table()) == sorted(_oracle_rows(feed_events))
+
+
+def test_hot_key_skew_replay(spark, tmp_path_factory, tmp_path):
+    """Zipf-extreme feed: half of all events hit ONE conversation. The
+    map-side-combinable merge aggregate must stay correct (and not
+    OOM/spill-stall) under key skew — final state equals the oracle."""
+    skew_spec = FeedSpec(
+        n_events=2000, n_convs=30, turns_per_conv=10, seed=11,
+        n_hot=1, hot_frac=0.5,
+    )
+    path = str(tmp_path_factory.mktemp("skewfeed") / "changes")
+    fdf = materialize_feed(spark, skew_spec, path)
+    events = [r.asDict() for r in fdf.collect()]
+    p = CdcPipeline(
+        spark,
+        str(tmp_path / "skew_table"),
+        str(tmp_path / "skew_ckpt"),
+        n_buckets=8,
+        n_source_parts=skew_spec.n_source_parts,
+    )
+    p.run(_feed_for_range(fdf), skew_spec.n_events, batch_size=500)
+    expected = [
+        (c, t, role, text, tool, int(ts.timestamp() * 1_000_000))
+        for (c, t, role, text, tool, ts) in oracle.final_rows(
+            events, with_tool=True
+        )
+    ]
+    assert _spark_rows(p.read_table()) == sorted(expected)
