@@ -1861,6 +1861,31 @@ def _decode_plugin(spark, sf_dir):
 
 
 @_q(
+    "decode_charset_bom",
+    """
+    SELECT doc_id, text AS decoded_utf8, source AS decoded_latin1
+    FROM documents
+    """,
+)
+def _dec_charset(spark, sf_dir):
+    """Charset decode + BOM strip (reference header/header.go:14-42:
+    utf-8 / iso-8859-1 input decoding with BOM removal). The engine
+    round-trips real bytes — UTF-8 with a BOM prefix, and ISO-8859-1 —
+    back to the oracle's plain strings."""
+    d = _t(spark, sf_dir, "documents")
+    bom_blob = F.concat(
+        F.to_binary(F.lit("EFBBBF"), F.lit("hex")), F.encode("text", "UTF-8")
+    )
+    utf8 = F.regexp_replace(F.decode(bom_blob, "UTF-8"), "^﻿", "")
+    latin1 = F.decode(F.encode(F.col("source"), "ISO-8859-1"), "ISO-8859-1")
+    return d.select(
+        "doc_id",
+        utf8.alias("decoded_utf8"),
+        latin1.alias("decoded_latin1"),
+    )
+
+
+@_q(
     "spec_pandas_udf",
     """
     SELECT doc_id,

@@ -100,7 +100,11 @@ def main() -> None:
         "topk_per_group",
         "sessionize_events",
         "text_fingerprint",
+        "text_language_id",
         "minhash_signature",
+        "simhash_signature",
+        "spec_transform",
+        "decode_custom_plugin",
         "cosine_topk_bruteforce",
     ]
     qs = entrymod.queries()

@@ -1,0 +1,109 @@
+"""Physical-plan regression tests: the properties that make the engine
+scale must be visible in the plan, not just implied by the code.
+
+- offset-range + format predicates reach the parquet scan (Catalyst
+  pushdown -> row-group pruning on a 10^10-event feed);
+- the merge aggregate has a map-side partial phase (hot conversations
+  collapse per input partition BEFORE the shuffle — the primary skew
+  mitigation);
+- the LWW operator family likewise partial-aggregates.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from omniparser_spark.sources.changefeed import FeedSpec, materialize_feed
+
+
+@pytest.fixture(scope="module")
+def feed(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("planfeed") / "changes")
+    return materialize_feed(
+        spark, FeedSpec(n_events=2000, n_convs=50, seed=3), path
+    )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_offset_and_format_predicates_push_to_scan(spark, feed):
+    from omniparser_spark.operators.normalize import normalize_flagged
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        raw = feed.filter((F.col("offset") >= 100) & (F.col("offset") <= 900))
+        plan = _plan(normalize_flagged(raw))
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(offset,100)" in plan
+        assert "LessThanOrEqual(offset,900)" in plan
+        # per-format dispatch branches each push their format equality
+        assert "EqualTo(format,json)" in plan
+        assert "EqualTo(format,fixed)" in plan
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+
+
+def test_merge_aggregate_is_map_side_combinable(spark, feed, tmp_path):
+    """The MERGE's LWW winner must partial-aggregate before the
+    shuffle; a plan that ships every raw event of a hot key to one
+    reducer does not survive skew at 10^10 events."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.operators.normalize import (
+        normalize_flagged,
+        split_flagged,
+    )
+
+    pipe = CdcPipeline(
+        spark,
+        str(tmp_path / "plan_table"),
+        str(tmp_path / "plan_ckpt"),
+        n_buckets=4,
+        n_source_parts=8,
+    )
+    # drive one real batch, then inspect the plan the merge would build
+    raw = feed.filter((F.col("offset") >= 0) & (F.col("offset") <= 999))
+    pipe.apply_batch(raw, batch_id=0, offset_start=0, offset_end=999)
+
+    good, _ = split_flagged(normalize_flagged(raw))
+    from omniparser_spark.lake.merge import bucket_expr
+
+    target = pipe.table.read(include_hidden=True)
+    t = target.select(
+        "conv_id", "turn_idx", "ts", "_last_offset", "_deleted"
+    )
+    s = good.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.col("offset").alias("_last_offset"),
+        (F.col("op") == "D").alias("_deleted"),
+    )
+    merged = (
+        t.unionByName(s)
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.max_by(
+                F.struct("ts", "_last_offset", "_deleted"),
+                F.struct("ts", "_last_offset"),
+            ).alias("w")
+        )
+    )
+    plan = _plan(merged)
+    assert "partial_max_by" in plan or "partial_maxby" in plan.lower(), plan
+
+
+def test_lww_dedup_partial_aggregates(spark, feed):
+    from omniparser_spark.operators.dedup import lww_dedup
+    from omniparser_spark.operators.normalize import (
+        normalize_flagged,
+        split_flagged,
+    )
+
+    good, _ = split_flagged(normalize_flagged(feed))
+    plan = _plan(lww_dedup(good, keys=("conv_id", "turn_idx")))
+    assert "partial_max_by" in plan or "partial_maxby" in plan.lower(), plan
