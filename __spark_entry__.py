@@ -1648,6 +1648,59 @@ def _embed_near_dups(spark, sf_dir):
     )
 
 
+@_q(
+    "ivf_topk_ann",
+    """
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx,
+             embedding::DOUBLE[] AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, c_idx,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY list_dot_product(v, cvec) DESC, c_idx ASC) AS rn
+      FROM corp CROSS JOIN cent
+    ),
+    corpus_lists AS (SELECT vec_id, v, c_idx AS list_id FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    qassign AS (
+      SELECT query_id, qv, c_idx,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_dot_product(qv, cvec) DESC, c_idx ASC) AS rn
+      FROM q CROSS JOIN cent
+    ),
+    probes AS (SELECT query_id, qv, c_idx AS list_id FROM qassign WHERE rn <= 4),
+    cand AS (
+      SELECT p.query_id, c.vec_id,
+             round(list_dot_product(c.v, p.qv) /
+                   (sqrt(list_dot_product(c.v, c.v)) *
+                    sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos_sim
+      FROM probes p JOIN corpus_lists c ON p.list_id = c.list_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM cand
+    ) WHERE rank <= 10
+    """,
+)
+def _ivf(spark, sf_dir):
+    """IVF-style ANN (coarse quantizer lists + probe + exact re-rank,
+    operators/similarity.py ivf_topk) — the oracle rebuilds the exact
+    same deterministic index declaratively, so list assignment AND
+    ranked results must match."""
+    from omniparser_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(e, q, k=10, n_lists=16, n_probe=4)
+
+
 @_q("lsh_topk_ann")  # approximate ANN: rows-only check; recall vs brute
 def _ann(spark, sf_dir):  # force is asserted in tests/test_operators.py
     """Approximate top-k neighbors: multiprobe hyperplane LSH buckets ->
