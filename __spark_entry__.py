@@ -1133,9 +1133,7 @@ _CDC_FEED_SQL = """
 """
 
 
-@_q(
-    "cdc_replay_final_state",
-    f"""
+_CDC_FINAL_STATE_SQL = f"""
     WITH feed AS (
 {_CDC_FEED_SQL}
     ),
@@ -1147,8 +1145,10 @@ _CDC_FEED_SQL = """
     )
     SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
     FROM ranked WHERE rn = 1 AND op <> 'D'
-    """,
-)
+    """
+
+
+@_q("cdc_replay_final_state", _CDC_FINAL_STATE_SQL)
 def _cdc_replay(spark, sf_dir):
     """Full CDC apply vs declarative oracle: the engine encodes each
     change as a json/csv/xmlish/fixed payload, replays 4 micro-batches
@@ -1251,7 +1251,7 @@ _SPEC_UUID3_SQL = (
              'sf-test' AS src,
              'order-' || (CASE WHEN o_orderstatus <> '' THEN o_orderstatus
                                ELSE 'unknown' END) AS label,
-             [upper(o_orderstatus), 'BULK'] AS tags,
+             upper(o_orderstatus) || ',BULK' AS tags,
              md5(repeat(chr(0), 16) ||
                  CASE WHEN o_orderstatus <> '' THEN o_orderstatus
                       ELSE 'unknown' END) AS hx
@@ -1326,9 +1326,12 @@ def _spec_transform(spark, sf_dir):
             F.array(F.col("o_orderstatus"), F.lit("bulk")).alias("tags"),
         ).alias("rec")
     )
-    return apply_spec(
+    out = apply_spec(
         anchored, spec, "rec", externals={"source_system": "sf-test"}
     )
+    # the driver's pandas canonicalizer can't hash raw array cells —
+    # serialize the array column for the compare (values unchanged)
+    return out.withColumn("tags", F.array_join("tags", ","))
 
 
 # ------------------------------------------------------ hierarchical assembly
@@ -1701,10 +1704,79 @@ def _ivf(spark, sf_dir):
     return ivf_topk(e, q, k=10, n_lists=16, n_probe=4)
 
 
-@_q("lsh_topk_ann")  # approximate ANN: rows-only check; recall vs brute
-def _ann(spark, sf_dir):  # force is asserted in tests/test_operators.py
+def _lsh_ann_oracle_sql(
+    dim: int = 64, n_bits: int = 12, n_tables: int = 4, k: int = 10
+) -> str:
+    """Rebuild lsh_topk's md5-derived hyperplanes + multiprobe buckets
+    declaratively: signature per table = sum of sign-test bits; probe
+    masks = {0} ∪ {1<<b} (Hamming-1 multiprobe on the query side only),
+    candidates = any-table bucket collision, exact cosine re-rank."""
+
+    def sig_expr(vcol: str, t: int) -> str:
+        bits = []
+        for b in range(n_bits):
+            plane = ", ".join(
+                repr(_hyperplane_comp(1000 + t, b, j)) for j in range(dim)
+            )
+            bits.append(
+                f"(CASE WHEN list_dot_product({vcol}, [{plane}]) >= 0"
+                f" THEN {1 << b} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    cb = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {t} AS table_idx,"
+        f" ({sig_expr('v', t)})::BIGINT AS bucket FROM corp"
+        for t in range(n_tables)
+    )
+    qs = "\n      UNION ALL\n".join(
+        f"      SELECT query_id, {t} AS table_idx,"
+        f" ({sig_expr('qv', t)})::BIGINT AS sig FROM q"
+        for t in range(n_tables)
+    )
+    masks = ", ".join(str(m) for m in [0] + [1 << b for b in range(n_bits)])
+    return f"""
+    WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    cb AS (
+{cb}
+    ),
+    qs AS (
+{qs}
+    ),
+    qb AS (
+      SELECT query_id, table_idx, xor(sig, m.mask) AS bucket
+      FROM qs CROSS JOIN (SELECT unnest([{masks}]) AS mask) m
+    ),
+    cand AS (
+      SELECT DISTINCT qb.query_id, cb.vec_id
+      FROM cb JOIN qb ON cb.table_idx = qb.table_idx AND cb.bucket = qb.bucket
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             round(list_dot_product(x.v, y.qv) /
+                   (sqrt(list_dot_product(x.v, x.v)) *
+                    sqrt(list_dot_product(y.qv, y.qv))), 6) AS cos_sim
+      FROM cand c
+      JOIN corp x ON c.vec_id = x.vec_id
+      JOIN q y ON c.query_id = y.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@_q("lsh_topk_ann", _lsh_ann_oracle_sql(64, 12, 4, 10))
+def _ann(spark, sf_dir):  # recall vs brute force asserted in tests/test_operators.py
     """Approximate top-k neighbors: multiprobe hyperplane LSH buckets ->
-    exact re-rank of candidates only (operators/similarity.py lsh_topk)."""
+    exact re-rank of candidates only (operators/similarity.py lsh_topk).
+    The oracle bakes the identical md5-derived hyperplanes + Hamming-1
+    probe masks as SQL, so buckets, candidates AND ranked results must
+    match exactly."""
     from omniparser_spark.operators.similarity import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -2021,27 +2093,35 @@ def _stopword_ratio(spark, sf_dir):
 
 # ------------------------------------------------------------- streaming
 
-@_q("cdc_streaming_apply")  # stateful streaming: rows-only check by design
+@_q("cdc_streaming_apply", _CDC_FINAL_STATE_SQL)
 def _streaming(spark, sf_dir):
     """Structured Streaming front-end: file-source readStream ->
     foreachBatch -> the same exactly-once apply path (streaming/
-    stream.py). Final state convergence vs the batch path is asserted
-    in tests/test_cdc_e2e.py; here the driver checks schema + rows."""
+    stream.py). The feed is the same deterministic events-derived
+    change stream as `cdc_replay_final_state`, so the streaming path's
+    final table state is oracle-hashed against the identical global
+    LWW replay SQL — epoch boundaries differ from the batch path, but
+    final state is slice-invariant by construction (row fence on
+    (ts, offset))."""
     from omniparser_spark.cdc.pipeline import CdcPipeline
-    from omniparser_spark.sources.changefeed import FeedSpec, generate_changes
+    from omniparser_spark.sources.changefeed import FeedSpec, encode_payload
     from omniparser_spark.streaming.stream import run_streaming_apply
 
-    spec = FeedSpec(n_events=1200, n_convs=40, seed=7)
-    tmp = tempfile.mkdtemp(prefix="omniparser_spark_stream_")
-    generate_changes(spark, spec, num_partitions=8).write.mode(
-        "overwrite"
-    ).parquet(f"{tmp}/feed")
-    pipe = CdcPipeline(
-        spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8,
-        n_source_parts=spec.n_source_parts,
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev)
+    feed = encode_payload(fields, FeedSpec(n_events=1, evolution_frac=0.0)).select(
+        "offset", "op", "format", "payload", "ts", "source_part"
     )
-    run_streaming_apply(pipe, f"{tmp}/feed", max_files_per_trigger=4)
-    return pipe.read_table().orderBy("conv_id", "turn_idx")
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_stream_")
+    # 8 files @ maxFilesPerTrigger=3 -> 3 streaming epochs
+    feed.repartition(8).write.mode("overwrite").parquet(f"{tmp}/feed")
+    pipe = CdcPipeline(
+        spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8, n_source_parts=8
+    )
+    run_streaming_apply(pipe, f"{tmp}/feed", max_files_per_trigger=3)
+    return pipe.read_table().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _us("ts").alias("ts_us")
+    )
 
 
 # --------------------------------------------------------------------------
