@@ -364,6 +364,119 @@ def _dec_edi(spark, sf_dir):
     )
 
 
+@_q(
+    "decode_edi_escaped",
+    """
+    SELECT event_id,
+           event_type || ' a*b:c^d~e?f ' || event_id AS dec_note,
+           'X:Y' AS dec_fixed,
+           md5(event_id::VARCHAR) AS dec_rep,
+           'z' AS dec_rep2,
+           event_type AS dec_ref
+    FROM events
+    """,
+)
+def _dec_edi_escaped(spark, sf_dir):
+    """EDI with release (escape) char + component/repetition
+    delimiters (reference fileformat/edi/reader2.go:109-253, X12 '?'
+    release): data containing every delimiter is escaped at encode,
+    decoded via the sentinel mask->split->restore pipeline
+    (sources/edi.py), and must round-trip exactly. The oracle states
+    the expected plaintext directly — any mis-split corrupts dec_note
+    and the hash."""
+    from omniparser_spark.sources.edi import edi_element, edi_tree
+
+    ev = _t(spark, sf_dir, "events")
+    off = F.col("event_id")
+    # raw value carrying ALL delimiters + the release char itself
+    v = F.concat(
+        F.col("event_type"), F.lit(" a*b:c^d~e?f "), off.cast("string")
+    )
+    esc = v
+    for ch in ["?", "~", "*", "^", ":"]:  # release char FIRST
+        esc = F.replace(esc, F.lit(ch), F.lit("?" + ch))
+    payload = F.concat(
+        F.lit("NTE*"),
+        esc,
+        F.lit("*X?:Y*r1^"),
+        F.md5(off.cast("string")),
+        F.lit(":z~REF*"),
+        F.col("event_type"),
+        F.lit("~"),
+    )
+    tree = edi_tree(payload)
+    return ev.select(
+        "event_id",
+        edi_element(tree, "NTE", 1).alias("dec_note"),
+        edi_element(tree, "NTE", 2).alias("dec_fixed"),
+        edi_element(tree, "NTE", 3, rep_idx=1, comp_idx=0).alias("dec_rep"),
+        edi_element(tree, "NTE", 3, rep_idx=1, comp_idx=1).alias("dec_rep2"),
+        edi_element(tree, "REF", 1).alias("dec_ref"),
+    )
+
+
+@_q(
+    "decode_xmlish_ns",
+    """
+    SELECT event_id,
+           event_id AS dec_id,
+           event_type AS dec_type,
+           round(value::DOUBLE, 6) AS dec_value,
+           'ns' AS ns_prefix,
+           'urn:graft/' || (event_id % 7) AS ns_uri
+    FROM events
+    """,
+)
+def _dec_xml_ns(spark, sf_dir):
+    """XML with namespace prefixes (reference idr/xmlreader.go:142-152
+    prefix resolution, idr/xmlnode.go XMLSpecific): prefixed payloads
+    decode by local name via the strip pass, and the prefix->URI
+    binding is surfaced as columns — the XMLSpecific equivalent."""
+    from pyspark.sql import types as T
+
+    from omniparser_spark.sources.decoders import (
+        xml_namespace_map,
+        xml_root_prefix,
+        xml_strip_namespaces,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    enc = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('<ns:e xmlns:ns="urn:graft/'),
+            (F.col("event_id") % 7).cast("string"),
+            F.lit('" ns:id="'),
+            F.col("event_id").cast("string"),
+            F.lit('"><ns:t>'),
+            F.col("event_type"),
+            F.lit("</ns:t><ns:v>"),
+            F.col("value").cast("string"),
+            F.lit("</ns:v></ns:e>"),
+        ).alias("payload"),
+    )
+    xml_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), True),
+            T.StructField("t", T.StringType(), True),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    parsed = F.from_xml(
+        xml_strip_namespaces(F.col("payload")), xml_schema,
+        {"attributePrefix": "_"},
+    )
+    prefix = xml_root_prefix(F.col("payload"))
+    return enc.select(
+        "event_id",
+        parsed.getField("_id").alias("dec_id"),
+        parsed.getField("t").alias("dec_type"),
+        F.round(parsed.getField("v"), 6).alias("dec_value"),
+        prefix.alias("ns_prefix"),
+        xml_namespace_map(F.col("payload"))[prefix].alias("ns_uri"),
+    )
+
+
 # ------------------------------------------------- filter / project / guard
 
 @_q(
@@ -1040,6 +1153,64 @@ def _ngram_jac(spark, sf_dir):
     return ngram_jaccard_pairs(d, k=3, threshold=0.5)
 
 
+@_q(
+    "ngram_jaccard_capped",
+    """
+    WITH base AS (
+      SELECT doc_id, list_distinct(ngrams) AS sh
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= 3 THEN
+                 list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+               ELSE [array_to_string(ws, ' ')] END AS ngrams
+        FROM (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS ws
+          FROM documents WHERE length(trim(text)) > 0
+        )
+      )
+    ),
+    inv0 AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+    freq AS (SELECT shingle, count(*) AS dfc FROM inv0 GROUP BY 1),
+    invc AS (
+      SELECT i.doc_id, i.shingle
+      FROM inv0 i JOIN freq f ON i.shingle = f.shingle AND f.dfc <= 5
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM invc GROUP BY 1),
+    inv AS (
+      SELECT i.doc_id, s.n_sh, i.shingle
+      FROM invc i JOIN sizes s ON i.doc_id = s.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS n_inter,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM inv a JOIN inv b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (n_a + n_b - n_inter), 6) AS jaccard
+    FROM inter
+    WHERE n_inter / (n_a + n_b - n_inter) >= 0.5
+    """,
+)
+def _ngram_jac_capped(spark, sf_dir):
+    """n-gram Jaccard with the shingle document-frequency cap — the
+    100 TB shape: a boilerplate shingle shared by 10^6 docs would
+    otherwise create 10^12 self-join rows; df>5 shingles are dropped
+    from the universe before the join (the oracle applies the same
+    cap). Bounded-candidates guarantee under a pathological fixture is
+    asserted in tests/test_operators.py."""
+    from omniparser_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, k=3, threshold=0.5, max_df=5)
+
+
 # ----------------------------------------------------------- similarity
 
 @_q(
@@ -1443,6 +1614,166 @@ def _assembly_payload(spark, sf_dir):
         F.element_at(F.element_at("details", 1), 3).alias("d1"),
         F.element_at(F.element_at("details", 2), 3).alias("d2"),
     )
+
+
+@_q(
+    "assembly_envelope",
+    """
+    WITH lines AS (
+      SELECT o_orderkey % 40 AS file_id, o_orderkey * 8 AS line_no,
+             'HDR|' || o_orderkey AS line
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey % 40, o_orderkey * 8 + 1,
+             'B1|' || o_orderstatus
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey % 40, o_orderkey * 8 + 2,
+             'B2|' || trunc(o_totalprice)::BIGINT
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey % 40, o_orderkey * 8 + 3,
+             'TRL|' || o_orderkey
+      FROM orders
+      UNION ALL
+      -- stray lines between envelopes: must be quarantined, never
+      -- absorbed into a record (they sit after TRL, before next HDR)
+      SELECT o_orderkey % 40, o_orderkey * 8 + 4, 'X|stray'
+      FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    tagged AS (
+      SELECT *, sum(CASE WHEN line LIKE 'HDR|%' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY file_id ORDER BY line_no) AS h
+      FROM lines WHERE line NOT LIKE 'X|%'
+    )
+    SELECT file_id, h::BIGINT AS record_seq,
+           max(CASE WHEN line LIKE 'HDR|%' THEN line END) AS header,
+           array_to_string(
+             list(line ORDER BY line_no)
+               FILTER (WHERE line NOT LIKE 'HDR|%' AND line NOT LIKE 'TRL|%'),
+             ';') AS body_cat,
+           max(CASE WHEN line LIKE 'TRL|%' THEN line END) AS footer,
+           count(CASE WHEN line NOT LIKE 'HDR|%'
+                       AND line NOT LIKE 'TRL|%' THEN 1 END) AS n_body
+    FROM tagged
+    GROUP BY file_id, h
+    """,
+)
+def _assembly_envelope(spark, sf_dir):
+    """Header/footer-regex record envelopes (reference by_header_footer
+    envelopes, fixedlength/reader.go:31-279): spans between HDR- and
+    TRL-matching lines become records; stray lines between envelopes go
+    to quarantine (asserted in tests/test_operators.py). The oracle
+    may ignore the strays precisely BECAUSE the engine must route them
+    out of every record — any absorption corrupts body_cat/n_body."""
+    from omniparser_spark.operators.assembly import assemble_envelopes
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+
+    def part(off: int, line: Column) -> DataFrame:
+        return o.select(
+            (key % 40).alias("file_id"),
+            (key * 8 + off).alias("line_no"),
+            line.alias("line"),
+        )
+
+    lines = (
+        part(0, F.concat(F.lit("HDR|"), key.cast("string")))
+        .unionByName(part(1, F.concat(F.lit("B1|"), F.col("o_orderstatus"))))
+        .unionByName(
+            part(
+                2,
+                F.concat(
+                    F.lit("B2|"),
+                    F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+                ),
+            )
+        )
+        .unionByName(part(3, F.concat(F.lit("TRL|"), key.cast("string"))))
+        .unionByName(
+            part(4, F.lit("X|stray")).filter(key % 11 == 0)
+        )
+    )
+    records, _quar = assemble_envelopes(
+        lines, header_pattern=r"^HDR\|", footer_pattern=r"^TRL\|"
+    )
+    return records.select(
+        "file_id",
+        "record_seq",
+        "header",
+        F.array_join("body", ";").alias("body_cat"),
+        "footer",
+        "n_body",
+    )
+
+
+@_q(
+    "assembly_occurs",
+    """
+    WITH lines AS (
+      SELECT o_orderkey % 50 AS file_id, o_orderkey * 8 AS line_no,
+             o_orderkey AS k1, 0 AS k2, 'P' AS rtype
+      FROM orders
+      UNION ALL
+      SELECT l_orderkey % 50, l_orderkey * 8 + l_linenumber,
+             l_orderkey, l_linenumber::INT,
+             CASE WHEN l_linenumber % 2 = 0 THEN 'E' ELSE 'O' END
+      FROM lineitem
+    ),
+    tagged AS (
+      SELECT *, sum(CASE WHEN k2 = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY file_id ORDER BY line_no) AS parent_seq
+      FROM lines
+    ),
+    grouped AS (
+      SELECT file_id, parent_seq::BIGINT AS record_seq,
+             count(CASE WHEN k2 <> 0 THEN 1 END) AS n_children,
+             count(CASE WHEN rtype = 'E' THEN 1 END) AS n_e,
+             count(CASE WHEN rtype = 'O' THEN 1 END) AS n_o
+      FROM tagged
+      WHERE parent_seq > 0
+      GROUP BY file_id, parent_seq
+    )
+    SELECT file_id, record_seq, n_children,
+           CASE WHEN n_e > 2 THEN 'record type ''E'': more than max_occurs=2'
+                WHEN n_o < 1 THEN 'record type ''O'': fewer than min_occurs=1'
+                WHEN n_o > 3 THEN 'record type ''O'': more than max_occurs=3'
+           END AS error
+    FROM grouped
+    WHERE n_e > 2 OR n_o < 1 OR n_o > 3
+    """,
+)
+def _assembly_occurs(spark, sf_dir):
+    """Per-record-type min/max occurs enforcement (reference enforces
+    occurs per decl node: hierarchyReader.go:50-272, EDI seg.go
+    min/max) — groups violating any per-type bound are quarantined
+    with the per-type error; error precedence mirrors decl order."""
+    from omniparser_spark.operators.assembly import assemble_parent_child
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 50).alias("file_id"),
+        (F.col("o_orderkey") * 8).alias("line_no"),
+        F.col("o_orderkey").alias("k1"),
+        F.lit(0).cast("int").alias("k2"),
+        F.lit("P").alias("rtype"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 50).alias("file_id"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("line_no"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").cast("int").alias("k2"),
+        F.when(F.col("l_linenumber") % 2 == 0, "E").otherwise("O").alias(
+            "rtype"
+        ),
+    )
+    _recs, quar = assemble_parent_child(
+        o.unionByName(li),
+        F.col("k2") == 0,
+        type_col="rtype",
+        occurs_by_type={"E": (0, 2), "O": (1, 3)},
+    )
+    return quar.select("file_id", "record_seq", "n_children", "error")
 
 
 # ----------------------------------------------------- simhash / LSH dedup
@@ -2008,6 +2339,116 @@ def _dec_charset(spark, sf_dir):
         utf8.alias("decoded_utf8"),
         latin1.alias("decoded_latin1"),
     )
+
+
+@_q(
+    "decode_charset_matrix",
+    """
+    SELECT event_id,
+           CASE event_id % 3 WHEN 0 THEN 'utf-8'
+                WHEN 1 THEN 'iso-8859-1'
+                ELSE 'windows-1252' END AS charset,
+           CASE event_id % 3 WHEN 0 THEN 'héllo 試験 ' || event_type
+                WHEN 1 THEN 'éü ' || event_type
+                ELSE '“”–… ' || event_type END AS decoded
+    FROM events
+    """,
+)
+def _dec_charset_matrix(spark, sf_dir):
+    """The reference's full 3-charset inventory (header/header.go:
+    14-42: utf-8, iso-8859-1, windows-1252) decoded from real bytes.
+    windows-1252 is latin-1 plus a translate() of the 27 printable
+    0x80-0x9F code points — pure column expressions, no ICU needed
+    (sources/decoders.py decode_charset)."""
+    from omniparser_spark.sources.decoders import decode_charset
+
+    ev = _t(spark, sf_dir, "events")
+    pick = F.col("event_id") % 3
+    ascii_part = F.encode(F.col("event_type"), "UTF-8")
+    blob = (
+        F.when(
+            pick == 0,
+            F.concat(
+                F.encode(F.lit("héllo 試験 "), "UTF-8"), ascii_part
+            ),
+        )
+        .when(
+            pick == 1,
+            # 'éü ' in latin-1: E9 FC 20
+            F.concat(F.to_binary(F.lit("E9FC20"), F.lit("hex")), ascii_part),
+        )
+        .otherwise(
+            # '“”–… ' in cp1252: 93 94 96 85 20
+            F.concat(
+                F.to_binary(F.lit("9394968520"), F.lit("hex")), ascii_part
+            )
+        )
+    )
+    decoded = (
+        F.when(pick == 0, decode_charset(blob, "utf-8"))
+        .when(pick == 1, decode_charset(blob, "iso-8859-1"))
+        .otherwise(decode_charset(blob, "windows-1252"))
+    )
+    charset = (
+        F.when(pick == 0, "utf-8")
+        .when(pick == 1, "iso-8859-1")
+        .otherwise("windows-1252")
+    )
+    return ev.select(
+        "event_id", charset.alias("charset"), decoded.alias("decoded")
+    )
+
+
+@_q(
+    "decode_csv_header_verify",
+    """
+    SELECT o_orderkey % 20 AS file_id,
+           o_orderkey + 2 AS line_no,
+           'o' || o_orderkey || ',' || o_orderstatus || ','
+               || trunc(o_totalprice)::BIGINT AS line
+    FROM orders
+    WHERE (o_orderkey % 20) % 4 <> 0
+    """,
+)
+def _dec_csv_header_verify(spark, sf_dir):
+    """Legacy-CSV header-row verification (reference fileformat/csv/
+    reader.go:41-126: the header row must equal the declared column
+    names or the stream errors): files with a corrupted header are
+    quarantined whole; surviving data rows must be exactly the oracle's
+    good-file rows. Quarantine error text asserted in
+    tests/test_decoders.py."""
+    from omniparser_spark.sources.decoders import verify_csv_header
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    data = o.select(
+        (key % 20).alias("file_id"),
+        (key + 2).alias("line_no"),
+        F.concat(
+            F.lit("o"),
+            key.cast("string"),
+            F.lit(","),
+            F.col("o_orderstatus"),
+            F.lit(","),
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+        ).alias("line"),
+    )
+    headers = (
+        o.select((key % 20).alias("file_id"))
+        .distinct()
+        .select(
+            "file_id",
+            F.lit(1).cast("long").alias("line_no"),
+            F.when(
+                F.col("file_id") % 4 == 0, "id,status,oops"
+            ).otherwise("id,status,total").alias("line"),
+        )
+    )
+    lines = data.unionByName(headers)
+    good, _quar = verify_csv_header(
+        lines, ["id", "status", "total"], sep=",", header_row_index=1
+    )
+    return good.select("file_id", "line_no", "line")
 
 
 @_q(

@@ -19,7 +19,7 @@ class MetricsLog:
         self.batches.append(m)
 
     def totals(self) -> dict[str, int]:
-        keys = ("events_in", "quarantined", "after_dedup", "applied_rows")
+        keys = ("events_in", "quarantined", "rows_written", "tombstones")
         return {
-            k: sum(int(b.get(k, 0)) for b in self.batches) for k in keys
+            k: sum(int(b.get(k) or 0) for b in self.batches) for k in keys
         }

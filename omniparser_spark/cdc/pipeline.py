@@ -82,6 +82,10 @@ class CdcPipeline:
         self.quarantine_path = quarantine_path
         self.n_source_parts = n_source_parts
         self.expire_keep_last = expire_keep_last
+        # Observation-based merge stats; the streaming wrapper turns
+        # this off (foreachBatch's cloned session never completes
+        # Observation futures) and those batches record null counts.
+        self.observe_merge = True
 
     # ---------- single micro-batch ----------
 
@@ -103,8 +107,8 @@ class CdcPipeline:
                 "offset_end": offset_end,
                 "events_in": 0,
                 "quarantined": 0,
-                "after_dedup": 0,
-                "applied_rows": 0,
+                "rows_written": 0,
+                "tombstones": 0,
                 "fenced": True,
                 "snapshot_version": self.table.current().version,
                 "touched_buckets": [],
@@ -142,15 +146,27 @@ class CdcPipeline:
                     F.max(F.when(cond, F.col("offset"))).alias(f"mx_{p}")
                 )
             obs = Observation(f"cdc_batch_{batch_id}")
-            good, _quar = split_flagged(canon.observe(obs, *aggs))
+            good, quarantine = split_flagged(canon.observe(obs, *aggs))
+            if self.quarantine_path:
+                # dead-letter side output BEFORE the table commit, to a
+                # per-batch dir with overwrite: a batch replayed after a
+                # crash in either order overwrites identically (never
+                # loses or duplicates quarantine rows). Costs one extra
+                # decode pass of the slice — only when quarantine
+                # capture is enabled. This write also fills the
+                # Observation (it scans all rows pre-split).
+                quarantine.write.mode("overwrite").parquet(
+                    f"{self.quarantine_path}/batch_id={batch_id}"
+                )
             stats = merge_into(
                 self.table,
                 good,
                 batch_id=batch_id,
                 expected_rows=offset_end - offset_start + 1,
                 max_offset=offset_end,
+                observe_stats=self.observe_merge,
             )
-            row = obs.get  # the merge write ran: observation is filled
+            row = obs.get  # an action ran: observation is filled
             events_in = int(row["rows_total"])
             n_quarantined = int(row["bad"])
             lineage_rows = [
@@ -163,10 +179,6 @@ class CdcPipeline:
                 for p in range(self.n_source_parts)
                 if int(row[f"rows_{p}"] or 0) > 0
             ]
-            if self.quarantine_path and n_quarantined:
-                # error path only: one extra decode pass of this slice
-                _g, quarantine = split_flagged(normalize_flagged(raw))
-                quarantine.write.mode("append").parquet(self.quarantine_path)
         else:
             # ---- fallback: two jobs (unknown source-partition domain) ----
             canon = canon.persist()
@@ -188,9 +200,9 @@ class CdcPipeline:
                 )
                 events_in = sum(int(r["rows"]) for r in rows)
                 n_quarantined = sum(int(r["bad"]) for r in rows)
-                if self.quarantine_path and n_quarantined:
-                    quarantine.write.mode("append").parquet(
-                        self.quarantine_path
+                if self.quarantine_path:
+                    quarantine.write.mode("overwrite").parquet(
+                        f"{self.quarantine_path}/batch_id={batch_id}"
                     )
                 stats = merge_into(
                     self.table,
@@ -198,7 +210,7 @@ class CdcPipeline:
                     batch_id=batch_id,
                     expected_rows=events_in,
                     max_offset=offset_end,
-                    batch_rows=events_in,
+                    observe_stats=self.observe_merge,
                 )
                 lineage_rows = sorted(
                     (
@@ -222,8 +234,11 @@ class CdcPipeline:
             "offset_end": offset_end,
             "events_in": events_in,
             "quarantined": n_quarantined,
-            "after_dedup": events_in if stats else 0,
-            "applied_rows": events_in if stats else 0,
+            # counts observed on the merge commit write itself:
+            # rows_written = post-merge row count of the touched buckets
+            # (None when merge stats weren't observed, e.g. streaming)
+            "rows_written": stats.get("rows_written") if stats else 0,
+            "tombstones": stats.get("tombstones") if stats else 0,
             "fenced": stats is None,
             "snapshot_version": (
                 stats["snapshot_version"] if stats else self.table.current().version

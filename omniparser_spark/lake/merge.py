@@ -32,7 +32,12 @@ the batch touches (file-level pruning via the bucket partition
 transform), unions *only those buckets* with the deduped batch and
 takes the per-key LWW winner with one map-side-combinable max_by
 aggregate (no sort-merge join, one shuffle), then rewrites only the
-touched buckets (COW), one data file per bucket.
+touched buckets (COW), one data file per bucket. Per-batch merge cost
+is therefore O(touched_buckets x avg_bucket_size) — it reduces to the
+batch's key footprint ONLY when n_buckets is sized so a typical batch
+touches a strict subset of buckets (see merge_into's cost-model note);
+a batch with more keys than ~3x n_buckets statistically touches every
+bucket and the merge degenerates to a full-table COW rewrite.
 """
 
 from __future__ import annotations
@@ -82,27 +87,43 @@ def merge_into(
     keys: Sequence[str] = DEFAULT_KEYS,
     expected_rows: int | None = None,
     max_offset: int | None = None,
-    batch_rows: int | None = None,
+    prune_exact: bool | None = None,
+    observe_stats: bool = True,
 ) -> dict[str, Any] | None:
     """Apply one micro-batch (need NOT be pre-deduped: the merge's
     max_by aggregate picks the per-key LWW winner among all batch rows
-    AND the existing table row in one pass). Returns merge stats, or
-    None if the batch was fenced off as already committed.
+    AND the existing table row in one pass). Returns merge stats
+    (incl. `rows_written`/`tombstones` observed on the commit write),
+    or None if the batch was fenced off as already committed.
 
     `batch` columns: keys + (offset, op) + any subset of the table's
     data columns (missing ones are NULL-filled — additive evolution).
 
-    `expected_rows` (event count or its upper bound, known from the
-    offset range / normalize pass) picks the pruning strategy without
-    an extra action: a batch much larger than n_buckets statistically
-    touches every bucket, so the exact distinct-buckets job is wasted
-    driver latency; rewriting a bucket the batch happens to miss is
-    still correct (its content is carried through the LWW union
-    unchanged). Small batches (streaming tail, skew) keep exact pruning.
+    Cost model (COW): the merge reads and rewrites every *touched*
+    bucket in full, so per-batch cost is O(touched_buckets x
+    avg_bucket_size). Pruning to the batch's actual buckets is what
+    bounds that by the batch's key footprint — which only helps when
+    the batch touches a strict subset of buckets. For R uniformly
+    hashed keys over B buckets the expected touched count is
+    B(1 - exp(-R/B)): essentially all of them once R >~ 3B. Hence:
 
-    `max_offset` / `batch_rows` are caller-known bookkeeping (offset
-    range bound, observed event count) — passed in rather than computed
-    with an extra action over the batch.
+    - `prune_exact=None` (auto): run the exact distinct-buckets job
+      only when `expected_rows` < 3 x n_buckets (or is unknown) —
+      beyond that the job costs a driver action and prunes nothing.
+    - `prune_exact=True`: force the exact job regardless of size — the
+      right call for hot-key-skewed feeds, where a large event count
+      still lands on few keys/buckets.
+    - At deployment, size `n_buckets` so a steady-state batch's key
+      footprint stays well under it (buckets ~ table_rows /
+      target_bucket_rows); a B sized to the *table* keeps per-batch
+      merge cost O(batch keys x bucket size), not O(table).
+
+    Rewriting a bucket the batch happens to miss is still correct (its
+    content is carried through the LWW union unchanged) — pruning is a
+    pure cost optimization, never a correctness gate.
+
+    `max_offset` is caller-known bookkeeping (offset range bound) —
+    passed in rather than computed with an extra action.
     """
     summary = table.summary()
     if batch_id <= int(summary.get("batch_id", -1)):
@@ -123,7 +144,8 @@ def merge_into(
 
     batch = batch.withColumn("_bucket", bucket_expr(key_col, n_buckets))
 
-    prune_exact = expected_rows is None or expected_rows < 64 * n_buckets
+    if prune_exact is None:
+        prune_exact = expected_rows is None or expected_rows < 3 * n_buckets
     if prune_exact:
         # batch consumed twice (bucket distinct + merge) — cache it
         batch = batch.persist()
@@ -185,6 +207,22 @@ def merge_into(
         "_bucket", bucket_expr(key_col, n_buckets)
     ).repartition(max(len(touched), 1), "_bucket")
 
+    # observe applied-row stats on the commit write itself (no extra
+    # action): rows_written = post-merge row count of the touched
+    # buckets (live + tombstones), tombstones = delete markers among
+    # them. `observe_stats=False` for callers inside foreachBatch —
+    # cloned streaming sessions never complete Observation futures.
+    obs = None
+    if observe_stats:
+        from pyspark.sql import Observation
+
+        obs = Observation(f"merge_{batch_id}")
+        merged = merged.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_written"),
+            F.count(F.when(F.col("_deleted"), 1)).alias("tombstones"),
+        )
+
     try:
         snap = table.commit(
             merged,
@@ -200,9 +238,11 @@ def merge_into(
     finally:
         if prune_exact:
             batch.unpersist()
+    stats_row = obs.get if obs is not None else None
     return {
         "batch_id": batch_id,
         "snapshot_version": snap.version,
         "touched_buckets": touched,
-        "batch_rows": batch_rows,
+        "rows_written": int(stats_row["rows_written"]) if stats_row else None,
+        "tombstones": int(stats_row["tombstones"]) if stats_row else None,
     }

@@ -165,9 +165,15 @@ class LakeTable:
             snaps.append(cur)
             if cur.parent_version is None:
                 break
-            with open(
-                os.path.join(self._meta_dir, f"v{cur.parent_version}.metadata.json")
-            ) as f:
+            parent = os.path.join(
+                self._meta_dir, f"v{cur.parent_version}.metadata.json"
+            )
+            if not os.path.exists(parent):
+                # parent expired (or a crash interrupted expiry between
+                # metadata deletes and the root relink): the chain ends
+                # here — same contract as Iceberg's expire_snapshots.
+                break
+            with open(parent) as f:
                 cur = Snapshot.from_json(f.read())
         return snaps
 
@@ -290,43 +296,61 @@ class LakeTable:
         keep, drop = snaps[:keep_last], snaps[keep_last:]
         if not drop:
             return 0
-        referenced = {d for s in keep for d in s.bucket_dirs.values()}
-        removed = 0
-        roots: set[str] = set()
-        for s in drop:
-            for d in s.bucket_dirs.values():
-                roots.add(os.path.dirname(d))
-                if d not in referenced:
-                    path = os.path.join(self.path, d)
-                    if os.path.isdir(path):
-                        shutil.rmtree(path, ignore_errors=True)
-                        removed += 1
-                    referenced.add(d)  # only attempt once
-            meta = os.path.join(self._meta_dir, f"v{s.version}.metadata.json")
-            if os.path.exists(meta):
-                os.remove(meta)
-        # drop snapshot root dirs that hold no bucket data anymore
-        # (only _SUCCESS markers left after the bucket dirs went)
-        kept_roots = {
-            os.path.dirname(d) for s in keep for d in s.bucket_dirs.values()
-        }
-        for root in roots:
-            if root in kept_roots:
-                continue
-            path = os.path.join(self.path, root)
-            if os.path.isdir(path) and not any(
-                e.startswith("_bucket=") for e in os.listdir(path)
-            ):
-                shutil.rmtree(path, ignore_errors=True)
-        # re-link the oldest kept snapshot as the history root
+
+        # Crash-safe ordering: FIRST re-link the oldest kept snapshot as
+        # the history root (atomic tmp + os.replace, same protocol as
+        # _write_snapshot), THEN delete dropped metadata and data. A
+        # crash at any point leaves the kept chain self-contained —
+        # worst case some dropped files survive until the next expiry
+        # (idempotent re-run), never a kept snapshot pointing at a
+        # removed parent.
         oldest = keep[-1]
         if oldest.parent_version is not None:
             oldest.parent_version = None
-            meta_path = os.path.join(
-                self._meta_dir, f"v{oldest.version}.metadata.json"
-            )
-            with open(meta_path, "w") as f:
+            fd, tmp = tempfile.mkstemp(dir=self._meta_dir)
+            with os.fdopen(fd, "w") as f:
                 f.write(oldest.to_json())
+            os.replace(
+                tmp,
+                os.path.join(self._meta_dir, f"v{oldest.version}.metadata.json"),
+            )
+
+        # Deletion is a *scan* for anything the kept chain doesn't
+        # reference — not a walk of the dropped snapshots — so a re-run
+        # after a crash also collects orphans the crashed run left
+        # behind (idempotent GC, same shape as Iceberg's
+        # remove_orphan_files).
+        import re
+
+        kept_versions = {s.version for s in keep}
+        referenced = {d for s in keep for d in s.bucket_dirs.values()}
+        kept_roots = {os.path.dirname(d) for d in referenced}
+        removed = 0
+        for fn in os.listdir(self._meta_dir):
+            m = re.fullmatch(r"v(\d+)\.metadata\.json", fn)
+            if m and int(m.group(1)) not in kept_versions:
+                try:
+                    os.remove(os.path.join(self._meta_dir, fn))
+                except FileNotFoundError:
+                    pass
+        data_root = os.path.join(self.path, "data")
+        for root in os.listdir(data_root) if os.path.isdir(data_root) else []:
+            rel_root = os.path.join("data", root)
+            full = os.path.join(data_root, root)
+            if not os.path.isdir(full):
+                continue
+            for entry in os.listdir(full):
+                if not entry.startswith("_bucket="):
+                    continue
+                if os.path.join(rel_root, entry) not in referenced:
+                    shutil.rmtree(os.path.join(full, entry), ignore_errors=True)
+                    removed += 1
+            # drop snapshot roots that hold no referenced bucket dirs
+            # (only _SUCCESS markers left after the bucket dirs went)
+            if rel_root not in kept_roots and not any(
+                e.startswith("_bucket=") for e in os.listdir(full)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
         return removed
 
     def evolve_schema_additive(self, new_cols: T.StructType) -> None:

@@ -37,6 +37,8 @@ def assemble_parent_child(
     order_col: str = "line_no",
     min_children: int = 0,
     max_children: int | None = None,
+    type_col: str | None = None,
+    occurs_by_type: dict[str, tuple[int, int | None]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """lines(file_col, order_col, ...) -> (records, quarantine).
 
@@ -44,7 +46,15 @@ def assemble_parent_child(
     line's columns) and `children` (array<struct> in line order).
     quarantine: groups violating min/max occurs, plus orphan children
     appearing before any parent (ErrUnexpectedData analogue).
+
+    `occurs_by_type` enforces the reference's per-record-type
+    min/max_occurs (one bound per decl node, hierarchyReader.go:50-272,
+    edi seg.go min/max): keys are values of `type_col`, values are
+    (min, max-or-None) checked per group with pure array expressions —
+    e.g. ``{"D": (1, 5), "N": (0, 1)}``.
     """
+    if occurs_by_type and not type_col:
+        raise ValueError("occurs_by_type requires type_col")
     payload_cols = [c for c in lines.columns if c not in (file_col, order_col)]
     w = (
         Window.partitionBy(file_col)
@@ -80,6 +90,27 @@ def assemble_parent_child(
         F.col("n_children") > max_children if max_children is not None else F.lit(False)
     )
     bad = orphan | too_few | too_many
+    err = (
+        F.when(orphan, "unexpected data before first parent record")
+        .when(too_few, f"fewer than min_occurs={min_children} children")
+        .when(too_many, "more than max_occurs children")
+    )
+
+    for rec_type, (mn, mx) in (occurs_by_type or {}).items():
+        n_t = F.size(
+            F.filter(
+                F.col("children"),
+                lambda c: c.getField(type_col) == rec_type,  # noqa: B023
+            )
+        )
+        t_few = n_t < mn
+        t_many = n_t > mx if mx is not None else F.lit(False)
+        bad = bad | t_few | t_many
+        err = err.when(
+            t_few, f"record type {rec_type!r}: fewer than min_occurs={mn}"
+        ).when(
+            t_many, f"record type {rec_type!r}: more than max_occurs={mx}"
+        )
 
     records = grouped.filter(~bad).select(
         file_col, F.col("_parent_seq").alias("record_seq"), "parent", "children",
@@ -89,11 +120,97 @@ def assemble_parent_child(
         file_col,
         F.col("_parent_seq").alias("record_seq"),
         "n_children",
-        F.when(orphan, "unexpected data before first parent record")
-        .when(too_few, f"fewer than min_occurs={min_children} children")
-        .otherwise("more than max_occurs children")
-        .alias("error"),
+        err.alias("error"),
     )
+    return records, quarantine
+
+
+def assemble_envelopes(
+    lines: DataFrame,
+    header_pattern: str,
+    footer_pattern: str,
+    file_col: str = "file_id",
+    order_col: str = "line_no",
+    line_col: str = "line",
+) -> tuple[DataFrame, DataFrame]:
+    """Header/footer-regex record envelopes: every record spans from a
+    line matching `header_pattern` through the next line matching
+    `footer_pattern` (inclusive), mirroring the reference's
+    by_header_footer envelopes (flatfile/fixedlength/reader.go:31-279,
+    csv decl.go header/footer regex pairs).
+
+    Same prefix-sum machine as :func:`assemble_parent_child`, with TWO
+    running counts per file: h = headers seen up to and including this
+    line, f = footers seen strictly *before* this line. A line is
+    inside envelope h iff h > f; lines between a footer and the next
+    header (h == f) are unexpected data.
+
+    Returns (records, quarantine):
+    - records: (file_col, record_seq, header, body array<string> in
+      line order, footer, n_body) — one per *closed* envelope;
+    - quarantine: out-of-envelope lines, and envelopes that never saw
+      their footer (EOF or next header first — the reference's
+      "missing footer" error).
+    """
+    w_h = (
+        Window.partitionBy(file_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_f = (
+        Window.partitionBy(file_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_h = F.col(line_col).rlike(header_pattern)
+    is_f = F.col(line_col).rlike(footer_pattern)
+    tagged = (
+        lines.withColumn("_is_h", is_h)
+        .withColumn("_is_f", is_f)
+        .withColumn("_h", F.sum(F.col("_is_h").cast("int")).over(w_h))
+        .withColumn(
+            "_f",
+            F.coalesce(F.sum(F.col("_is_f").cast("int")).over(w_f), F.lit(0)),
+        )
+    )
+    outside = F.col("_h") <= F.col("_f")
+    stray = tagged.filter(outside).select(
+        file_col,
+        F.col(order_col),
+        F.lit("unexpected data outside any envelope").alias("error"),
+    )
+    grouped = (
+        tagged.filter(~outside)
+        .groupBy(file_col, F.col("_h").alias("record_seq"))
+        .agg(
+            F.max_by(F.col(line_col), F.when(F.col("_is_h"), F.col(order_col))).alias(
+                "header"
+            ),
+            F.max_by(F.col(line_col), F.when(F.col("_is_f"), F.col(order_col))).alias(
+                "footer"
+            ),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        ~F.col("_is_h") & ~F.col("_is_f"),
+                        F.struct(F.col(order_col).alias("_ord"), F.col(line_col).alias("ln")),
+                    )
+                )
+            ).alias("_body"),
+        )
+        .withColumn("body", F.transform("_body", lambda s: s.getField("ln")))
+        .withColumn("n_body", F.size("body"))
+        .drop("_body")
+    )
+    unclosed = F.col("footer").isNull()
+    records = grouped.filter(~unclosed).select(
+        file_col, "record_seq", "header", "body", "footer", "n_body"
+    )
+    quarantine = grouped.filter(unclosed).select(
+        file_col,
+        F.col("record_seq").cast("long").alias(order_col),
+        F.lit("envelope not closed by footer").alias("error"),
+    ).unionByName(stray.select(file_col, F.col(order_col).cast("long"), "error"))
     return records, quarantine
 
 

@@ -73,27 +73,30 @@ def cosine_topk_bruteforce(
     )
 
 
+def _plane_comp(seed: int, bit: int, j: int) -> float:
+    """Deterministic pseudo-gaussian hyperplane component from
+    (seed, bit, dim-index) — md5-based uniform in [-1, 1); uniform
+    preserves the cosine-LSH property for sign tests. Shared verbatim
+    by the expression path, the pandas path, and the SQL oracles."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{bit}:{j}".encode()).hexdigest()
+    return (int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0
+
+
 def hyperplane_signature(
     vec: Column, dim: int, n_bits: int = 16, seed: int = 42
 ) -> Column:
     """Random-hyperplane LSH signature: bit i = sign(<v, r_i>).
 
-    Hyperplane components are deterministic pseudo-gaussians derived
-    from (seed, bit, dim-index) via an md5-based uniform -> Box-Muller
-    is overkill; uniform in [-1,1) preserves the cosine-LSH property
-    for sign tests. Constants are baked into the plan as literals —
-    no broadcast needed for dims x bits in the hundreds.
+    Expression path: constants are baked into the plan as literals —
+    fine (and oracle-reproducible in SQL) up to a few thousand
+    dim x bits; for production embedding dims use the pandas path
+    (:func:`with_hyperplane_signatures`), which keeps the plan O(1).
     """
-
-    def comp(bit: int, j: int) -> float:
-        import hashlib
-
-        h = hashlib.md5(f"{seed}:{bit}:{j}".encode()).hexdigest()
-        return (int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0
-
     bits = []
     for b in range(n_bits):
-        plane = F.array(*[F.lit(comp(b, j)) for j in range(dim)])
+        plane = F.array(*[F.lit(_plane_comp(seed, b, j)) for j in range(dim)])
         proj = _dot(vec.cast("array<double>"), plane)
         bits.append(
             F.when(proj >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -102,6 +105,79 @@ def hyperplane_signature(
     for e in bits[1:]:
         out = out + e
     return out
+
+
+# Above this many plan literals (dim x n_bits x n_tables) the baked
+# expression tree starts to hurt Catalyst (plan size, codegen, task
+# binary broadcast) — switch to the Arrow-batched matrix projection.
+_EXPR_LITERAL_BUDGET = 8192
+
+
+def with_hyperplane_signatures(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_bits: int,
+    n_tables: int,
+    seed_base: int,
+    out_col: str = "_sigs",
+    method: str = "auto",
+) -> DataFrame:
+    """Add `out_col`: array<long> of per-table LSH signatures.
+
+    method='expr' builds one literal-array dot product per (table,
+    bit) — whole-stage codegen, SQL-oracle-reproducible, but the plan
+    carries dim x n_bits x n_tables literals (at dim=768, 12 bits,
+    4 tables that's ~37k literal nodes — Catalyst plan-size blowup).
+    method='pandas' multiplies each Arrow batch against the
+    (dim x n_bits x n_tables) hyperplane matrix with one numpy matmul
+    per batch — the scale path; the matrix is rebuilt per executor
+    from the same deterministic derivation, so no broadcast is needed
+    either. 'auto' picks by the literal budget.
+    """
+    if method == "auto":
+        method = (
+            "expr" if dim * n_bits * n_tables <= _EXPR_LITERAL_BUDGET else "pandas"
+        )
+    if method == "expr":
+        sigs = F.array(
+            *[
+                hyperplane_signature(
+                    F.col(vec_col), dim, n_bits, seed=seed_base + t
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.withColumn(out_col, sigs)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def sig_udf(v):  # pd.Series[list[float]] -> pd.Series[list[int]]
+        import numpy as np
+        import pandas as pd
+
+        # (dim, n_bits * n_tables) plane matrix, built once per worker
+        planes = np.empty((dim, n_bits * n_tables), dtype=np.float64)
+        for t in range(n_tables):
+            for b in range(n_bits):
+                for j in range(dim):
+                    planes[j, t * n_bits + b] = _plane_comp(
+                        seed_base + t, b, j
+                    )
+        weights = np.asarray([1 << b for b in range(n_bits)], dtype=np.int64)
+        x = np.asarray(v.tolist(), dtype=np.float64)  # (rows, dim)
+        signs = (x @ planes) >= 0  # (rows, n_bits * n_tables)
+        out = [
+            [
+                int(signs[i, t * n_bits : (t + 1) * n_bits] @ weights)
+                for t in range(n_tables)
+            ]
+            for i in range(signs.shape[0])
+        ]
+        return pd.Series(out)
+
+    return df.withColumn(out_col, sig_udf(F.col(vec_col).cast("array<double>")))
 
 
 def lsh_topk(
@@ -115,6 +191,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    method: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: candidates from any-table bucket collision,
     exact cosine re-rank of candidates only.
@@ -124,7 +201,11 @@ def lsh_topk(
     query side only — the big corpus side stays one row per table).
     This is the standard multiprobe-LSH recall boost: with per-bit
     disagreement prob q = theta/pi, per-table hit prob rises from
-    (1-q)^b to (1-q)^b + b*q*(1-q)^(b-1)."""
+    (1-q)^b to (1-q)^b + b*q*(1-q)^(b-1).
+
+    `method` picks the signature backend (see
+    :func:`with_hyperplane_signatures`): 'expr' literals at test dims,
+    'pandas' matrix projection at production embedding dims."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
@@ -134,31 +215,29 @@ def lsh_topk(
         F.col(vec_col).cast("array<double>").alias("qvec"),
     )
 
-    def with_buckets(df: DataFrame, vcol: str, probe: bool) -> DataFrame:
-        sigs = [
-            hyperplane_signature(F.col(vcol), dim, n_bits, seed=1000 + t)
-            for t in range(n_tables)
-        ]
-        rows = []
-        for t, sig in enumerate(sigs):
-            rows.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
-            if probe and multiprobe >= 1:
-                for bit in range(n_bits):
-                    rows.append(
-                        F.struct(
-                            F.lit(t).alias("t"),
-                            sig.bitwiseXOR(F.lit(1 << bit)).alias("b"),
-                        )
-                    )
-        exploded = F.explode(F.array(*rows)).alias("tb")
-        return df.select("*", exploded).select(
-            *df.columns,
-            F.col("tb.t").alias("table_idx"),
-            F.col("tb.b").alias("bucket"),
+    cb = (
+        with_hyperplane_signatures(
+            c, "cvec", dim, n_bits, n_tables, seed_base=1000, method=method
         )
-
-    cb = with_buckets(c, "cvec", probe=False)
-    qb = with_buckets(q, "qvec", probe=True)
+        .select("vec_id", "cvec", F.posexplode("_sigs").alias("table_idx", "bucket"))
+    )
+    masks = [0] + ([1 << b for b in range(n_bits)] if multiprobe >= 1 else [])
+    qb = (
+        with_hyperplane_signatures(
+            q, "qvec", dim, n_bits, n_tables, seed_base=1000, method=method
+        )
+        .select("query_id", "qvec", F.posexplode("_sigs").alias("table_idx", "sig"))
+        .select(
+            "query_id",
+            "qvec",
+            "table_idx",
+            F.explode(
+                F.array(*[F.lit(m).cast("long") for m in masks])
+            ).alias("_mask"),
+            F.col("sig"),
+        )
+        .withColumn("bucket", F.col("sig").bitwiseXOR(F.col("_mask")))
+    )
     cand = (
         cb.join(F.broadcast(qb), ["table_idx", "bucket"])
         .select("query_id", "vec_id", "cvec", "qvec")
@@ -267,6 +346,7 @@ def embedding_near_dups(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join +
     exact verification (id_a < id_b)."""
@@ -274,14 +354,10 @@ def embedding_near_dups(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    bucketed = base.select(
-        "*",
-        F.posexplode(
-            F.array(*[
-                hyperplane_signature(F.col("vec"), dim, n_bits, seed=2000 + t)
-                for t in range(n_tables)
-            ])
-        ).alias("table_idx", "bucket"),
+    bucketed = with_hyperplane_signatures(
+        base, "vec", dim, n_bits, n_tables, seed_base=2000, method=method
+    ).select(
+        "doc_id", "vec", F.posexplode("_sigs").alias("table_idx", "bucket")
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     pairs = (

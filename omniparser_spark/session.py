@@ -35,15 +35,28 @@ def get_spark(
     master = master or f"local[{cpus}]"
     n_shuffle = shuffle_partitions or _default_shuffle_partitions(master)
 
-    # shuffle/spill dirs on tmpfs when available: the sandbox's single
+    # shuffle/spill dirs on tmpfs when it is safe: the sandbox's single
     # virtual disk serializes 32 concurrent shuffle writers (measured
     # 1.5x wall-clock); on a real cluster this is the provisioned
-    # node-local SSD array. SPARK_LOCAL_DIRS still wins if set.
-    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
-        local_dir = f"/dev/shm/spark-local-{os.getuid()}"
-        os.makedirs(local_dir, exist_ok=True)
-    else:
-        local_dir = None
+    # node-local SSD array. tmpfs is RAM-backed, so it is only used
+    # when (a) SPARK_LOCAL_DIRS is unset, (b) not opted out via
+    # SPARK_GRAFT_TMPFS=0, and (c) /dev/shm has generous headroom
+    # (>=16 GiB free, or SPARK_GRAFT_TMPFS=1 forces it) — a deployment
+    # that forgot SPARK_LOCAL_DIRS must not spill shuffle data into
+    # executor RAM and OOM the host.
+    local_dir = None
+    tmpfs_pref = os.environ.get("SPARK_GRAFT_TMPFS", "auto")
+    if (
+        "SPARK_LOCAL_DIRS" not in os.environ
+        and tmpfs_pref != "0"
+        and os.path.isdir("/dev/shm")
+    ):
+        import shutil
+
+        free = shutil.disk_usage("/dev/shm").free
+        if tmpfs_pref == "1" or free >= 16 * 2**30:
+            local_dir = f"/dev/shm/spark-local-{os.getuid()}"
+            os.makedirs(local_dir, exist_ok=True)
 
     builder = (
         SparkSession.builder.appName(app_name)

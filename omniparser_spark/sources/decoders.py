@@ -102,10 +102,138 @@ def _fixed_decoder(payload: Column) -> Column:
     return F.struct(*fields)
 
 
+# ---------------------------------------------------------- XML namespaces
+#
+# The reference resolves namespace prefixes on elements and attributes
+# while streaming (idr/xmlreader.go:142-152) and tags nodes with
+# XMLSpecific{NamespacePrefix, NamespaceURI} (idr/xmlnode.go:4-7).
+# Payload-level equivalent, pure column expressions: extract the
+# prefix->URI map from xmlns declarations, then strip prefixes so
+# from_xml matches by *local name* (the xpath local-name() semantics
+# the reference's queries rely on). Safe on payload XML because text
+# content is entity-escaped — a raw '<' cannot appear outside markup.
+
+def xml_namespace_map(payload: Column) -> Column:
+    """map<prefix, uri> of all xmlns:prefix="uri" declarations."""
+    decl = r'xmlns:([A-Za-z_][\w.-]*)="([^"]*)"'
+    return F.map_from_arrays(
+        F.regexp_extract_all(payload, F.lit(decl), F.lit(1)),
+        F.regexp_extract_all(payload, F.lit(decl), F.lit(2)),
+    )
+
+
+def xml_root_prefix(payload: Column) -> Column:
+    """Namespace prefix of the root element ('' when unprefixed)."""
+    return F.regexp_extract(payload, r"^\s*<([A-Za-z_][\w.-]*):", 1)
+
+
+def xml_strip_namespaces(payload: Column) -> Column:
+    """Drop xmlns declarations and prefixes from tags and attributes,
+    leaving local names (what from_xml's schema matches)."""
+    c = F.regexp_replace(payload, r'\s+xmlns(:[A-Za-z_][\w.-]*)?="[^"]*"', "")
+    c = F.regexp_replace(c, r"(</?)[A-Za-z_][\w.-]*:", r"$1")
+    c = F.regexp_replace(c, r"(\s)[A-Za-z_][\w.-]*:(?=[\w.-]+=)", r"$1")
+    return c
+
+
+def _xmlns_decoder(payload: Column) -> Column:
+    """Namespace-aware variant of the xmlish decoder: resolve + strip
+    prefixes, then decode by local name."""
+    return _xml_decoder(xml_strip_namespaces(payload))
+
+
+# ----------------------------------------------------------- charsets
+#
+# The reference decodes utf-8, iso-8859-1 and windows-1252 input
+# streams (header/header.go:14-42 via ianaindex lookup). Spark's
+# built-in decode() covers UTF-8 and ISO-8859-1; windows-1252 differs
+# from latin-1 ONLY in 0x80-0x9F, where cp1252 places printable
+# punctuation instead of C1 controls — a single translate() after a
+# latin-1 decode reproduces it exactly, still whole-stage codegen.
+
+# bytes 0x81/0x8D/0x8F/0x90/0x9D are undefined in cp1252 — left as-is
+_CP1252_DEFINED = [
+    b for b in range(0x80, 0xA0) if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+]
+_CP1252_FROM = "".join(chr(b) for b in _CP1252_DEFINED)
+_CP1252_TO = "".join(bytes([b]).decode("cp1252") for b in _CP1252_DEFINED)
+
+
+def decode_charset(binary: Column, charset: str) -> Column:
+    """Decode bytes to string for the reference's charset inventory:
+    'utf-8' | 'iso-8859-1' | 'windows-1252'."""
+    cs = charset.lower()
+    if cs in ("utf-8", "utf8"):
+        return F.decode(binary, "UTF-8")
+    if cs in ("iso-8859-1", "latin-1", "latin1"):
+        return F.decode(binary, "ISO-8859-1")
+    if cs in ("windows-1252", "cp1252"):
+        return F.translate(
+            F.decode(binary, "ISO-8859-1"), _CP1252_FROM, _CP1252_TO
+        )
+    raise ValueError(f"unsupported charset: {charset}")
+
+
+# ------------------------------------------- legacy CSV header verification
+
+def verify_csv_header(
+    lines: DataFrame,
+    declared_cols: list[str],
+    sep: str = ",",
+    header_row_index: int = 1,
+    file_col: str = "file_id",
+    order_col: str = "line_no",
+    line_col: str = "line",
+):
+    """Pre-flight header-row assertion (reference legacy csv:
+    fileformat/csv/reader.go:41-126 errors when the header row does not
+    match the declared column names / aliases).
+
+    Returns (data_rows, quarantine): files whose header row splits
+    exactly to `declared_cols` keep their data rows (line_no >
+    header_row_index); files with a missing or mismatching header are
+    quarantined whole, with a ctx-aware error naming the file and the
+    offending header. The header set is one row per file — broadcast
+    to the data-row join, so the verification adds no shuffle.
+    """
+    import re as _re
+
+    got = F.split(F.col(line_col), _re.escape(sep))
+    headers = (
+        lines.filter(F.col(order_col) == header_row_index)
+        .select(
+            F.col(file_col),
+            got.alias("_got"),
+            (got == F.array(*[F.lit(c) for c in declared_cols])).alias("_hdr_ok"),
+        )
+    )
+    joined = lines.join(F.broadcast(headers), file_col, "left")
+    ok = F.coalesce(F.col("_hdr_ok"), F.lit(False))
+    data = joined.filter(ok & (F.col(order_col) > header_row_index)).drop(
+        "_got", "_hdr_ok"
+    )
+    quarantine = joined.filter(~ok).select(
+        file_col,
+        order_col,
+        line_col,
+        F.concat(
+            F.lit("header mismatch in file "),
+            F.col(file_col).cast("string"),
+            F.lit(": expected ["),
+            F.lit(",".join(declared_cols)),
+            F.lit("] got ["),
+            F.coalesce(F.array_join("_got", ","), F.lit("<no header row>")),
+            F.lit("]"),
+        ).alias("error"),
+    )
+    return data, quarantine
+
+
 _DECODERS = {
     "json": _json_decoder,
     "csv": _csv_decoder,
     "xmlish": _xml_decoder,
+    "xmlish_ns": _xmlns_decoder,
     "fixed": _fixed_decoder,
 }
 

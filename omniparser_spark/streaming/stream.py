@@ -52,9 +52,12 @@ def run_streaming_apply(
     # foreachBatch runs actions on a cloned session whose listener
     # events never complete an Observation future — force the
     # groupBy-lineage fallback inside the stream (same results, one
-    # extra small job per epoch).
+    # extra small job per epoch) and skip merge-side stat observation
+    # (those epochs record null rows_written/tombstones).
     saved_parts = pipeline.n_source_parts
+    saved_observe = pipeline.observe_merge
     pipeline.n_source_parts = None
+    pipeline.observe_merge = False
 
     stream = (
         spark.readStream.schema(feed_schema)
@@ -93,4 +96,5 @@ def run_streaming_apply(
         q.awaitTermination()
     finally:
         pipeline.n_source_parts = saved_parts
+        pipeline.observe_merge = saved_observe
     return results

@@ -296,3 +296,89 @@ def test_hot_key_skew_replay(spark, tmp_path_factory, tmp_path):
         )
     ]
     assert _spark_rows(p.read_table()) == sorted(expected)
+
+
+def test_expire_crash_safety(spark, feed_df, tmp_path):
+    """A crash mid-expiry must never wedge the pipeline: the kept
+    chain is relinked BEFORE deletes, deletes are scan-based GC, and
+    history() tolerates a missing parent file."""
+    import os
+
+    p = _run_pipeline(spark, feed_df, tmp_path, batch_size=400, name="crashexp")
+    meta_dir = os.path.join(str(tmp_path / "crashexp_table"), "metadata")
+
+    # simulate the pre-fix hazard: a parent metadata file vanishing
+    # out from under the kept chain (crash between deletes and relink)
+    hist = p.table.history()
+    assert len(hist) >= 1
+    cur = p.table.current()
+    if cur.parent_version is not None:
+        os.remove(os.path.join(meta_dir, f"v{cur.parent_version}.metadata.json"))
+        # history() must stop gracefully, not raise
+        assert [s.version for s in p.table.history()] == [cur.version]
+
+    # the pipeline keeps working: next batch applies + expires cleanly
+    extra = feed_df.limit(50)
+    rec = p.apply_batch(
+        extra, batch_id=p.checkpoints.next_batch_id(),
+        offset_start=SPEC.n_events, offset_end=SPEC.n_events + 49,
+    )
+    assert rec["fenced"] is False
+    assert p.read_table().count() > 0
+    # expiry is idempotent: a second run right after is a no-op
+    assert p.table.expire_snapshots(keep_last=2) == 0
+
+
+def test_quarantine_idempotent_on_replay(spark, feed_df, tmp_path):
+    """Crash-window semantics: the per-batch quarantine dir is written
+    with overwrite BEFORE the table commit, so replaying a batch
+    (crash after quarantine write, before merge commit) neither loses
+    nor duplicates dead-letter rows."""
+    import os
+
+    qpath = str(tmp_path / "quar")
+    p = CdcPipeline(
+        spark,
+        str(tmp_path / "qr_table"),
+        str(tmp_path / "qr_ckpt"),
+        n_buckets=8,
+        n_source_parts=SPEC.n_source_parts,
+        quarantine_path=qpath,
+    )
+    corrupted = feed_df.withColumn(
+        "format",
+        F.when(F.col("offset") % 10 == 0, "bogus").otherwise(F.col("format")),
+    )
+
+    batch = corrupted.filter(F.col("offset") < 400)
+    # simulate a stale partial write from a crashed earlier attempt
+    os.makedirs(f"{qpath}/batch_id=0", exist_ok=True)
+    batch.limit(3).withColumn("error", F.lit("stale")).write.mode(
+        "overwrite"
+    ).parquet(f"{qpath}/batch_id=0")
+
+    p.apply_batch(batch, batch_id=0, offset_start=0, offset_end=399)
+    q = spark.read.parquet(qpath)
+    expected_bad = batch.filter(F.col("offset") % 10 == 0).count()
+    assert q.count() == expected_bad  # stale rows overwritten, no dupes
+    assert set(q.select("batch_id").distinct().toPandas()["batch_id"]) == {0}
+
+    # a fully-committed batch replay is fenced BEFORE the quarantine
+    # write and leaves the dir untouched
+    rec = p.apply_batch(batch, batch_id=0, offset_start=0, offset_end=399)
+    assert rec["fenced"] is True
+    assert spark.read.parquet(qpath).count() == expected_bad
+
+
+def test_merge_observed_counts(spark, feed_df, tmp_path):
+    """rows_written/tombstones come from the commit write itself and
+    must reconcile with the table state."""
+    p = _run_pipeline(spark, feed_df, tmp_path, batch_size=500, name="obs")
+    last = p.checkpoints.all()[-1]
+    assert last["rows_written"] is not None
+    live = p.read_table().count()
+    hidden = p.table.read(include_hidden=True).count()
+    # final batch touched every bucket (batch >> buckets), so its
+    # rows_written equals the whole table incl. tombstones
+    assert last["rows_written"] == hidden
+    assert last["tombstones"] == hidden - live

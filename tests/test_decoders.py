@@ -74,3 +74,98 @@ def test_malformed_rows_quarantined(spark):
     q = quarantine.collect()
     assert len(q) == 3
     assert all(r["error"] for r in q)
+
+
+def test_edi_release_char_roundtrip(spark):
+    """Escape-matrix edge cases, incl. the escaped-escape-before-
+    delimiter ambiguity ('??*' = literal '?' then a REAL element
+    break) that a lookbehind regex cannot express."""
+    from omniparser_spark.sources.edi import edi_element, edi_tree
+
+    cases = [
+        # (payload, seg, elem_idx, rep, comp, expected)
+        ("SEG*a?*b~", "SEG", 1, 0, 0, "a*b"),          # released elem delim
+        ("SEG*a??*b~", "SEG", 1, 0, 0, "a?"),          # ?? then real break
+        ("SEG*a??*b~", "SEG", 2, 0, 0, "b"),
+        ("SEG*a?~b~", "SEG", 1, 0, 0, "a~b"),          # released seg delim
+        ("SEG*x?:y:z~", "SEG", 1, 0, 0, "x:y"),        # released comp delim
+        ("SEG*x?:y:z~", "SEG", 1, 0, 1, "z"),
+        ("SEG*r?^s^t~", "SEG", 1, 0, 0, "r^s"),        # released rep delim
+        ("SEG*r?^s^t~", "SEG", 1, 1, 0, "t"),
+        ("SEG*??????~", "SEG", 1, 0, 0, "???"),        # escape storm
+        ("A*1~B*2~", "B", 1, 0, 0, "2"),               # segment addressing
+        ("A*1~B*2~", "C", 1, 0, 0, None),              # missing -> NULL
+        ("A*1~", "A", 5, 0, 0, None),                  # missing element
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i int, payload string"
+    )
+    tree = edi_tree(F.col("payload"))
+    cols = [
+        F.when(F.col("i") == i, edi_element(tree, s, e, r, c))
+        for i, (_, s, e, r, c, _exp) in enumerate(cases)
+    ]
+    got = df.select(
+        "i", F.coalesce(*cols).alias("v") if len(cols) > 1 else cols[0].alias("v")
+    ).collect()
+    by_i = {r["i"]: r["v"] for r in got}
+    for i, (_, _, _, _, _, exp) in enumerate(cases):
+        assert by_i[i] == exp, f"case {i}: got {by_i[i]!r} want {exp!r}"
+
+
+def test_xml_namespace_resolution(spark):
+    from omniparser_spark.sources.decoders import (
+        xml_namespace_map,
+        xml_root_prefix,
+        xml_strip_namespaces,
+    )
+
+    payload = (
+        '<po:order xmlns:po="urn:po" xmlns:x="urn:x" po:id="7">'
+        "<po:item x:q=\"2\">a &lt; b</po:item></po:order>"
+    )
+    df = spark.createDataFrame([(payload,)], "payload string")
+    row = df.select(
+        xml_root_prefix(F.col("payload")).alias("p"),
+        xml_namespace_map(F.col("payload")).alias("m"),
+        xml_strip_namespaces(F.col("payload")).alias("s"),
+    ).collect()[0]
+    assert row["p"] == "po"
+    assert row["m"] == {"po": "urn:po", "x": "urn:x"}
+    assert row["s"] == '<order id="7"><item q="2">a &lt; b</item></order>'
+
+
+def test_windows_1252_decode(spark):
+    """cp1252 0x80-0x9F must map to printable punctuation (latin-1
+    would give C1 controls); defined bytes checked exhaustively."""
+    from omniparser_spark.sources.decoders import (
+        _CP1252_DEFINED,
+        decode_charset,
+    )
+
+    hexes = "".join(f"{b:02X}" for b in _CP1252_DEFINED)
+    expected = bytes(_CP1252_DEFINED).decode("cp1252")
+    df = spark.createDataFrame([(hexes,)], "h string")
+    got = df.select(
+        decode_charset(F.to_binary(F.col("h"), F.lit("hex")), "windows-1252").alias("s")
+    ).collect()[0]["s"]
+    assert got == expected
+
+
+def test_csv_header_verification(spark):
+    from omniparser_spark.sources.decoders import verify_csv_header
+
+    rows = [
+        (1, 1, "id,name"),
+        (1, 2, "7,alice"),
+        (2, 1, "id,nope"),   # mismatching header
+        (2, 2, "8,bob"),
+        (3, 2, "9,carol"),   # no header row at all
+    ]
+    df = spark.createDataFrame(rows, "file_id int, line_no long, line string")
+    data, quar = verify_csv_header(df, ["id", "name"])
+    assert [(r["file_id"], r["line"]) for r in data.collect()] == [(1, "7,alice")]
+    errs = {r["file_id"]: r["error"] for r in quar.collect()}
+    assert "expected [id,name] got [id,nope]" in errs[2]
+    assert "got [<no header row>]" in errs[3]
+    assert quar.count() == 3  # both rows of file 2 + the row of file 3

@@ -179,3 +179,152 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_ngram_df_cap_bounds_hot_shingle_join(spark):
+    """Pathological boilerplate: every doc shares one stop-shingle.
+    Uncapped, the inverted-index self-join pairs all N docs through it
+    (N^2/2 candidates); with max_df the stop-shingle is dropped from
+    the universe and only the true near-dup pair survives."""
+    n = 60
+    rows = [(i, f"w{i}a w{i}b w{i}c thank you for") for i in range(n)]
+    rows.append((1000, rows[0][1]))  # one genuine duplicate of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, k=3, threshold=0.1, max_df=5)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(0, 1000)}
+
+    # and the capped candidate space itself is bounded: re-run with a
+    # threshold of 0 to see every surviving candidate pair
+    all_pairs = ngram_jaccard_pairs(df, k=3, threshold=0.0, max_df=5)
+    assert all_pairs.count() <= 1, "hot shingle leaked into the join"
+
+    uncapped = ngram_jaccard_pairs(df, k=3, threshold=0.0)
+    assert uncapped.count() == (n + 1) * n // 2  # the quadratic blowup
+
+
+def test_hyperplane_pandas_matches_expr(spark):
+    """The Arrow matrix-projection path must produce bit-identical
+    signatures to the literal-expression path (same md5-derived
+    planes)."""
+    from omniparser_spark.operators.similarity import (
+        with_hyperplane_signatures,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = with_hyperplane_signatures(
+        emb, "embedding", dim=64, n_bits=12, n_tables=4, seed_base=1000,
+        method="expr",
+    ).select("vec_id", F.col("_sigs").alias("s"))
+    b = with_hyperplane_signatures(
+        emb, "embedding", dim=64, n_bits=12, n_tables=4, seed_base=1000,
+        method="pandas",
+    ).select("vec_id", F.col("_sigs").alias("s"))
+    assert (
+        a.alias("a").join(b.alias("b"), "vec_id")
+        .filter(F.expr("a.s <> b.s"))
+        .count()
+        == 0
+    )
+
+
+def test_lsh_topk_high_dim_uses_bounded_plan(spark):
+    """At production embedding dims the signature stage must not bake
+    dim x bits x tables literals into the plan: method='auto' switches
+    to the pandas matrix projection and the query completes."""
+    import time
+
+    from omniparser_spark.operators.similarity import (
+        with_hyperplane_signatures,
+    )
+
+    dim = 512
+    emb = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.sin(F.col("id") * 17 + j * 13),
+        ).cast("array<double>").alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.time()
+    out = lsh_topk(
+        emb, queries, dim=dim, k=5, n_bits=12, n_tables=4, multiprobe=1
+    )
+    sigs = with_hyperplane_signatures(
+        emb, "embedding", dim=dim, n_bits=12, n_tables=4, seed_base=1000
+    )
+    # auto must have picked the pandas path: the plan stays small
+    plan = sigs._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 200_000, f"plan blew up: {len(plan)} chars"
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    assert time.time() - t0 < 120
+
+
+def test_assemble_envelopes_quarantine(spark):
+    """Strays between envelopes and unclosed envelopes quarantine;
+    closed envelopes keep exactly their body lines."""
+    from omniparser_spark.operators.assembly import assemble_envelopes
+
+    rows = [
+        (1, 1, "HDR a"),
+        (1, 2, "body 1"),
+        (1, 3, "TRL a"),
+        (1, 4, "stray line"),     # between envelopes -> quarantine
+        (1, 5, "HDR b"),
+        (1, 6, "body 2"),
+        (1, 7, "body 3"),
+        (1, 8, "TRL b"),
+        (1, 9, "HDR c"),          # never closed -> quarantine
+        (1, 10, "body 4"),
+        (2, 1, "noise before"),   # before any header -> quarantine
+        (2, 2, "HDR z"),
+        (2, 3, "TRL z"),
+    ]
+    df = spark.createDataFrame(rows, "file_id int, line_no long, line string")
+    records, quar = assemble_envelopes(df, r"^HDR", r"^TRL")
+    recs = {
+        (r["file_id"], r["record_seq"]): (r["header"], list(r["body"]), r["footer"])
+        for r in records.collect()
+    }
+    assert recs == {
+        (1, 1): ("HDR a", ["body 1"], "TRL a"),
+        (1, 2): ("HDR b", ["body 2", "body 3"], "TRL b"),
+        (2, 1): ("HDR z", [], "TRL z"),
+    }
+    errs = sorted(r["error"] for r in quar.collect())
+    assert errs == [
+        "envelope not closed by footer",
+        "unexpected data outside any envelope",
+        "unexpected data outside any envelope",
+    ]
+
+
+def test_per_type_occurs(spark):
+    """Per-record-type min/max occurs (reference per-decl bounds)."""
+    rows = [
+        (1, 1, True, "P"),
+        (1, 2, False, "E"),
+        (1, 3, False, "E"),
+        (1, 4, False, "E"),   # E max 2 exceeded
+        (1, 5, True, "P"),
+        (1, 6, False, "O"),   # ok: 1 O, 0 E
+        (1, 7, True, "P"),    # no O -> O min 1 violated
+    ]
+    df = spark.createDataFrame(
+        rows, "file_id int, line_no long, is_p boolean, rtype string"
+    )
+    recs, quar = assemble_parent_child(
+        df,
+        F.col("is_p"),
+        type_col="rtype",
+        occurs_by_type={"E": (0, 2), "O": (1, 3)},
+    )
+    by_seq = {r["record_seq"]: r["error"] for r in quar.collect()}
+    assert by_seq[1] == "record type 'E': more than max_occurs=2"
+    assert by_seq[3] == "record type 'O': fewer than min_occurs=1"
+    assert [r["record_seq"] for r in recs.collect()] == [2]
