@@ -1709,6 +1709,70 @@ def _assembly_envelope(spark, sf_dir):
 
 
 @_q(
+    "assembly_rows_envelope",
+    """
+    WITH lines AS (
+      SELECT o_orderkey % 40 AS file_id, o_orderkey * 4 AS line_no,
+             'L0|' || o_orderkey AS line
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey % 40, o_orderkey * 4 + 1, 'L1|' || o_orderstatus
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey % 40, o_orderkey * 4 + 2,
+             'L2|' || trunc(o_totalprice)::BIGINT
+      FROM orders
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY file_id ORDER BY line_no) AS rn
+      FROM lines
+    )
+    SELECT file_id, ((rn - 1) // 3)::BIGINT AS record_seq,
+           array_to_string(list(line ORDER BY line_no), ';') AS rows_cat,
+           count(*) AS n_rows
+    FROM ranked
+    GROUP BY file_id, (rn - 1) // 3
+    """,
+)
+def _assembly_rows_envelope(spark, sf_dir):
+    """Fixed rows-count envelopes (reference by_rows envelopes,
+    fixedlength decl `rows`): every 3 consecutive lines of a file form
+    one record — rank window + integer-division groupBy, one shuffle."""
+    from omniparser_spark.operators.assembly import assemble_rows_envelope
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+
+    def part(off: int, line: Column) -> DataFrame:
+        return o.select(
+            (key % 40).alias("file_id"),
+            (key * 4 + off).alias("line_no"),
+            line.alias("line"),
+        )
+
+    lines = (
+        part(0, F.concat(F.lit("L0|"), key.cast("string")))
+        .unionByName(part(1, F.concat(F.lit("L1|"), F.col("o_orderstatus"))))
+        .unionByName(
+            part(
+                2,
+                F.concat(
+                    F.lit("L2|"),
+                    F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+                ),
+            )
+        )
+    )
+    out = assemble_rows_envelope(lines, n_rows=3)
+    return out.select(
+        "file_id",
+        "record_seq",
+        F.array_join("rows", ";").alias("rows_cat"),
+        "n_rows",
+    )
+
+
+@_q(
     "assembly_occurs",
     """
     WITH lines AS (
@@ -2396,6 +2460,42 @@ def _dec_charset_matrix(spark, sf_dir):
     )
     return ev.select(
         "event_id", charset.alias("charset"), decoded.alias("decoded")
+    )
+
+
+@_q(
+    "decode_csv_multichar",
+    """
+    SELECT o_orderkey AS okey,
+           'o' || o_orderkey AS f0,
+           'quoted |~| text "x" ' || o_orderstatus AS f1,
+           trunc(o_totalprice)::BIGINT::VARCHAR AS f2
+    FROM orders
+    """,
+)
+def _dec_csv_multichar(spark, sf_dir):
+    """Multi-rune CSV delimiter (reference csv2 decl.go:14-165 —
+    delimiter may be any string; from_csv's sep is single-char only):
+    quote-aware regexp split, delimiters inside quoted fields are data,
+    doubled quotes unescape. Roundtrip vs plaintext oracle."""
+    from omniparser_spark.sources.decoders import split_delimited
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    payload = F.concat(
+        F.lit("o"),
+        key.cast("string"),
+        F.lit('|~|"quoted |~| text ""x"" '),
+        F.col("o_orderstatus"),
+        F.lit('"|~|'),
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+    )
+    fields = split_delimited(payload, "|~|")
+    return o.select(
+        key.alias("okey"),
+        fields.getItem(0).alias("f0"),
+        fields.getItem(1).alias("f1"),
+        fields.getItem(2).alias("f2"),
     )
 
 

@@ -214,6 +214,46 @@ def assemble_envelopes(
     return records, quarantine
 
 
+def assemble_rows_envelope(
+    lines: DataFrame,
+    n_rows: int,
+    file_col: str = "file_id",
+    order_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """Fixed `rows`-count envelopes: every `n_rows` consecutive lines of
+    a file form one record (reference by_rows envelopes,
+    flatfile/fixedlength/decl.go `rows`, legacy fixedlength/decl.go
+    by_rows). One window to rank lines within the file, then a groupBy
+    on the rank's integer division — the same single-shuffle shape as
+    the other assemblers. Records with fewer than n_rows lines (file
+    tail) keep a short `rows` array; callers enforce occurs if needed.
+
+    Returns (file_col, record_seq, rows array<string> in line order,
+    n_rows).
+    """
+    w = Window.partitionBy(file_col).orderBy(order_col)
+    tagged = lines.withColumn(
+        "_seq", ((F.row_number().over(w) - 1) / n_rows).cast("long")
+    )
+    return (
+        tagged.groupBy(file_col, F.col("_seq").alias("record_seq"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(order_col).alias("_ord"),
+                        F.col(line_col).alias("ln"),
+                    )
+                )
+            ).alias("_rows")
+        )
+        .withColumn("rows", F.transform("_rows", lambda s: s.getField("ln")))
+        .withColumn("n_rows", F.size("rows"))
+        .drop("_rows")
+    )
+
+
 def assemble_delimited_payload(
     df: DataFrame,
     payload_col: str = "payload",

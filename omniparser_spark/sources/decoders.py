@@ -174,6 +174,41 @@ def decode_charset(binary: Column, charset: str) -> Column:
     raise ValueError(f"unsupported charset: {charset}")
 
 
+# --------------------------------------------- multi-char CSV delimiters
+#
+# The reference's csv2 delimiter is multi-rune-safe
+# (fileformat/flatfile/csv/decl.go:14-165) — Spark's from_csv `sep` is
+# single-char only, so multi-char delimiters get a quote-aware regexp
+# split instead: split on the delimiter only when an EVEN number of
+# quotes lies ahead (i.e. we are outside a quoted field), then unquote
+# + fold doubled quotes. Pure JVM expressions.
+
+def split_delimited(
+    payload: Column, sep: str, quote: str | None = '"'
+) -> Column:
+    """array<string> of fields; `sep` may be any length. RFC-4180-ish:
+    fields may be quoted, delimiters inside quotes are data, doubled
+    quotes unescape. `quote=None` for a plain split."""
+    import re as _re
+
+    if not quote:
+        return F.split(payload, _re.escape(sep))
+    q = _re.escape(quote)
+    pat = _re.escape(sep) + f"(?=(?:[^{q}]*{q}[^{q}]*{q})*[^{q}]*$)"
+    parts = F.split(payload, pat)
+
+    def unquote(p: Column) -> Column:
+        inner = p.substr(F.lit(2), F.length(p) - 2)
+        return F.when(
+            (F.length(p) >= 2)
+            & F.startswith(p, F.lit(quote))
+            & F.endswith(p, F.lit(quote)),
+            F.replace(inner, F.lit(quote + quote), F.lit(quote)),
+        ).otherwise(p)
+
+    return F.transform(parts, unquote)
+
+
 # ------------------------------------------- legacy CSV header verification
 
 def verify_csv_header(

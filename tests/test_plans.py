@@ -107,3 +107,53 @@ def test_lww_dedup_partial_aggregates(spark, feed):
     good, _ = split_flagged(normalize_flagged(feed))
     plan = _plan(lww_dedup(good, keys=("conv_id", "turn_idx")))
     assert "partial_max_by" in plan or "partial_maxby" in plan.lower(), plan
+
+
+def test_csv_header_verify_broadcasts(spark):
+    """The one-row-per-file header set must broadcast to the data-row
+    join — a shuffle join keyed on file_id would co-shuffle the whole
+    corpus just to check headers."""
+    from omniparser_spark.sources.decoders import verify_csv_header
+
+    lines = spark.range(0, 1000).select(
+        (F.col("id") % 10).alias("file_id"),
+        (F.col("id") + 2).alias("line_no"),
+        F.concat_ws(",", F.lit("a"), F.col("id").cast("string")).alias("line"),
+    )
+    data, _ = verify_csv_header(lines, ["a", "b"])
+    assert "BroadcastHashJoin" in _plan(data)
+
+
+def test_ngram_df_cap_partial_aggregates(spark):
+    """Both the shingle-frequency count and the pair-intersection count
+    must partial-aggregate map-side."""
+    from omniparser_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    d = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some words here number "), F.col("id").cast("string")).alias("text"),
+    )
+    plan = _plan(ngram_jaccard_pairs(d, max_df=5))
+    assert "partial_count" in plan
+
+
+def test_decoder_family_is_shuffle_free(spark, feed):
+    """EDI tree / namespace-XML / charset decoders are scan-bound: no
+    Exchange may appear in their plans."""
+    from omniparser_spark.sources.decoders import decode_charset
+    from omniparser_spark.sources.edi import edi_element, edi_tree
+
+    df = feed.select(
+        "offset",
+        F.concat(F.lit("SEG*a?*b~REF*"), F.col("format")).alias("p"),
+    )
+    tree = edi_tree(F.col("p"))
+    edi_plan = _plan(df.select(edi_element(tree, "REF", 1).alias("v")))
+    assert "Exchange" not in edi_plan
+
+    cs_plan = _plan(
+        feed.select(
+            decode_charset(F.encode("format", "UTF-8"), "windows-1252")
+        )
+    )
+    assert "Exchange" not in cs_plan
