@@ -2665,6 +2665,116 @@ def _streaming(spark, sf_dir):
     )
 
 
+@_q(
+    "streaming_windowed_rollup",
+    """
+    SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
+           event_type,
+           count(*) AS n,
+           (sum(value::DECIMAL(18,2))::DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def _stream_windowed_rollup(spark, sf_dir):
+    """Watermarked tumbling-window streaming aggregate
+    (streaming/windows.py): the events table staged as a 6-file
+    directory is consumed as a file stream in 3 epochs; the final
+    complete-mode result must equal the batch day-window rollup. The
+    watermark here is wider than the feed's span so no row is
+    late-dropped (complete-mode determinism); the append-mode eviction
+    and late-drop semantics are pinned in tests/test_streaming_windows
+    .py. Decimal sums keep the result independent of epoch slicing."""
+    from omniparser_spark.streaming.windows import (
+        run_bounded,
+        stage_stream_dir,
+        windowed_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_roll_")
+    stage_stream_dir(ev, f"{tmp}/src", n_files=6)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{tmp}/src")
+    )
+    out = windowed_rollup(
+        stream, ts_col="ts", window_duration="1 day", watermark="40 days"
+    )
+    res = run_bounded(out, "complete", checkpoint_dir=f"{tmp}/ckpt")
+    return res.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@_q(
+    "streaming_sessionize_state",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts) > 3600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           (1 + sum(new_s))::BIGINT AS n_sessions,
+           min(ts_us) AS first_ts_us, max(ts_us) AS last_ts_us
+    FROM e GROUP BY user_id
+    """,
+)
+def _stream_sessionize_state(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/windows.py sessionize_with_state): per-user running
+    summary with gap-based session count, state carried across epochs.
+    The cumulative design makes the final per-key row invariant to
+    arrival order and epoch slicing, so it hash-matches the batch
+    lag-window SQL."""
+    from omniparser_spark.streaming.windows import (
+        run_bounded,
+        sessionize_with_state,
+        stage_stream_dir,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_sess_")
+    stage_stream_dir(ev, f"{tmp}/src", n_files=6)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{tmp}/src")
+    )
+    out = sessionize_with_state(stream, key_col="user_id", gap_minutes=60)
+    res = run_bounded(out, "update", checkpoint_dir=f"{tmp}/ckpt")
+    # update-mode sink holds one cumulative row per (key, epoch-with-
+    # data); the per-key final answer is the row with the largest
+    # n_events (strictly increasing — the operator only fires for keys
+    # present in the epoch)
+    payload = F.struct("n_sessions", "first_ts_us", "last_ts_us")
+    return (
+        res.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by(payload, F.col("n_events")).alias("_w"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("_w.n_sessions").alias("n_sessions"),
+            F.col("_w.first_ts_us").alias("first_ts_us"),
+            F.col("_w.last_ts_us").alias("last_ts_us"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

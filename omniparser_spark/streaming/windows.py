@@ -1,0 +1,161 @@
+"""Event-time streaming operators: watermarked tumbling-window rollups
+and custom stateful per-key aggregation (``applyInPandasWithState``).
+
+The reference has no event-time semantics at all — its "streaming" is
+bounded-memory pull parsing (SURVEY.md §2.4) — so these operators are
+north-rule/pipeline capabilities, not ports: a 100 TB ingest engine
+needs windowed rollups over the change feed (per-hour/day monitoring
+aggregates) and custom keyed state (per-conversation running summaries)
+computed *incrementally*, without re-scanning history each batch.
+
+Scale shape:
+- the windowed rollup is a streaming hash aggregate: state is one row
+  per (window, group) — bounded by watermark eviction in append mode;
+- the stateful operator keeps one state row per key, partitioned by the
+  grouping key (the same conv_id hash-partitioning as the CDC apply),
+  and processes Arrow batches per key — no per-row Python;
+- both ride Structured Streaming's checkpointed offset tracking, so a
+  restarted query resumes from its last committed epoch exactly like
+  the CDC apply loop resumes from its offset checkpoint.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_rollup(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+    group_cols: Iterable[str] = ("event_type",),
+) -> DataFrame:
+    """Tumbling event-time window aggregate over a streaming DataFrame.
+
+    Returns the transformed *streaming* frame: one row per
+    (window, group) with `n` (count) and `sum_value` (exact decimal sum,
+    so the result is independent of partial-aggregation order). In
+    `append` output mode the watermark closes windows and evicts their
+    state — that is what bounds streaming-aggregate memory on an
+    unbounded feed; events later than the watermark are dropped.
+    """
+    w = stream.withWatermark(ts_col, watermark)
+    return (
+        w.groupBy(F.window(F.col(ts_col), window_duration), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            *group_cols,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_with_state(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 60,
+) -> DataFrame:
+    """Per-key running summary with gap-based session count, as a custom
+    stateful operator (``applyInPandasWithState``).
+
+    State per key: the accumulated event timestamps (epoch micros).
+    Each epoch the group emits one cumulative row: event count, session
+    count (maximal runs of events less than `gap_minutes` apart,
+    computed over the *sorted* accumulated timestamps — so the result is
+    invariant to arrival order and to how the feed is sliced into
+    epochs), and first/last timestamps. The final emitted row per key
+    (the one with the largest n_events) equals the batch answer.
+
+    State is bounded by events-per-key (transcript turns per
+    conversation — tens, not millions); for unbounded keys swap the
+    timestamp list for the (count, sessions, last_ts) triple and accept
+    order-sensitivity, or age keys out with a ProcessingTimeTimeout.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        ts_us = list(state.get[0]) if state.exists else []
+        for pdf in pdf_iter:
+            # normalize to ns first: Arrow may hand datetime64[us] or
+            # [ns] depending on the source parquet's physical type
+            ns = pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]")
+            ts_us.extend(int(t) for t in ns.astype("int64") // 1000)
+        state.update((ts_us,))
+        ts_sorted = sorted(ts_us)
+        sessions = 1 + sum(
+            1
+            for a, b in zip(ts_sorted, ts_sorted[1:])
+            if b - a > gap_us
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [len(ts_sorted)],
+                "n_sessions": [sessions],
+                "first_ts_us": [ts_sorted[0]],
+                "last_ts_us": [ts_sorted[-1]],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{key_col} long, n_events long, n_sessions long, "
+            "first_ts_us long, last_ts_us long"
+        ),
+        stateStructType="ts_us array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_bounded(
+    out: DataFrame,
+    output_mode: str,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Run a streaming transformation over everything currently
+    available (availableNow trigger) into a memory sink and return the
+    sink's content as a batch DataFrame. Tests/oracle harness helper —
+    a production query keeps running with the same plan."""
+    spark = out.sparkSession
+    name = f"rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="stream_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stage_stream_dir(
+    df: DataFrame, path: str, n_files: int = 6
+) -> str:
+    """Materialize a bounded DataFrame as an n-file parquet directory —
+    the file-source stand-in for a Kafka topic (readStream lists the
+    directory; maxFilesPerTrigger slices it into epochs)."""
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return path

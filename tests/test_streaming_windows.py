@@ -1,0 +1,136 @@
+"""Event-time streaming semantics: watermark late-drop + append-mode
+window eviction, and cross-epoch keyed state (applyInPandasWithState).
+
+The oracle rows (`streaming_windowed_rollup`, `streaming_sessionize_
+state`) prove value correctness against DuckDB; these tests pin the
+*streaming-only* behaviors an oracle can't see: which windows emit in
+append mode, that late-beyond-watermark events are dropped, and that
+operator state survives epoch boundaries.
+"""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from omniparser_spark.streaming.windows import (
+    run_bounded,
+    sessionize_with_state,
+    windowed_rollup,
+)
+
+
+def _write_epoch_files(src, frames):
+    """Write one parquet file per epoch with strictly increasing mtimes
+    (the file stream source orders files by modification time)."""
+    src.mkdir(parents=True, exist_ok=True)
+    base = 1_700_000_000
+    paths = []
+    for i, df in enumerate(frames):
+        p = src / f"f{i}.parquet"
+        df = df.copy()
+        if "ts" in df.columns:
+            # parquet micros, matching Spark's TimestampType (pandas
+            # defaults to nanos, which Spark refuses to read as micros)
+            df["ts"] = df["ts"].astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(df), p)
+        os.utime(p, (base + 100 * i, base + 100 * i))
+        paths.append(p)
+    return paths
+
+
+def test_append_mode_watermark_closes_and_drops_late(spark, tmp_path):
+    # epoch 1: two day-1 events + one day-2 event; the day-2 event
+    # advances the watermark to Mar-02 11:00 (> day-1 window end), so
+    # the day-1 window closes and its state is evicted.
+    f1 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                [
+                    "2024-03-01 12:00:00",
+                    "2024-03-01 12:05:00",
+                    "2024-03-02 12:00:00",
+                ]
+            ),
+            "event_type": ["a", "a", "a"],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    # epoch 2: an on-time day-2 event. The late-record filter uses the
+    # PREVIOUS batch's watermark, so this epoch is what makes the
+    # Mar-02 11:00 watermark operative for epoch 3.
+    f2 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-03-02 13:00:00"]),
+            "event_type": ["a"],
+            "value": [5.0],
+        }
+    )
+    # epoch 3: a day-1 event OLDER than the watermark -> dropped, never
+    # aggregated, and the closed day-1 window is not re-emitted.
+    f3 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-03-01 13:00:00"]),
+            "event_type": ["a"],
+            "value": [9.0],
+        }
+    )
+    _write_epoch_files(tmp_path / "src", [f1, f2, f3])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    out = windowed_rollup(
+        stream, ts_col="ts", window_duration="1 day", watermark="1 hour"
+    )
+    rows = run_bounded(
+        out, "append", checkpoint_dir=str(tmp_path / "ckpt")
+    ).collect()
+
+    # exactly the closed day-1 window, with only the on-time events;
+    # the day-2 window never closes (watermark stalls) so append mode
+    # holds it back — that is the state-eviction contract that bounds
+    # memory on an unbounded feed.
+    assert len(rows) == 1
+    (r,) = rows
+    assert r.window_start == pd.Timestamp("2024-03-01 00:00:00")
+    assert r.n == 2
+    assert r.sum_value == 3.0
+
+
+def test_state_carries_across_epochs(spark, tmp_path):
+    # the same key appears in both epochs: the second emission must be
+    # cumulative (state survived the epoch boundary), and the session
+    # split must see the cross-epoch gap.
+    f1 = pd.DataFrame(
+        {
+            "user_id": [7, 7],
+            "ts": pd.to_datetime(["2024-03-01 12:00:00", "2024-03-01 12:10:00"]),
+        }
+    )
+    f2 = pd.DataFrame(
+        {
+            "user_id": [7],
+            "ts": pd.to_datetime(["2024-03-01 15:00:00"]),
+        }
+    )
+    _write_epoch_files(tmp_path / "src", [f1, f2])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    out = sessionize_with_state(stream, key_col="user_id", gap_minutes=60)
+    rows = run_bounded(
+        out, "update", checkpoint_dir=str(tmp_path / "ckpt")
+    ).collect()
+
+    by_n = {r.n_events: r for r in rows}
+    assert set(by_n) == {2, 3}  # one cumulative row per epoch
+    assert by_n[2].n_sessions == 1
+    assert by_n[3].n_sessions == 2  # 15:00 is > 60 min after 12:10
+    assert by_n[3].first_ts_us == by_n[2].first_ts_us
