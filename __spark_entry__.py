@@ -2775,6 +2775,78 @@ def _stream_sessionize_state(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_changelog_read",
+    f"""
+    WITH feed AS (
+{_CDC_FEED_SQL}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, src_offset DESC) AS rn
+      FROM feed
+    ),
+    bounds AS (
+      SELECT 3 * ((max(src_offset) + 1 + 3) // 4) AS last_start FROM feed
+    )
+    SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us,
+           CASE WHEN op = 'D' THEN 'delete' ELSE 'upsert' END AS change_type,
+           src_offset AS commit_offset
+    FROM ranked, bounds
+    WHERE rn = 1 AND src_offset >= bounds.last_start
+    """,
+)
+def _cdc_changelog(spark, sf_dir):
+    """Change-data-feed read (lake/table.py read_changes — Delta CDF
+    parity): after replaying the full feed in 4 micro-batches, the
+    changelog of the LAST batch must be exactly the keys whose global
+    LWW winner arrived in that batch's offset range — post-images with
+    tombstones marked 'delete', and events that lost the LWW race to an
+    earlier batch absent. Zero write-path cost: the merge's
+    `_last_offset` stamp makes the changelog a filter of committed
+    data."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.sources.changefeed import FeedSpec, encode_payload
+
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev)
+    feed = encode_payload(fields, FeedSpec(n_events=1, evolution_frac=0.0)).select(
+        "offset", "op", "format", "payload", "ts", "source_part"
+    )
+    feed = feed.persist()
+    try:
+        total = feed.agg(F.max("offset")).collect()[0][0] + 1
+        tmp = tempfile.mkdtemp(prefix="omniparser_spark_cdf_")
+        pipe = CdcPipeline(
+            spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8,
+            n_source_parts=8,
+        )
+
+        def feed_for_range(start: int, end: int) -> DataFrame:
+            return feed.filter(
+                (F.col("offset") >= start) & (F.col("offset") <= end)
+            )
+
+        batch_size = (total + 3) // 4
+        pipe.run(feed_for_range, total, batch_size=batch_size)
+        out = pipe.table.read_changes(3 * batch_size, total - 1).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            _us("ts").alias("ts_us"),
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_offset").alias("commit_offset"),
+        )
+        out = out.persist()
+        out.count()  # materialize before dropping the feed cache
+        return out
+    finally:
+        feed.unpersist()
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

@@ -150,7 +150,14 @@ class LakeTable:
     def current(self) -> Snapshot:
         with open(os.path.join(self._meta_dir, VERSION_HINT)) as f:
             v = int(f.read().strip())
-        with open(os.path.join(self._meta_dir, f"v{v}.metadata.json")) as f:
+        return self.snapshot_at(v)
+
+    def snapshot_at(self, version: int) -> Snapshot:
+        """Load a specific snapshot's metadata (raises FileNotFoundError
+        if it was expired — same contract as Iceberg time travel)."""
+        with open(
+            os.path.join(self._meta_dir, f"v{version}.metadata.json")
+        ) as f:
             return Snapshot.from_json(f.read())
 
     def schema(self) -> T.StructType:
@@ -192,15 +199,23 @@ class LakeTable:
     # ---------- read ----------
 
     def read(
-        self, buckets: list[int] | None = None, include_hidden: bool = False
+        self,
+        buckets: list[int] | None = None,
+        include_hidden: bool = False,
+        version: int | None = None,
     ) -> DataFrame:
         """Read the current snapshot, optionally pruned to some buckets.
 
-        The current table schema is applied to every file; files
-        predating an added column surface NULL for it (additive
-        evolution without rewrite).
+        `version` time-travels to a historical snapshot (Iceberg
+        `VERSION AS OF`): snapshots are immutable — a COW commit never
+        rewrites a previous snapshot's files, only stops referencing
+        them — so any un-expired version reads exactly as committed.
+
+        The snapshot's schema is applied to every file; files predating
+        an added column surface NULL for it (additive evolution without
+        rewrite).
         """
-        snap = self.current()
+        snap = self.current() if version is None else self.snapshot_at(version)
         schema = T.StructType.fromJson(snap.schema_json)
         dirs = [
             os.path.join(self.path, d)
@@ -352,6 +367,79 @@ class LakeTable:
             ):
                 shutil.rmtree(full, ignore_errors=True)
         return removed
+
+    def read_changes(
+        self,
+        offset_start: int,
+        offset_end: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Change-data-feed read (Delta CDF / Iceberg changelog parity):
+        the post-images of every key whose current winner arrived in
+        the offset range, with `_change_type` 'delete' for tombstoned
+        keys and 'upsert' otherwise.
+
+        Zero write-path cost: the merge already stamps each row's
+        winning offset in `_last_offset`, so the changelog for a batch
+        is a *filter of the committed data* — no diffing of snapshots,
+        no extra commit-time write. A key whose event in the range LOST
+        the LWW race (an out-of-order older event) correctly produces no
+        change row, because the table row it failed to displace carries
+        the earlier winner's offset.
+
+        Scale shape: a parquet scan of the current snapshot (prunable to
+        `buckets`) with the `_last_offset` range predicate pushed to the
+        scan — cost O(table-or-pruned-buckets read), nothing rewritten.
+        Offset ranges per batch/version come from checkpoint records or
+        snapshot summaries (`max_offset_applied`); see
+        `changes_between_versions`.
+        """
+        df = self.read(buckets=buckets, include_hidden=True)
+        cond = F.col("_last_offset") >= offset_start
+        if offset_end is not None:
+            cond = cond & (F.col("_last_offset") <= offset_end)
+        changed = df.filter(cond)
+        return changed.select(
+            *[c for c in changed.columns if not c.startswith("_")],
+            F.when(F.coalesce(F.col("_deleted"), F.lit(False)), "delete")
+            .otherwise("upsert")
+            .alias("_change_type"),
+            F.col("_last_offset").alias("_commit_offset"),
+        )
+
+    def changes_between_versions(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CDF keyed by snapshot versions: every key changed AFTER
+        `from_version` up to `to_version` (default: current). Offset
+        bounds are reconstructed from the immutable snapshot summaries
+        (`max_offset_applied`), so this is metadata + one pruned scan."""
+        cur = self.current()
+        to_v = cur.version if to_version is None else to_version
+        lo = int(self.snapshot_at(from_version).summary.get("max_offset_applied", -1))
+        hi = int(self.snapshot_at(to_v).summary.get("max_offset_applied", -1))
+        return self.read_changes(lo + 1, hi)
+
+    def rescale_buckets(self, new_n_buckets: int) -> Snapshot:
+        """Online bucket rescale (Iceberg `REPLACE PARTITION FIELD
+        bucket(N, key)` + rewrite): one full-table COW rewrite into the
+        new bucket count, committed as a normal snapshot. Run this when
+        the table outgrows its bucket count (merge cost stays
+        O(batch-key-footprint) only while a typical batch touches a
+        strict subset of buckets — see merge_into's cost model); readers
+        and subsequent merges pick the new count up from the snapshot
+        summary, and time travel to pre-rescale versions still works
+        (their metadata pins their own bucket dirs)."""
+        summary = self.summary()
+        key_col = summary["key_col"]
+        df = self.read(include_hidden=True).withColumn(
+            "_bucket", bucket_expr(key_col, new_n_buckets)
+        ).repartition(new_n_buckets, "_bucket")
+        return self.commit(
+            df,
+            touched_buckets=None,
+            summary_updates={"n_buckets": new_n_buckets},
+        )
 
     def evolve_schema_additive(self, new_cols: T.StructType) -> None:
         """ALTER TABLE ADD COLUMNS — metadata-only, no data rewrite."""

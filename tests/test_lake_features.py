@@ -1,0 +1,155 @@
+"""Time travel, change-data-feed reads, and online bucket rescaling.
+
+These are the lake-side capabilities a CDC engine's *consumers* need:
+read the table as of a past commit, read only what a batch changed
+(without diffing snapshots), and grow the bucket count as the table
+grows so per-batch merge cost stays bounded by the batch's key
+footprint.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from omniparser_spark.lake.merge import merge_into
+from omniparser_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _ts(h):
+    return datetime.datetime(2024, 5, 1, h, 0, 0)
+
+
+BATCH_SCHEMA = T.StructType(
+    SCHEMA.fields
+    + [T.StructField("offset", T.LongType()), T.StructField("op", T.StringType())]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [
+            (c, t, "user", text, None, _ts(h), off, op)
+            for (c, t, text, h, off, op) in rows
+        ],
+        BATCH_SCHEMA,
+    )
+
+
+def _make(spark, tmp_path, n_buckets=4):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="conv_id", n_buckets=n_buckets
+    )
+    # batch 1 (offsets 0-2): three inserts
+    merge_into(
+        t,
+        _batch(
+            spark,
+            [
+                ("a", 1, "a1-v1", 1, 0, "I"),
+                ("a", 2, "a2-v1", 1, 1, "I"),
+                ("b", 1, "b1-v1", 1, 2, "I"),
+            ],
+        ),
+        batch_id=0,
+        max_offset=2,
+    )
+    # batch 2 (offsets 3-5): update a/1, delete b/1, and a LOSING
+    # out-of-order event for a/2 (older ts than its v1)
+    merge_into(
+        t,
+        _batch(
+            spark,
+            [
+                ("a", 1, "a1-v2", 2, 3, "U"),
+                ("b", 1, None, 2, 4, "D"),
+                ("a", 2, "a2-stale", 0, 5, "U"),
+            ],
+        ),
+        batch_id=1,
+        max_offset=5,
+    )
+    return t
+
+
+def test_time_travel_reads_immutable_snapshots(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    v_after_b1 = t.snapshot_at(1)
+    assert v_after_b1.summary["batch_id"] == 0
+
+    old = {
+        (r.conv_id, r.turn_idx): r.text for r in t.read(version=1).collect()
+    }
+    assert old == {("a", 1): "a1-v1", ("a", 2): "a2-v1", ("b", 1): "b1-v1"}
+
+    cur = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert cur == {("a", 1): "a1-v2", ("a", 2): "a2-v1"}  # b/1 deleted
+
+
+def test_read_changes_yields_batch_postimages(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    ch = {
+        (r.conv_id, r.turn_idx): (r.text, r._change_type, r._commit_offset)
+        for r in t.read_changes(3, 5).collect()
+    }
+    # a/1 updated, b/1 tombstoned; the stale a/2 event LOST the LWW
+    # race so produces no change row
+    assert ch == {
+        ("a", 1): ("a1-v2", "upsert", 3),
+        ("b", 1): (None, "delete", 4),
+    }
+
+
+def test_changes_between_versions_uses_summaries(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    keys = {
+        (r.conv_id, r.turn_idx)
+        for r in t.changes_between_versions(from_version=1).collect()
+    }
+    assert keys == {("a", 1), ("b", 1)}
+    # full history from the empty v0: every live-or-tombstoned key
+    all_keys = {
+        (r.conv_id, r.turn_idx)
+        for r in t.changes_between_versions(from_version=0).collect()
+    }
+    assert all_keys == {("a", 1), ("a", 2), ("b", 1)}
+
+
+def test_rescale_buckets_preserves_state_and_merges(spark, tmp_path):
+    t = _make(spark, tmp_path, n_buckets=2)
+    before = sorted(
+        (r.conv_id, r.turn_idx, r.text) for r in t.read().collect()
+    )
+    snap = t.rescale_buckets(8)
+    assert snap.summary["n_buckets"] == 8
+    after = sorted(
+        (r.conv_id, r.turn_idx, r.text) for r in t.read().collect()
+    )
+    assert after == before
+    # subsequent merge picks up the new bucket domain and still prunes
+    stats = merge_into(
+        t,
+        _batch(spark, [("a", 1, "a1-v3", 3, 6, "U")]),
+        batch_id=2,
+        max_offset=6,
+    )
+    assert set(stats["touched_buckets"]) <= set(range(8))
+    assert len(stats["touched_buckets"]) < 8  # pruned, not full rewrite
+    cur = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert cur[("a", 1)] == "a1-v3"
+    # CDF still works across the rescale commit (offsets are the spine)
+    ch = {(r.conv_id, r.turn_idx) for r in t.read_changes(6).collect()}
+    assert ch == {("a", 1)}
