@@ -2847,6 +2847,119 @@ def _cdc_changelog(spark, sf_dir):
         feed.unpersist()
 
 
+_NGRAM_PAIRS_CTES = """
+    base AS (
+      SELECT doc_id,
+             list_distinct(ngrams) AS sh,
+             len(list_distinct(ngrams)) AS n_sh
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= 3 THEN
+                 list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+               ELSE [array_to_string(ws, ' ')] END AS ngrams
+        FROM (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS ws
+          FROM documents WHERE length(trim(text)) > 0
+        )
+      )
+    ),
+    inv AS (
+      SELECT doc_id, n_sh, unnest(sh) AS shingle FROM base
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS n_inter,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM inv a JOIN inv b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT id_a, id_b FROM inter
+      WHERE n_inter / (n_a + n_b - n_inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    reach(u, r) AS (
+      SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, rc.r FROM edges e JOIN reach rc ON rc.u = e.v
+    ),
+    comp AS (
+      SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u
+    )
+"""
+
+
+@_q(
+    "dedup_cluster_assign",
+    f"""
+    WITH RECURSIVE
+{_NGRAM_PAIRS_CTES}
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def _cluster_assign(spark, sf_dir):
+    """Transitive near-dup clustering (operators/clustering.py): the
+    n-gram-Jaccard candidate pairs' connected components (iterative
+    min-label propagation, O(diameter) rounds), with unpaired docs as
+    singleton clusters. Oracle: DuckDB recursive-CTE reachability over
+    the identical pair set."""
+    from omniparser_spark.operators.clustering import assign_clusters
+    from omniparser_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.5).select("id_a", "id_b")
+    return assign_clusters(d.select("doc_id"), pairs).select(
+        "doc_id", "cluster_id"
+    )
+
+
+@_q(
+    "dedup_cluster_canonical",
+    f"""
+    WITH RECURSIVE
+{_NGRAM_PAIRS_CTES},
+    assigned AS (
+      SELECT d.doc_id, d.text,
+             coalesce(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY cluster_id
+        ORDER BY length(text) DESC, doc_id ASC) AS rn
+      FROM assigned
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id FROM ranked WHERE rn = 1
+    """,
+)
+def _cluster_canonical(spark, sf_dir):
+    """Canonical-doc selection per near-dup cluster: keep the longest
+    text (ties -> lowest doc_id) via one map-side-combinable max_by —
+    no window sort (operators/clustering.py keep_canonical)."""
+    from omniparser_spark.operators.clustering import (
+        assign_clusters,
+        keep_canonical,
+    )
+    from omniparser_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.5).select("id_a", "id_b")
+    assigned = assign_clusters(d.select("doc_id", "text"), pairs)
+    return keep_canonical(assigned).select(
+        "cluster_id", F.col("doc_id").alias("kept_doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

@@ -1,0 +1,63 @@
+"""Connected-components dedup clustering: convergence, transitivity,
+singleton assignment, canonical selection, and the divergence guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from omniparser_spark.operators.clustering import (
+    assign_clusters,
+    connected_components,
+    keep_canonical,
+)
+
+
+def test_path_graph_converges_to_min_label(spark):
+    # a 12-node path: worst-case diameter for label propagation — the
+    # min label must walk the whole chain
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {i: 0 for i in range(12)}
+
+
+def test_two_components_stay_separate(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_assign_clusters_keeps_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    out = {r.doc_id: r.cluster_id for r in assign_clusters(docs, pairs).collect()}
+    assert out == {0: 0, 3: 0, 5: 0, 1: 1, 2: 2, 4: 4}
+
+
+def test_keep_canonical_prefers_longest_then_lowest_id(spark):
+    assigned = spark.createDataFrame(
+        [
+            (0, "short", 0),
+            (3, "the longest text", 0),
+            (5, "mid text", 0),
+            (1, "solo", 1),
+            (7, "same len a", 2),
+            (8, "same len b", 2),
+        ],
+        "doc_id long, text string, cluster_id long",
+    )
+    kept = {r.cluster_id: r.doc_id for r in keep_canonical(assigned).collect()}
+    assert kept == {0: 3, 1: 1, 2: 7}  # tie in cluster 2 -> lowest id
+
+
+def test_divergence_guard_raises(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=3)
