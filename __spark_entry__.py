@@ -2960,6 +2960,70 @@ def _cluster_canonical(spark, sf_dir):
     )
 
 
+@_q(
+    "text_tfidf_topterms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               x -> length(x) > 0)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df_t,
+             round(tf.tf * ln(n.n_docs::DOUBLE / dfq.df_t), 4) AS tfidf
+      FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY tf DESC, df_t ASC, term ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df_t, tfidf FROM ranked WHERE rn <= 5
+    """,
+)
+def _tfidf(spark, sf_dir):
+    """TF-IDF top-terms per document (operators/tfidf.py): two map-side-
+    combinable aggregations + a broadcast term-df join + per-doc top-k
+    window. Integer-only ranking keys keep top-k selection engine-exact;
+    the ln-based score is rounded to 4 dp."""
+    from omniparser_spark.operators.tfidf import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=5)
+
+
+@_q(
+    "func_copy_raw",
+    """
+    SELECT n_nationkey,
+           '{"k":' || n_nationkey || ',"name":"' || n_name || '"}' AS raw_json
+    FROM nation
+    """,
+)
+def _copy_raw(spark, sf_dir):
+    """`copy` (C12, reference extensions/omniv21/customfuncs/
+    customfuncs.go:17-20 + idr/marshal2.go:205-209): carry the raw
+    ingested subtree through to the output, JSON-marshaled for audit —
+    here the struct column itself (functions/builtin.py copy_raw) with
+    to_json as the marshal step."""
+    from omniparser_spark.functions.builtin import copy_raw
+
+    n = _t(spark, sf_dir, "nation")
+    rec = F.struct(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("name"),
+    )
+    return n.select(
+        "n_nationkey", F.to_json(copy_raw(rec)).alias("raw_json")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
