@@ -72,11 +72,6 @@ def main() -> None:
             spark, spec, f"{tmp}/feed", num_partitions=cpus * 2
         )
 
-        def feed_for_range(start: int, end: int):
-            return feed.filter(
-                (F.col("offset") >= start) & (F.col("offset") <= end)
-            )
-
         # warm-up: one small apply on a scratch table outside the timed
         # window (JIT/codegen warm-up; we measure steady-state
         # throughput, which is what extrapolates to a long-running tail)
@@ -84,10 +79,10 @@ def main() -> None:
             spark, f"{tmp}/warm_table", f"{tmp}/warm_ckpt", n_buckets=8,
             n_source_parts=spec.n_source_parts,
         )
-        warm.run(feed_for_range, min(4000, n_events), batch_size=2000)
+        warm.run_feed(feed, min(4000, n_events), batch_size=2000)
 
         t0 = time.time()
-        pipe.run(feed_for_range, spec.n_events, batch_size=max(n_events // 4, 1))
+        pipe.run_feed(feed, spec.n_events, batch_size=max(n_events // 4, 1))
         cdc_secs = time.time() - t0
         timings["cdc_apply_e2e"] = round(cdc_secs, 3)
         events_per_sec = n_events / cdc_secs

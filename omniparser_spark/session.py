@@ -79,6 +79,19 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the lake's own snapshot metadata is the commit record (atomic
+        # version-pointer swap): the Hadoop _SUCCESS marker and the v1
+        # double-rename job commit are pure per-commit overhead here — a
+        # crashed v2 write leaves files no snapshot references, which
+        # expire_snapshots' scan-based GC collects.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+            "false",
+        )
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

@@ -48,6 +48,27 @@ def test_offset_and_format_predicates_push_to_scan(spark, feed):
         spark.conf.unset("spark.sql.maxMetadataStringLength")
 
 
+def test_offset_filter_after_normalize_pushes_to_scan(spark, feed):
+    """run_feed builds the decode tree ONCE over the whole feed and
+    slices each micro-batch by filtering the normalized frame — the
+    offset predicate must still travel through the per-format union and
+    decode projections down to the parquet scan."""
+    from omniparser_spark.operators.normalize import normalize_flagged
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        canon_full = normalize_flagged(feed)
+        sliced = canon_full.filter(
+            (F.col("offset") >= 100) & (F.col("offset") <= 900)
+        )
+        plan = _plan(sliced)
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(offset,100)" in plan
+        assert "LessThanOrEqual(offset,900)" in plan
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+
+
 def test_merge_aggregate_is_map_side_combinable(spark, feed, tmp_path):
     """The MERGE's LWW winner must partial-aggregate before the
     shuffle; a plan that ships every raw event of a hot key to one

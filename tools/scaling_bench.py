@@ -46,9 +46,6 @@ def run_one(
     )
     feed = spark.read.parquet(feed_dir)
 
-    def feed_for_range(start: int, end: int):
-        return feed.filter((F.col("offset") >= start) & (F.col("offset") <= end))
-
     # warm the JVM/codegen path outside the timed window with a small
     # full-pipeline run on a scratch table (steady-state measurement:
     # the deployment target is a long-lived tail daemon, not a cold JVM)
@@ -56,7 +53,7 @@ def run_one(
         spark, f"{work_dir}/warm_table", f"{work_dir}/warm_ckpt", n_buckets=8,
         n_source_parts=8,
     )
-    warm.run(feed_for_range, min(4000, n_events), batch_size=2000)
+    warm.run_feed(feed, min(4000, n_events), batch_size=2000)
 
     trial_secs = []
     final_rows = None
@@ -70,7 +67,7 @@ def run_one(
             n_source_parts=8,
         )
         t0 = time.time()
-        pipe.run(feed_for_range, n_events, batch_size=max(n_events // 4, 1))
+        pipe.run_feed(feed, n_events, batch_size=max(n_events // 4, 1))
         trial_secs.append(round(time.time() - t0, 3))
         final_rows = pipe.read_table().count()
         shutil.rmtree(f"{work_dir}/table_{t}", ignore_errors=True)
