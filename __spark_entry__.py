@@ -3024,6 +3024,51 @@ def _copy_raw(spark, sf_dir):
     )
 
 
+@_q(
+    "asof_join_enrich",
+    """
+    WITH dim0 AS (
+      SELECT user_id, ts, value, row_number() OVER (
+        PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'click'
+    ),
+    dim AS (SELECT user_id, ts, value FROM dim0 WHERE rn = 1),
+    l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type <> 'click'
+    )
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           round(d.value, 6) AS asof_value
+    FROM l ASOF LEFT JOIN dim d
+      ON l.user_id = d.user_id AND l.ts >= d.ts
+    """,
+)
+def _asof_enrich(spark, sf_dir):
+    """As-of join (operators/asof.py): enrich every non-click event
+    with the user's latest click value at or before the event time —
+    the union-merge pattern (one shuffle + per-key sort; no range-join
+    blowup). Oracle: DuckDB's native ASOF LEFT JOIN over the identical
+    deduped dim."""
+    from omniparser_spark.operators.asof import asof_join
+    from omniparser_spark.operators.dedup import lww_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    dim = lww_dedup(
+        ev.filter(F.col("event_type") == "click"),
+        keys=("user_id", "ts"),
+        order=("event_id",),
+    ).select("user_id", "ts", "value")
+    left = ev.filter(F.col("event_type") != "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(left, dim, key="user_id", value_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        _us("ts").alias("ts_us"),
+        F.round("value", 6).alias("asof_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
