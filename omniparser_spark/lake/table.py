@@ -407,6 +407,28 @@ class LakeTable:
             F.col("_last_offset").alias("_commit_offset"),
         )
 
+    def lookup(self, key_value, include_hidden: bool = False) -> DataFrame:
+        """Point read of one key: hash it to its bucket with the same
+        transform the writer used, scan ONLY that bucket's directory,
+        and filter the key equality there — O(one bucket) I/O however
+        large the table is (Iceberg bucket-transform partition pruning;
+        serving-path complement of the merge's write-side pruning).
+
+        The bucket id is computed with a one-row local Spark job so the
+        hash is bit-identical to the JVM xxhash64 the writer used —
+        ~10 ms, not a scan.
+        """
+        summary = self.summary()
+        key_col = summary["key_col"]
+        n_buckets = int(summary["n_buckets"])
+        b = (
+            self.spark.range(1)
+            .select(bucket_expr(F.lit(key_value), n_buckets).alias("b"))
+            .collect()[0]["b"]
+        )
+        df = self.read(buckets=[int(b)], include_hidden=include_hidden)
+        return df.filter(F.col(key_col) == key_value)
+
     def changes_between_versions(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:

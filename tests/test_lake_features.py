@@ -128,6 +128,22 @@ def test_changes_between_versions_uses_summaries(spark, tmp_path):
     assert all_keys == {("a", 1), ("a", 2), ("b", 1)}
 
 
+def test_lookup_reads_one_bucket_only(spark, tmp_path):
+    t = _make(spark, tmp_path, n_buckets=4)
+    out = t.lookup("a")
+    rows = {(r.conv_id, r.turn_idx): r.text for r in out.collect()}
+    assert rows == {("a", 1): "a1-v2", ("a", 2): "a2-v1"}
+    # the scan must touch only conv 'a's bucket directory
+    touched_dirs = {f.rsplit("/", 2)[-2] for f in out.inputFiles()}
+    all_dirs = {
+        d.rsplit("/", 1)[-1] for d in t.current().bucket_dirs.values()
+    }
+    assert len(touched_dirs) == 1
+    assert len(all_dirs) >= 2  # table spans several buckets
+    # deleted keys stay invisible on the serving path
+    assert t.lookup("b").count() == 0
+
+
 def test_rescale_buckets_preserves_state_and_merges(spark, tmp_path):
     t = _make(spark, tmp_path, n_buckets=2)
     before = sorted(
