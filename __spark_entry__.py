@@ -3069,6 +3069,107 @@ def _asof_enrich(spark, sf_dir):
     )
 
 
+@_q(
+    "profile_numeric_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           count(CASE WHEN value IS NULL THEN 1 END) AS n_null,
+           round(min(value), 6) AS min_v,
+           round(max(value), 6) AS max_v,
+           round((sum(value::DECIMAL(28,6))::DOUBLE) / count(value), 6)
+             AS mean_v,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def _profile(spark, sf_dir):
+    """Per-group column profiling (operators/profile.py): counts, null
+    counts, min/max, decimal-exact mean, EXACT interpolated percentiles
+    (Spark `percentile` == DuckDB `quantile_cont`). Feed-monitoring
+    dimensions are bounded groups, so exact per-group percentiles are
+    the right default; approx=True (t-digest) is the open-domain path."""
+    from omniparser_spark.operators.profile import profile_numeric
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_numeric(
+        ev, group_cols=["event_type"], value_col="value",
+        percentiles=(0.5, 0.95),
+    )
+
+
+@_q(
+    "streaming_session_windows",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) // 1000 - epoch_us(lag(ts) OVER w) // 1000
+                       > 3600000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             (epoch_us(min(ts)) // 1000)::BIGINT AS session_start_ms,
+             (epoch_us(max(ts)) // 1000)::BIGINT AS session_end_ms,
+             count(*) AS n_events,
+             max(sid) OVER (PARTITION BY user_id) AS last_sid
+      FROM g GROUP BY user_id, sid
+    ),
+    wm AS (
+      SELECT epoch_us(max(ts)) // 1000 - 30 * 60 * 1000 AS final_wm_ms
+      FROM events
+    )
+    SELECT user_id, session_start_ms, session_end_ms, n_events
+    FROM sess, wm
+    WHERE sid < last_sid
+       OR session_end_ms + 3600000 <= wm.final_wm_ms
+    """,
+)
+def _stream_session_windows(spark, sf_dir):
+    """Event-time session windows with timeout-driven state eviction
+    (streaming/windows.py session_windows): gap-based sessions per user
+    over the staged event stream. The emitted set is epoch-structure-
+    invariant, hence SQL-expressible: every non-last session of a key
+    closes in-stream when its successor's first event arrives; a key's
+    last session closes iff the final watermark (global max ts - delay)
+    passed its end + gap. Open sessions are withheld — the append-mode
+    contract that bounds state."""
+    from omniparser_spark.streaming.windows import (
+        run_bounded,
+        session_windows,
+        stage_stream_dir,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_sessw_")
+    # time-ordered staging: sessions (unlike the commutative rollup and
+    # cumulative sessionizer) need the bounded-disorder arrival the
+    # watermark models
+    stage_stream_dir(ev, f"{tmp}/src", n_files=6, order_by="ts")
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{tmp}/src")
+    )
+    out = session_windows(
+        stream, key_col="user_id", gap_minutes=60, watermark="30 minutes"
+    )
+    return run_bounded(out, "append", checkpoint_dir=f"{tmp}/ckpt")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

@@ -125,6 +125,101 @@ def sessionize_with_state(
     )
 
 
+def session_windows(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 60,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time session windows as a custom stateful operator with
+    timeout-driven state EVICTION — the operator `sessionize_with_state`
+    deliberately isn't: here sessions CLOSE and their state is FREED,
+    so the key domain may be unbounded (the 100 TB contract).
+
+    A session closes two ways, both deterministic in event time:
+    - in-stream: a later event for the key arrives more than `gap`
+      after the session's last event (the closed session is emitted
+      with the same batch);
+    - timeout: the watermark passes last_event + gap (handles keys that
+      never speak again — this is what bounds state).
+    Events later than the watermark are dropped before the operator.
+    Sessions still open when a bounded run ends are not emitted (same
+    contract as append-mode windows).
+
+    Built on ``applyInPandasWithState`` + ``EventTimeTimeout``. (Spark
+    4's ``transformWithStateInPandas`` maps 1:1 — value state =
+    the state tuple, registerTimer = setTimeoutTimestamp — but its
+    driver worker needs google.protobuf, absent in this sandbox; the
+    classic API uses the plain Arrow worker path.)
+    """
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()  # session closed; state freed
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start_ms": [start_ms],
+                    "session_end_ms": [last_ms],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_ms = []
+        for pdf in pdf_iter:
+            ns = pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]")
+            ts_ms.extend(int(t) for t in ns.astype("int64") // 1_000_000)
+        cur = state.get if state.exists else None
+        closed = []
+        for t in sorted(ts_ms):
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_ms:
+                closed.append(cur)  # gap closure within the stream
+                cur = (t, t, 1)
+            else:
+                cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
+        # an event admitted in the watermark's one-batch lag window can
+        # belong to a session that is ALREADY past its timeout vs the
+        # current watermark — setTimeoutTimestamp would reject it, and
+        # it would have timed out this batch anyway: close it eagerly.
+        wm = state.getCurrentWatermarkMs()
+        if cur[1] + gap_ms <= wm:
+            closed.append(cur)
+            state.remove()
+        else:
+            state.update(cur)
+            # arm/refresh the event-time timeout for the live session
+            state.setTimeoutTimestamp(cur[1] + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(closed),
+                    "session_start_ms": [c[0] for c in closed],
+                    "session_end_ms": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                f"{key_col} long, session_start_ms long, "
+                "session_end_ms long, n_events long"
+            ),
+            stateStructType="start_ms long, last_ms long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_bounded(
     out: DataFrame,
     output_mode: str,
@@ -152,10 +247,35 @@ def run_bounded(
 
 
 def stage_stream_dir(
-    df: DataFrame, path: str, n_files: int = 6
+    df: DataFrame, path: str, n_files: int = 6, order_by: str | None = None
 ) -> str:
     """Materialize a bounded DataFrame as an n-file parquet directory —
     the file-source stand-in for a Kafka topic (readStream lists the
-    directory; maxFilesPerTrigger slices it into epochs)."""
-    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    directory; maxFilesPerTrigger slices it into epochs).
+
+    `order_by`: range-partition the files by this column and stamp
+    their mtimes in range order, so the file source replays them in
+    (roughly) that order — the bounded-disorder arrival contract a
+    watermark models (a binlog/Kafka feed is time-ordered per
+    partition; a directory of randomly-sliced files is not)."""
+    import os
+    import re
+
+    if order_by is None:
+        df.repartition(n_files).write.mode("overwrite").parquet(path)
+        return path
+    (
+        df.repartitionByRange(n_files, F.col(order_by))
+        .sortWithinPartitions(order_by)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    # part-NNNNN maps to range-partition NNNNN (ascending ranges):
+    # stamp mtimes in that order for the file source's mtime ordering
+    base = 1_000_000_000
+    for fname in os.listdir(path):
+        m = re.match(r"part-(\d+)", fname)
+        if m:
+            t = base + int(m.group(1)) * 100
+            os.utime(os.path.join(path, fname), (t, t))
     return path

@@ -101,6 +101,59 @@ def test_append_mode_watermark_closes_and_drops_late(spark, tmp_path):
     assert r.sum_value == 3.0
 
 
+def test_session_windows_close_by_gap_and_timeout(spark, tmp_path):
+    from omniparser_spark.streaming.windows import session_windows
+
+    def rows(pairs):
+        return pd.DataFrame(
+            {
+                "user_id": [p[0] for p in pairs],
+                "ts": pd.to_datetime([p[1] for p in pairs]),
+            }
+        )
+
+    _write_epoch_files(
+        tmp_path / "src",
+        [
+            rows(
+                [
+                    (1, "2024-03-01 12:00:00"),
+                    (1, "2024-03-01 12:10:00"),
+                    (2, "2024-03-01 12:00:00"),
+                ]
+            ),
+            rows([(1, "2024-03-01 15:00:00")]),  # >60min gap for u1
+            rows([(3, "2024-03-01 18:00:00")]),  # advances watermark
+            rows([(9, "2024-03-01 23:00:00")]),  # flushes u1/u2/u3 timers
+        ],
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    out = session_windows(stream, gap_minutes=60, watermark="30 minutes")
+    got = sorted(
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events)
+        for r in run_bounded(
+            out, "append", checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    )
+
+    def ms(s):
+        return int(pd.Timestamp(s).value // 1_000_000)
+
+    assert got == [
+        # u1 session 1: closed IN-STREAM by the 15:00 event's gap
+        (1, ms("2024-03-01 12:00:00"), ms("2024-03-01 12:10:00"), 2),
+        # u1 session 2 + u2 + u3: closed by event-time TIMEOUT when the
+        # watermark passed last_event + gap; u9 stays open -> absent
+        (1, ms("2024-03-01 15:00:00"), ms("2024-03-01 15:00:00"), 1),
+        (2, ms("2024-03-01 12:00:00"), ms("2024-03-01 12:00:00"), 1),
+        (3, ms("2024-03-01 18:00:00"), ms("2024-03-01 18:00:00"), 1),
+    ]
+
+
 def test_state_carries_across_epochs(spark, tmp_path):
     # the same key appears in both epochs: the second emission must be
     # cumulative (state survived the epoch boundary), and the session
