@@ -312,6 +312,7 @@ class CdcPipeline:
         batch_size: int,
         evolve_at_offset: int | None = None,
         evolved_columns: T.StructType | None = None,
+        canon_filter: Callable[[], Any] | None = None,
     ) -> list[dict[str, Any]]:
         """`run` over a materialized feed DataFrame (parquet scan of the
         envelope columns), with the decode/normalize expression tree
@@ -321,8 +322,17 @@ class CdcPipeline:
         limits scaling efficiency at high parallelism — the offset
         range predicate still pushes through the decode projections and
         per-format union to the parquet scan (asserted in
-        tests/test_plans.py)."""
+        tests/test_plans.py).
+
+        `canon_filter`: optional predicate builder over the CANONICAL
+        (post-decode) columns, applied to every batch — the routing
+        hook (cdc/routing.py). It sees the `_ok` flag too: content
+        routes cannot classify undecodable rows, so those follow the
+        route's `_ok` handling (a `~_ok` catch-all destination keeps
+        them; otherwise they are dropped from routed destinations)."""
         canon_full = normalize_flagged(feed)
+        if canon_filter is not None:
+            canon_full = canon_full.filter(canon_filter())
         results = []
         saved_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
         self.spark.conf.set("spark.sql.adaptive.enabled", "false")
