@@ -362,5 +362,57 @@ class CdcPipeline:
             self.spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
         return results
 
+    def replay_quarantine(self) -> dict[str, Any] | None:
+        """Reprocess every dead-lettered batch through the CURRENT
+        decoder registry — the repair path after a decoder fix (e.g. a
+        custom format registered for payloads that used to be unknown).
+
+        Recovery is just another merge: quarantine rows kept their full
+        envelope (offset/op/ts), so re-decoded events enter the same
+        LWW total order (ts, offset) and the row fence makes a replayed
+        replay — or an event whose key moved on — a no-op. Rows that
+        STILL fail decode are re-quarantined under the new batch id;
+        consumed dead-letter dirs are renamed to `_replayed-...` after
+        the checkpoint commit (a crash in that window re-replays them,
+        which the row fence absorbs — duplicate work, never duplicate
+        state). Returns the batch record, or None when there is nothing
+        to replay."""
+        import glob as globmod
+        import os
+
+        if not self.quarantine_path:
+            return None
+        dirs = sorted(
+            d
+            for d in globmod.glob(f"{self.quarantine_path}/batch_id=*")
+            if os.path.isdir(d)
+        )
+        if not dirs:
+            return None
+        raw = self.spark.read.parquet(*dirs).select(
+            "offset", "op", "format", "payload", "ts", "source_part"
+        )
+        bounds = raw.agg(
+            F.min("offset").alias("lo"), F.max("offset").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return None
+        # the replay's checkpoint record must not REWIND the resume
+        # point (next_offset = latest.offset_end + 1): clamp offset_end
+        # to at least the current resume frontier
+        safe_end = max(int(bounds["hi"]), self.checkpoints.next_offset() - 1)
+        record = self.apply_batch(
+            raw,
+            batch_id=self.checkpoints.next_batch_id(),
+            offset_start=int(bounds["lo"]),
+            offset_end=safe_end,
+        )
+        for d in dirs:
+            base = os.path.basename(d)
+            os.replace(
+                d, os.path.join(self.quarantine_path, f"_replayed-{base}")
+            )
+        return record
+
     def read_table(self) -> DataFrame:
         return self.table.read()

@@ -95,11 +95,16 @@ def normalize_flagged(raw: DataFrame) -> DataFrame:
 def split_flagged(canon: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(canonical_good, quarantine) from a normalize_flagged frame."""
     good = canon.filter(F.col("_ok")).select(*CANONICAL_COLS)
+    # dead letters carry the FULL envelope (op + envelope ts included)
+    # so a quarantined batch is replayable after a decoder fix
+    # (CdcPipeline.replay_quarantine) without retaining the source feed
     quarantine = canon.filter(~F.col("_ok")).select(
         "offset",
+        "op",
         "source_part",
         "format",
         "payload",
+        F.col("ts").alias("ts"),
         F.coalesce(
             F.col("_error"),
             F.format_string("normalize failed: offset=%d", F.col("offset")),
