@@ -3170,6 +3170,85 @@ def _stream_session_windows(spark, sf_dir):
     return run_bounded(out, "append", checkpoint_dir=f"{tmp}/ckpt")
 
 
+@_q(
+    "text_redact_pii",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             'contact u' || doc_id || '@example.com or +1 555-123-4567 '
+             || 'card 4111 1111 1111 1111 ip 10.0.0.' || (doc_id % 255)
+             || ' ssn 123-45-6789 :: ' || substr(text, 1, 80) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(?:\\d[ -]?){13,19}\\b', '<CARD>', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+               '\\+?\\d{1,3}[ .-]?\\(?\\d{2,4}\\)?[ .-]?\\d{3,4}[ .-]?\\d{3,4}\\b',
+               '<PHONE>', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS redacted
+    FROM synth
+    """,
+)
+def _redact(spark, sf_dir):
+    """PII redaction (functions/redact.py): typed placeholders for
+    email/card/SSN/phone/IP literals via chained regexp_replace — RE2-
+    compatible patterns so the JVM and DuckDB scrub identically (the
+    point: redaction must behave the same in every engine that touches
+    the corpus)."""
+    from omniparser_spark.functions.redact import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-123-4567 card 4111 1111 1111 1111 ip 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+            F.lit(" ssn 123-45-6789 :: "),
+            F.substring("text", 1, 80),
+        ).alias("t"),
+    )
+    return synth.select("doc_id", redact_pii("t").alias("redacted"))
+
+
+@_q(
+    "text_chunk_windows",
+    """
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    st AS (
+      SELECT doc_id, ws,
+             unnest(range(0, (len(ws)-1) // 48 * 48 + 1, 48)) AS s
+      FROM base
+    )
+    SELECT doc_id,
+           (s // 48)::INT AS chunk_idx,
+           array_to_string(list_slice(ws, s + 1, least(s + 64, len(ws))), ' ')
+             AS chunk,
+           least(64, len(ws) - s)::INT AS n_words
+    FROM st
+    """,
+)
+def _chunk(spark, sf_dir):
+    """Overlapping word-window chunking for LLM context packing
+    (functions/redact.py chunk_text): split -> window starts via
+    sequence -> slice -> posexplode, all array expressions, shuffle-
+    free. 64-word chunks, 16-word overlap (stride 48); every word lands
+    in at least one chunk."""
+    from omniparser_spark.functions.redact import chunk_text
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_text(d, chunk_words=64, overlap_words=16).select(
+        "doc_id", "chunk_idx", "chunk", "n_words"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

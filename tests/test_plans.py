@@ -178,3 +178,46 @@ def test_decoder_family_is_shuffle_free(spark, feed):
         )
     )
     assert "Exchange" not in cs_plan
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The as-of join must be ONE exchange (the union keyed by the join
+    key) + a per-key sort — never a range-join cross product."""
+    from omniparser_spark.operators.asof import asof_join
+
+    left = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.lit("e").alias("ev"),
+    )
+    right = spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id") * 600).alias("ts"),
+        F.lit("v").alias("val"),
+    )
+    plan = _plan(asof_join(left, right, key="k"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profile_counts_partial_aggregate(spark):
+    """count/min/max/sum in the profile must combine map-side (the
+    exact percentile is reducer-side by design for bounded groups)."""
+    from omniparser_spark.operators.profile import profile_numeric
+
+    d = spark.range(0, 1000).select(
+        (F.col("id") % 5).alias("g"), F.rand(7).alias("v")
+    )
+    plan = _plan(profile_numeric(d, ["g"], "v"))
+    assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    from omniparser_spark.functions.redact import chunk_text, redact_pii
+
+    d = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w "), F.col("id").cast("string")).alias("text"),
+    )
+    assert "Exchange" not in _plan(chunk_text(d))
+    assert "Exchange" not in _plan(d.select(redact_pii("text")))
