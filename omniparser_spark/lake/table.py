@@ -46,6 +46,11 @@ from pyspark.sql import types as T
 VERSION_HINT = "version-hint.text"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer advanced the table between this commit's base
+    read and its pointer swap (Iceberg CommitFailedException parity)."""
+
+
 def bucket_expr(key_col: str | Column, n_buckets: int) -> Column:
     """Iceberg-style bucket transform: pmod(xxhash64(key), N)."""
     c = F.col(key_col) if isinstance(key_col, str) else key_col
@@ -184,10 +189,31 @@ class LakeTable:
                 cur = Snapshot.from_json(f.read())
         return snaps
 
-    def _write_snapshot(self, snap: Snapshot) -> None:
+    def _write_snapshot(
+        self, snap: Snapshot, expected_parent: int | None = None
+    ) -> None:
         """Iceberg-style commit: write immutable metadata file, then
         atomically swap the version pointer (os.replace is atomic on
-        POSIX — the single-writer analogue of the catalog CAS)."""
+        POSIX — the single-writer analogue of the catalog CAS).
+
+        `expected_parent`: optimistic-concurrency check — if another
+        writer advanced the pointer since this commit's base snapshot
+        was read, raise instead of silently clobbering its commit
+        (Iceberg's CommitFailedException contract; the caller re-reads
+        and retries on a fresh base). Last-line defense for a
+        mis-deployed second writer — the engine is single-writer by
+        design.
+        """
+        if expected_parent is not None:
+            hint = os.path.join(self._meta_dir, VERSION_HINT)
+            with open(hint) as f:
+                current = int(f.read().strip())
+            if current != expected_parent:
+                raise ConcurrentCommitError(
+                    f"table {self.path} moved to v{current} while this "
+                    f"commit was based on v{expected_parent}; re-read "
+                    "and retry"
+                )
         meta_path = os.path.join(self._meta_dir, f"v{snap.version}.metadata.json")
         with open(meta_path, "w") as f:
             f.write(snap.to_json())
@@ -291,7 +317,7 @@ class LakeTable:
             summary=summary,
             parent_version=prev.version,
         )
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, expected_parent=prev.version)
         return snap
 
     def expire_snapshots(self, keep_last: int = 2) -> int:
@@ -481,4 +507,4 @@ class LakeTable:
             summary=dict(prev.summary),
             parent_version=prev.version,
         )
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, expected_parent=prev.version)

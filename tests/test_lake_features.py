@@ -169,3 +169,25 @@ def test_rescale_buckets_preserves_state_and_merges(spark, tmp_path):
     # CDF still works across the rescale commit (offsets are the spine)
     ch = {(r.conv_id, r.turn_idx) for r in t.read_changes(6).collect()}
     assert ch == {("a", 1)}
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    import os
+
+    from omniparser_spark.lake.table import ConcurrentCommitError
+
+    t = _make(spark, tmp_path)
+    # a second writer sneaks a commit in after this one reads its base
+    snap = t.current()
+    intruder = LakeTable(spark, t.path)
+    intruder.commit(
+        _batch(spark, [("z", 1, "zz", 3, 7, "I")])
+        .withColumn("_bucket", F.lit(0))
+        .drop("offset", "op"),
+        touched_buckets=[0],
+        summary_updates={},
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentCommitError):
+        t._write_snapshot(snap, expected_parent=snap.parent_version)
