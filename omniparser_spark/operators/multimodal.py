@@ -103,6 +103,153 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL container parsing — pure stdlib (struct/zlib), no media libraries.
+# Pixel/sample DECODE still needs a codec (PIL/torchaudio) and stays
+# gated above; header/metadata extraction — what an ingest pipeline
+# filters and routes on — is fully implemented for PNG and WAV.
+# ---------------------------------------------------------------------------
+
+PROBE_SCHEMA = (
+    "media_id bigint, container string, width int, height int, "
+    "bit_depth int, channels int, sample_rate int, duration_ms int, "
+    "valid boolean, error string"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_header(blob: bytes) -> dict:
+    """PNG IHDR: width/height/bit-depth (+ CRC check on the chunk)."""
+    import struct
+    import zlib
+
+    if len(blob) < 33 or blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    length, ctype = struct.unpack(">I4s", blob[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("first chunk is not IHDR")
+    body = blob[16:29]
+    (crc,) = struct.unpack(">I", blob[29:33])
+    if zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF != crc:
+        raise ValueError("IHDR crc mismatch")
+    w, h, depth, _color, _comp, _filt, _inter = struct.unpack(
+        ">IIBBBBB", body
+    )
+    return {"width": w, "height": h, "bit_depth": depth}
+
+
+def parse_wav_header(blob: bytes) -> dict:
+    """RIFF/WAVE: channels, sample rate, bit depth, duration from the
+    fmt and data chunks."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF header)")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, size = struct.unpack("<4sI", blob[pos : pos + 8])
+        if cid == b"fmt " and size >= 16:
+            _tag, ch, rate, _bps, _align, depth = struct.unpack(
+                "<HHIIHH", blob[pos + 8 : pos + 24]
+            )
+            fmt = {"channels": ch, "sample_rate": rate, "bit_depth": depth}
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_size is None:
+        raise ValueError("missing fmt or data chunk")
+    bytes_per_sec = fmt["sample_rate"] * fmt["channels"] * fmt["bit_depth"] // 8
+    fmt["duration_ms"] = (
+        int(data_size * 1000 / bytes_per_sec) if bytes_per_sec else 0
+    )
+    return fmt
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Container-sniff every blob (magic bytes, not the `kind` column)
+    and extract REAL header metadata; undecodable blobs come back
+    valid=false with the parse error — the media equivalent of the
+    text path's quarantine. mapInPandas iterator, one Arrow batch at a
+    time."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = bytes(blob) if blob is not None else b""
+                rec = {
+                    "media_id": mid, "container": None, "width": None,
+                    "height": None, "bit_depth": None, "channels": None,
+                    "sample_rate": None, "duration_ms": None,
+                    "valid": False, "error": None,
+                }
+                try:
+                    if b[:8] == _PNG_SIG:
+                        info = parse_png_header(b)
+                        rec.update(container="png", valid=True, **info)
+                    elif b[:4] == b"RIFF":
+                        info = parse_wav_header(b)
+                        rec.update(container="wav", valid=True, **info)
+                    else:
+                        rec["error"] = "unknown container magic"
+                except ValueError as e:
+                    rec["error"] = str(e)
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=PROBE_SCHEMA)
+
+
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
+    """A complete, valid grayscale PNG built with stdlib zlib/struct —
+    deterministic test media with REAL structure (CRCs included)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((x * 31 + y * 17 + seed) % 256 for x in range(width))
+        for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_wav(
+    sample_rate: int = 16000, duration_ms: int = 250, channels: int = 1
+) -> bytes:
+    """A complete, valid 16-bit PCM WAV built with stdlib struct."""
+    import struct
+
+    n_samples = sample_rate * duration_ms // 1000
+    data = b"".join(
+        struct.pack("<h", ((i * 797) % 20000) - 10000)
+        for i in range(n_samples * channels)
+    )
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (binary blobs from md5 streams)."""
     df = spark.range(n).select(
