@@ -455,6 +455,37 @@ class LakeTable:
         df = self.read(buckets=[int(b)], include_hidden=include_hidden)
         return df.filter(F.col(key_col) == key_value)
 
+    def read_changes_with_preimage(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CDF with pre-images (Delta `update_preimage` parity): every
+        key changed after `from_version` with both its post-image
+        columns and a `_pre` struct of the same columns as of
+        `from_version` (NULL for inserts). This is what incremental
+        view maintenance needs — apply `delta = f(post) - f(_pre)` to a
+        downstream aggregate instead of recomputing it from the full
+        table.
+
+        Cost: the post-image filter scan (as read_changes) + a join
+        against ONLY the changed keys' rows of the base snapshot —
+        snapshots are immutable files, so the base read is exact and
+        prunable, no log replay.
+        """
+        keys = [self.summary()["key_col"]]
+        # both merge keys, not just the bucket key
+        schema_cols = [f.name for f in self.schema().fields]
+        keys = [c for c in ("conv_id", "turn_idx") if c in schema_cols] or keys
+        post = self.changes_between_versions(from_version, to_version)
+        pre = self.read(version=from_version, include_hidden=True)
+        data_cols = [
+            c for c in post.columns
+            if not c.startswith("_") and c not in keys
+        ]
+        pre_live = pre.filter(
+            ~F.coalesce(F.col("_deleted"), F.lit(False))
+        ).select(*keys, F.struct(*data_cols).alias("_pre"))
+        return post.join(pre_live, on=keys, how="left")
+
     def changes_between_versions(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:

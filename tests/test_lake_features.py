@@ -191,3 +191,40 @@ def test_concurrent_commit_detected(spark, tmp_path):
 
     with _pytest.raises(ConcurrentCommitError):
         t._write_snapshot(snap, expected_parent=snap.parent_version)
+
+
+def test_changes_with_preimage_and_incremental_maintenance(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    ch = {
+        (r.conv_id, r.turn_idx): (
+            r.text,
+            r._change_type,
+            r._pre.text if r._pre is not None else None,
+        )
+        for r in t.read_changes_with_preimage(from_version=1).collect()
+    }
+    # a/1: update with pre-image; b/1: delete with pre-image
+    assert ch == {
+        ("a", 1): ("a1-v2", "upsert", "a1-v1"),
+        ("b", 1): (None, "delete", "b1-v1"),
+    }
+
+    # incremental view maintenance: per-conv live-turn counts updated
+    # from the delta must equal a full recompute on the current state
+    base_counts = {
+        r.conv_id: r.n
+        for r in t.read(version=1).groupBy("conv_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    delta_rows = t.read_changes_with_preimage(from_version=1).collect()
+    for r in delta_rows:
+        d = (0 if r._change_type == "delete" else 1) - (
+            1 if r._pre is not None else 0
+        )
+        base_counts[r.conv_id] = base_counts.get(r.conv_id, 0) + d
+    full = {
+        r.conv_id: r.n
+        for r in t.read().groupBy("conv_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert {k: v for k, v in base_counts.items() if v > 0} == full
