@@ -75,7 +75,8 @@ class CdcPipeline:
             self.table = LakeTable.load(spark, table_path)
         else:
             self.table = LakeTable.create(
-                spark, table_path, schema, key_col="conv_id", n_buckets=n_buckets
+                spark, table_path, schema, key_col="conv_id",
+                n_buckets=n_buckets, merge_keys=("conv_id", "turn_idx"),
             )
         self.checkpoints = CheckpointStore(checkpoint_path)
         self.metrics = MetricsLog()
@@ -96,8 +97,13 @@ class CdcPipeline:
         offset_start: int,
         offset_end: int,
         _canon: DataFrame | None = None,
+        expected_rows: int | None = None,
     ) -> dict[str, Any]:
         """Apply one bounded slice of the change feed.
+
+        `expected_rows`: override for merge bucket-prune cost modeling
+        when the caller knows the true row count is far below the
+        offset span (sparse replays).
 
         `_canon`: pre-built normalize_flagged frame for this slice
         (run_feed's fast path — constructing the decode expression tree
@@ -168,7 +174,11 @@ class CdcPipeline:
                 self.table,
                 good,
                 batch_id=batch_id,
-                expected_rows=offset_end - offset_start + 1,
+                expected_rows=(
+                    expected_rows
+                    if expected_rows is not None
+                    else offset_end - offset_start + 1
+                ),
                 max_offset=offset_end,
                 observe_stats=self.observe_merge,
             )
@@ -284,6 +294,23 @@ class CdcPipeline:
         # (partition counts sized in session.py; skewed keys collapse
         # in the merge's map-side partial agg), so AQE only adds
         # latency here. Restored afterwards for ad-hoc queries.
+        return self._drive(
+            lambda s, e: (feed_for_range(s, e), None),
+            total_events, batch_size, evolve_at_offset, evolved_columns,
+        )
+
+    def _drive(
+        self,
+        make_slices: Callable[[int, int], tuple[DataFrame, DataFrame | None]],
+        total_events: int,
+        batch_size: int,
+        evolve_at_offset: int | None,
+        evolved_columns: T.StructType | None,
+    ) -> list[dict[str, Any]]:
+        """The one exactly-once driver loop shared by run()/run_feed():
+        AQE toggle, checkpoint resume, evolve trigger, batch iteration.
+        `make_slices(start, end)` -> (raw_slice, canon_slice_or_None)."""
+        results: list[dict[str, Any]] = []
         saved_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
         self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         offset = self.checkpoints.next_offset()
@@ -297,8 +324,10 @@ class CdcPipeline:
                     and end >= evolve_at_offset
                 ):
                     self.table.evolve_schema_additive(evolved_columns)
-                raw = feed_for_range(offset, end)
-                results.append(self.apply_batch(raw, batch_id, offset, end))
+                raw, canon = make_slices(offset, end)
+                results.append(
+                    self.apply_batch(raw, batch_id, offset, end, _canon=canon)
+                )
                 offset = end + 1
                 batch_id += 1
         finally:
@@ -333,34 +362,14 @@ class CdcPipeline:
         canon_full = normalize_flagged(feed)
         if canon_filter is not None:
             canon_full = canon_full.filter(canon_filter())
-        results = []
-        saved_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
-        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-        offset = self.checkpoints.next_offset()
-        batch_id = self.checkpoints.next_batch_id()
-        try:
-            while offset < total_events:
-                end = min(offset + batch_size - 1, total_events - 1)
-                if (
-                    evolve_at_offset is not None
-                    and evolved_columns is not None
-                    and end >= evolve_at_offset
-                ):
-                    self.table.evolve_schema_additive(evolved_columns)
-                canon = canon_full.filter(
-                    (F.col("offset") >= offset) & (F.col("offset") <= end)
-                )
-                raw = feed.filter(
-                    (F.col("offset") >= offset) & (F.col("offset") <= end)
-                )
-                results.append(
-                    self.apply_batch(raw, batch_id, offset, end, _canon=canon)
-                )
-                offset = end + 1
-                batch_id += 1
-        finally:
-            self.spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
-        return results
+
+        def slices(start: int, end: int):
+            rng = (F.col("offset") >= start) & (F.col("offset") <= end)
+            return feed.filter(rng), canon_full.filter(rng)
+
+        return self._drive(
+            slices, total_events, batch_size, evolve_at_offset, evolved_columns
+        )
 
     def replay_quarantine(self) -> dict[str, Any] | None:
         """Reprocess every dead-lettered batch through the CURRENT
@@ -393,9 +402,23 @@ class CdcPipeline:
             "offset", "op", "format", "payload", "ts", "source_part"
         )
         bounds = raw.agg(
-            F.min("offset").alias("lo"), F.max("offset").alias("hi")
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
         ).collect()[0]
+
+        def archive():
+            for d in dirs:
+                base = os.path.basename(d)
+                os.replace(
+                    d, os.path.join(self.quarantine_path, f"_replayed-{base}")
+                )
+
         if bounds["lo"] is None:
+            # all pending dirs are empty (healthy-feed batches write an
+            # empty dir each): archive them so the pending list stays
+            # O(outstanding dead letters), not O(batches ever run)
+            archive()
             return None
         # the replay's checkpoint record must not REWIND the resume
         # point (next_offset = latest.offset_end + 1): clamp offset_end
@@ -406,12 +429,12 @@ class CdcPipeline:
             batch_id=self.checkpoints.next_batch_id(),
             offset_start=int(bounds["lo"]),
             offset_end=safe_end,
+            # sparse dead letters spread over a long feed must not be
+            # cost-modeled by their offset SPAN (that forces a full-
+            # table rewrite); the true row count keeps bucket pruning
+            expected_rows=int(bounds["n"]),
         )
-        for d in dirs:
-            base = os.path.basename(d)
-            os.replace(
-                d, os.path.join(self.quarantine_path, f"_replayed-{base}")
-            )
+        archive()
         return record
 
     def read_table(self) -> DataFrame:

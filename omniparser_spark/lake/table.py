@@ -107,7 +107,12 @@ class LakeTable:
         schema: T.StructType | str,
         key_col: str = "conv_id",
         n_buckets: int = 16,
+        merge_keys: tuple[str, ...] | None = None,
     ) -> "LakeTable":
+        """`key_col` is the bucket-partition key; `merge_keys` is the
+        full row-identity key the MERGE upserts on (defaults to just
+        key_col). Both are snapshot-summary facts so every reader —
+        CDF pre-image joins included — uses the declared identity."""
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         # hidden engine columns ride along in the stored schema
@@ -128,6 +133,7 @@ class LakeTable:
             bucket_dirs={},
             summary={
                 "key_col": key_col,
+                "merge_keys": list(merge_keys or (key_col,)),
                 "n_buckets": n_buckets,
                 "batch_id": -1,
                 "max_offset_applied": -1,
@@ -399,6 +405,7 @@ class LakeTable:
         offset_start: int,
         offset_end: int | None = None,
         buckets: list[int] | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """Change-data-feed read (Delta CDF / Iceberg changelog parity):
         the post-images of every key whose current winner arrived in
@@ -419,8 +426,13 @@ class LakeTable:
         Offset ranges per batch/version come from checkpoint records or
         snapshot summaries (`max_offset_applied`); see
         `changes_between_versions`.
+
+        `version`: read the changelog AS OF that snapshot — required
+        when the range's upper bound predates later commits (a key
+        changed in the window and again afterwards carries the LATER
+        offset in the current snapshot and would otherwise be missed).
         """
-        df = self.read(buckets=buckets, include_hidden=True)
+        df = self.read(buckets=buckets, include_hidden=True, version=version)
         cond = F.col("_last_offset") >= offset_start
         if offset_end is not None:
             cond = cond & (F.col("_last_offset") <= offset_end)
@@ -471,10 +483,9 @@ class LakeTable:
         snapshots are immutable files, so the base read is exact and
         prunable, no log replay.
         """
-        keys = [self.summary()["key_col"]]
-        # both merge keys, not just the bucket key
-        schema_cols = [f.name for f in self.schema().fields]
-        keys = [c for c in ("conv_id", "turn_idx") if c in schema_cols] or keys
+        summary = self.summary()
+        # the declared row identity (full merge key), not the bucket key
+        keys = list(summary.get("merge_keys") or [summary["key_col"]])
         post = self.changes_between_versions(from_version, to_version)
         pre = self.read(version=from_version, include_hidden=True)
         data_cols = [
@@ -497,7 +508,12 @@ class LakeTable:
         to_v = cur.version if to_version is None else to_version
         lo = int(self.snapshot_at(from_version).summary.get("max_offset_applied", -1))
         hi = int(self.snapshot_at(to_v).summary.get("max_offset_applied", -1))
-        return self.read_changes(lo + 1, hi)
+        # read AS OF to_v: a key changed inside the window and again
+        # after it carries the later offset in the current snapshot and
+        # would be silently dropped by the range filter
+        return self.read_changes(
+            lo + 1, hi, version=None if to_v == cur.version else to_v
+        )
 
     def rescale_buckets(self, new_n_buckets: int) -> Snapshot:
         """Online bucket rescale (Iceberg `REPLACE PARTITION FIELD

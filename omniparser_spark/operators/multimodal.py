@@ -20,6 +20,7 @@ Batch-shape notes for 100 TB media:
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -150,6 +151,8 @@ def parse_wav_header(blob: bytes) -> dict:
     while pos + 8 <= len(blob):
         cid, size = struct.unpack("<4sI", blob[pos : pos + 8])
         if cid == b"fmt " and size >= 16:
+            if pos + 24 > len(blob):
+                raise ValueError("truncated fmt chunk")
             _tag, ch, rate, _bps, _align, depth = struct.unpack(
                 "<HHIIHH", blob[pos + 8 : pos + 24]
             )
@@ -193,7 +196,10 @@ def probe_media(media: DataFrame) -> DataFrame:
                         rec.update(container="wav", valid=True, **info)
                     else:
                         rec["error"] = "unknown container magic"
-                except ValueError as e:
+                except (ValueError, _struct.error) as e:
+                    # struct.error is NOT a ValueError — a truncated
+                    # container must land in the probe's quarantine
+                    # rows, never fail the task
                     rec["error"] = str(e)
                 rows.append(rec)
             yield pd.DataFrame(rows)

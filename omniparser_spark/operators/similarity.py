@@ -157,14 +157,11 @@ def with_hyperplane_signatures(
         import numpy as np
         import pandas as pd
 
-        # (dim, n_bits * n_tables) plane matrix, built once per worker
-        planes = np.empty((dim, n_bits * n_tables), dtype=np.float64)
-        for t in range(n_tables):
-            for b in range(n_bits):
-                for j in range(dim):
-                    planes[j, t * n_bits + b] = _plane_comp(
-                        seed_base + t, b, j
-                    )
+        # plane matrix cached per worker process: a scalar pandas UDF
+        # body runs once per ARROW BATCH, and rebuilding dim x bits x
+        # tables md5-derived components per batch would dominate the
+        # matmul at production dims (~37k md5 calls/batch at 768x12x4)
+        planes = _planes_matrix(dim, n_bits, n_tables, seed_base)
         weights = np.asarray([1 << b for b in range(n_bits)], dtype=np.int64)
         x = np.asarray(v.tolist(), dtype=np.float64)  # (rows, dim)
         signs = (x @ planes) >= 0  # (rows, n_bits * n_tables)
@@ -178,6 +175,26 @@ def with_hyperplane_signatures(
         return pd.Series(out)
 
     return df.withColumn(out_col, sig_udf(F.col(vec_col).cast("array<double>")))
+
+
+_PLANES_CACHE: dict = {}
+
+
+def _planes_matrix(dim: int, n_bits: int, n_tables: int, seed_base: int):
+    """(dim, n_bits*n_tables) hyperplane matrix, memoized per process
+    (driver and each Python worker build it at most once)."""
+    import numpy as np
+
+    key = (dim, n_bits, n_tables, seed_base)
+    m = _PLANES_CACHE.get(key)
+    if m is None:
+        m = np.empty((dim, n_bits * n_tables), dtype=np.float64)
+        for t in range(n_tables):
+            for b in range(n_bits):
+                for j in range(dim):
+                    m[j, t * n_bits + b] = _plane_comp(seed_base + t, b, j)
+        _PLANES_CACHE[key] = m
+    return m
 
 
 def lsh_topk(

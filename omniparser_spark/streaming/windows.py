@@ -37,6 +37,7 @@ def windowed_rollup(
     window_duration: str = "1 day",
     watermark: str = "1 hour",
     group_cols: Iterable[str] = ("event_type",),
+    value_col: str = "value",
 ) -> DataFrame:
     """Tumbling event-time window aggregate over a streaming DataFrame.
 
@@ -52,7 +53,7 @@ def windowed_rollup(
         w.groupBy(F.window(F.col(ts_col), window_duration), *group_cols)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
             .cast("double")
             .alias("sum_value"),
         )

@@ -51,7 +51,8 @@ def _batch(spark, rows):
 
 def _make(spark, tmp_path, n_buckets=4):
     t = LakeTable.create(
-        spark, str(tmp_path / "t"), SCHEMA, key_col="conv_id", n_buckets=n_buckets
+        spark, str(tmp_path / "t"), SCHEMA, key_col="conv_id",
+        n_buckets=n_buckets, merge_keys=("conv_id", "turn_idx"),
     )
     # batch 1 (offsets 0-2): three inserts
     merge_into(
@@ -228,3 +229,27 @@ def test_changes_with_preimage_and_incremental_maintenance(spark, tmp_path):
         .withColumnRenamed("count", "n").collect()
     }
     assert {k: v for k, v in base_counts.items() if v > 0} == full
+
+
+def test_changes_between_versions_bounded_window(spark, tmp_path):
+    """A key changed inside (from, to] and AGAIN afterwards must still
+    appear in the bounded window's changelog (reads AS OF to_version,
+    not the current snapshot)."""
+    t = _make(spark, tmp_path)  # v2 = after batch 2
+    merge_into(
+        t,
+        _batch(spark, [("a", 1, "a1-v3", 4, 6, "U")]),
+        batch_id=2,
+        max_offset=6,
+    )
+    win = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in t.changes_between_versions(1, 2).collect()
+    }
+    assert win[("a", 1)] == "a1-v2"  # the in-window post-image, not v3
+    assert ("b", 1) in win
+    cur = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in t.changes_between_versions(2).collect()
+    }
+    assert cur == {("a", 1): "a1-v3"}

@@ -41,3 +41,18 @@ def test_probe_media_sniffs_and_quarantines(spark):
     ) == ("wav", 16000, 250, True)
     assert got[3].valid is False and "IHDR" in got[3].error
     assert got[4].valid is False and "unknown container" in got[4].error
+
+
+def test_probe_media_quarantines_truncated_wav(spark):
+    import struct
+
+    # RIFF/WAVE with an fmt chunk that claims 16 bytes but is cut short
+    trunc = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    )
+    media = spark.createDataFrame(
+        [(1, trunc)], "media_id long, blob binary"
+    )
+    (r,) = probe_media(media).collect()
+    assert r.valid is False and r.error  # quarantined, not a task crash

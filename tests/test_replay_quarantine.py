@@ -95,7 +95,9 @@ def test_replay_quarantine_recovers_after_decoder_fix(spark, tmp_path):
         # state identical
         v = pipe.table.current().version
         os.rename(
-            glob.glob(str(tmp_path / "dead" / "_replayed-*"))[0],
+            # batch 0's archived dir (the one holding dead letters;
+            # later archives may be empty-replay dirs)
+            sorted(glob.glob(str(tmp_path / "dead" / "_replayed-*")))[0],
             str(tmp_path / "dead" / "batch_id=990"),
         )
         pipe.replay_quarantine()
