@@ -437,5 +437,84 @@ class CdcPipeline:
         archive()
         return record
 
+    def bootstrap(
+        self, snapshot_df: DataFrame, as_of_offset: int
+    ) -> dict[str, Any]:
+        """Initial-snapshot load (the standard CDC onboarding: bulk-load
+        the source's consistent snapshot, then tail the feed from the
+        snapshot's log position). ONE bucketed bulk write — not N
+        per-batch merges — so loading a 100 TB initial state costs a
+        single pass; the feed then resumes from `as_of_offset + 1`.
+
+        `snapshot_df` carries the canonical data columns (no envelope);
+        every row is stamped `_last_offset = as_of_offset`, so feed
+        events at offsets > as_of_offset win LWW races exactly as if
+        the snapshot had been applied event-by-event.
+
+        Delete-semantics caveat (inherent to snapshot+tail onboarding,
+        Debezium included): a consistent source snapshot contains no
+        deleted rows, so a tailed event OLDER than a pre-snapshot
+        delete can resurrect its key. When migrating from another
+        engine table rather than a source snapshot, pass a frame that
+        includes `_deleted`/`_last_offset` (e.g. `read(include_hidden=
+        True)`) — those columns are carried through verbatim and the
+        tombstones keep protecting their keys.
+        """
+        if int(self.table.summary().get("batch_id", -1)) >= 0:
+            raise ValueError("bootstrap requires an empty table")
+        summary = self.table.summary()
+        key_col = summary["key_col"]
+        n_buckets = int(summary["n_buckets"])
+        from omniparser_spark.lake.table import bucket_expr
+
+        data_cols = [
+            f.name for f in self.table.schema().fields
+            if not f.name.startswith("_")
+        ]
+        df = snapshot_df
+        for c in data_cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None))
+        out = df.select(
+            *data_cols,
+            (
+                F.col("_last_offset").cast("long")
+                if "_last_offset" in df.columns
+                else F.lit(as_of_offset).cast("long")
+            ).alias("_last_offset"),
+            (
+                F.coalesce(F.col("_deleted"), F.lit(False))
+                if "_deleted" in df.columns
+                else F.lit(False)
+            ).alias("_deleted"),
+        ).withColumn("_bucket", bucket_expr(key_col, n_buckets)).repartition(
+            n_buckets, "_bucket"
+        )
+        snap = self.table.commit(
+            out,
+            touched_buckets=None,
+            summary_updates={
+                "batch_id": 0,
+                "max_offset_applied": as_of_offset,
+            },
+        )
+        record = {
+            "batch_id": 0,
+            "offset_start": 0,
+            "offset_end": as_of_offset,
+            "events_in": None,  # bulk load, not counted per event
+            "quarantined": 0,
+            "rows_written": None,
+            "tombstones": 0,
+            "fenced": False,
+            "snapshot_version": snap.version,
+            "touched_buckets": list(range(n_buckets)),
+            "lineage": [],
+            "bootstrap": True,
+        }
+        self.checkpoints.commit(record)
+        self.metrics.record(record)
+        return record
+
     def read_table(self) -> DataFrame:
         return self.table.read()

@@ -382,3 +382,84 @@ def test_merge_observed_counts(spark, feed_df, tmp_path):
     # rows_written equals the whole table incl. tombstones
     assert last["rows_written"] == hidden
     assert last["tombstones"] == hidden - live
+
+
+def test_bootstrap_then_tail_equals_full_replay(spark, feed_df, tmp_path):
+    """Initial-snapshot onboarding: bulk-load the state as of offset K,
+    tail the feed from K+1 — final state must equal replaying the whole
+    feed through the merge path."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+
+    k = SPEC.n_events // 2 - 1
+
+    # the "source's consistent snapshot at K" = replaying 0..K
+    ref = _run_pipeline(spark, feed_df, tmp_path, batch_size=400, name="ref")
+    snap_at_k = CdcPipeline(
+        spark,
+        str(tmp_path / "snapk_table"),
+        str(tmp_path / "snapk_ckpt"),
+        n_buckets=8,
+        n_source_parts=SPEC.n_source_parts,
+    )
+    snap_at_k.run(_feed_for_range(feed_df), k + 1, batch_size=400)
+
+    boot = CdcPipeline(
+        spark,
+        str(tmp_path / "boot_table"),
+        str(tmp_path / "boot_ckpt"),
+        n_buckets=8,
+        n_source_parts=SPEC.n_source_parts,
+    )
+    rec = boot.bootstrap(snap_at_k.read_table(), as_of_offset=k)
+    assert rec["bootstrap"] and rec["offset_end"] == k
+    # resume point follows the snapshot's log position
+    assert boot.checkpoints.next_offset() == k + 1
+    boot.run(_feed_for_range(feed_df), SPEC.n_events, batch_size=400)
+
+    assert _spark_rows(boot.read_table()) == _spark_rows(ref.read_table())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty table"):
+        boot.bootstrap(snap_at_k.read_table(), as_of_offset=k)
+
+
+def test_bootstrap_with_hidden_cols_preserves_tombstones(
+    spark, feed_df, tmp_path
+):
+    """Engine-to-engine migration: bootstrapping from include_hidden
+    state carries tombstones, so the migrated table replays the tail
+    EXACTLY like the original (no delete resurrection)."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+
+    k = SPEC.n_events // 2 - 1
+    src = CdcPipeline(
+        spark,
+        str(tmp_path / "src_table"),
+        str(tmp_path / "src_ckpt"),
+        n_buckets=8,
+        n_source_parts=SPEC.n_source_parts,
+    )
+    src.run(_feed_for_range(feed_df), k + 1, batch_size=400)
+
+    mig = CdcPipeline(
+        spark,
+        str(tmp_path / "mig_table"),
+        str(tmp_path / "mig_ckpt"),
+        n_buckets=8,
+        n_source_parts=SPEC.n_source_parts,
+    )
+    mig.bootstrap(
+        src.table.read(include_hidden=True).drop("_bucket"),
+        as_of_offset=k,
+    )
+    hidden = mig.table.read(include_hidden=True)
+    assert hidden.filter(F.col("_deleted")).count() == src.table.read(
+        include_hidden=True
+    ).filter(F.col("_deleted")).count()
+    # per-row winning offsets carried verbatim, not flattened to K
+    assert (
+        hidden.agg(F.countDistinct("_last_offset")).collect()[0][0] > 1
+    )
+    src.run(_feed_for_range(feed_df), SPEC.n_events, batch_size=400)
+    mig.run(_feed_for_range(feed_df), SPEC.n_events, batch_size=400)
+    assert _spark_rows(mig.read_table()) == _spark_rows(src.read_table())
