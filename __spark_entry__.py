@@ -3249,6 +3249,71 @@ def _chunk(spark, sf_dir):
     )
 
 
+@_q(
+    "conversation_assembly",
+    f"""
+    WITH feed AS (
+{_CDC_FEED_SQL}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, src_offset DESC) AS rn
+      FROM feed
+    ),
+    final AS (
+      SELECT conv_id, turn_idx, role, text
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT conv_id,
+           count(*) AS n_turns,
+           string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+             AS transcript
+    FROM final GROUP BY conv_id
+    """,
+)
+def _conversation_assembly(spark, sf_dir):
+    """Assemble per-conversation transcripts from the final table state
+    (the artifact a training pipeline consumes): turns packed in
+    turn_idx order via sort_array(collect_list(struct)) — order-stable
+    without a global sort, one map-side-combinable aggregate per conv.
+    Runs the full CDC replay first, so this also end-to-end checks
+    'feed in, training document out'."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.sources.changefeed import FeedSpec, encode_payload
+
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev)
+    feed = encode_payload(fields, FeedSpec(n_events=1, evolution_frac=0.0)).select(
+        "offset", "op", "format", "payload", "ts", "source_part"
+    )
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_conv_")
+    feed_path = f"{tmp}/feed"
+    feed.write.mode("overwrite").parquet(feed_path)
+    feed_scan = spark.read.parquet(feed_path)
+    total = feed_scan.agg(F.max("offset")).collect()[0][0] + 1
+    pipe = CdcPipeline(
+        spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8, n_source_parts=8,
+    )
+    pipe.run_feed(feed_scan, total, batch_size=(total + 3) // 4)
+    t = pipe.read_table()
+    turns = F.sort_array(
+        F.collect_list(F.struct("turn_idx", "role", "text"))
+    )
+    return (
+        t.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    turns, lambda s: F.concat_ws(": ", s["role"], s["text"])
+                ),
+                "\n",
+            ).alias("transcript"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

@@ -107,6 +107,15 @@ def main() -> None:
         "spec_transform",
         "decode_custom_plugin",
         "cosine_topk_bruteforce",
+        "asof_join_enrich",
+        "text_tfidf_topterms",
+        "text_chunk_windows",
+        "text_redact_pii",
+        "profile_numeric_stats",
+        # dedup_cluster_assign intentionally NOT benched: its iterative
+        # rounds are driver-latency-bound (localCheckpoint per round),
+        # so wall time tracks host scheduling noise more than engine
+        # work — a misleading round-over-round regression signal.
     ]
     qs = entrymod.queries()
     for name in bench_queries:
