@@ -32,7 +32,9 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="omniparser_spark")
-    ap.add_argument("--feed", required=True, help="parquet dir of envelope rows")
+    ap.add_argument("--feed", default=None,
+                    help="parquet dir of envelope rows (required unless "
+                         "running a maintenance command)")
     ap.add_argument("--table", required=True, help="lake table path")
     ap.add_argument("--checkpoint", required=True, help="checkpoint dir")
     ap.add_argument("--quarantine", default=None, help="dead-letter parquet dir")
@@ -53,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
                          "this snapshot version, then exit")
     args = ap.parse_args(argv)
 
+    maintenance = args.replay_quarantine or args.changelog_since is not None
+    if not maintenance and not args.feed:
+        ap.error("--feed is required for apply/streaming runs")
+    if args.replay_quarantine and not args.quarantine:
+        ap.error("--replay-quarantine requires --quarantine")
+
     from pyspark.sql import functions as F
 
     from omniparser_spark.cdc.pipeline import CdcPipeline
@@ -68,9 +76,18 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.changelog_since is not None:
-        for row in pipe.table.changes_between_versions(
-            args.changelog_since
-        ).toJSON().toLocalIterator():
+        try:
+            rows = pipe.table.changes_between_versions(args.changelog_since)
+        except FileNotFoundError:
+            versions = sorted(s.version for s in pipe.table.history())
+            print(
+                f"error: snapshot v{args.changelog_since} was expired "
+                f"(retained: {versions}); raise expire_keep_last or use "
+                "a retained version",
+                file=sys.stderr,
+            )
+            return 2
+        for row in rows.toJSON().toLocalIterator():
             print(row)
         return 0
     if args.replay_quarantine:

@@ -287,7 +287,6 @@ class CdcPipeline:
         tests and bench use the deterministic generator or a parquet
         slice — both are pure functions of the range).
         """
-        results = []
         # AQE off for the apply loop: every shuffle otherwise becomes a
         # separately-materialized query stage with a driver replan
         # (~0.5s serial per batch). The loop's shapes are fully known
@@ -460,21 +459,20 @@ class CdcPipeline:
         True)`) — those columns are carried through verbatim and the
         tombstones keep protecting their keys.
         """
-        if int(self.table.summary().get("batch_id", -1)) >= 0:
-            raise ValueError("bootstrap requires an empty table")
         summary = self.table.summary()
+        if int(summary.get("batch_id", -1)) >= 0:
+            raise ValueError("bootstrap requires an empty table")
         key_col = summary["key_col"]
         n_buckets = int(summary["n_buckets"])
         from omniparser_spark.lake.table import bucket_expr
 
-        data_cols = [
-            f.name for f in self.table.schema().fields
-            if not f.name.startswith("_")
-        ]
+        schema = self.table.schema()
+        data_cols = [f.name for f in schema.fields if not f.name.startswith("_")]
         df = snapshot_df
-        for c in data_cols:
-            if c not in df.columns:
-                df = df.withColumn(c, F.lit(None))
+        for f in schema.fields:
+            if f.name in data_cols and f.name not in df.columns:
+                # typed NULL: parquet cannot write NullType columns
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         out = df.select(
             *data_cols,
             (

@@ -84,7 +84,7 @@ def merge_into(
     table: LakeTable,
     batch: DataFrame,
     batch_id: int,
-    keys: Sequence[str] = DEFAULT_KEYS,
+    keys: Sequence[str] | None = None,
     expected_rows: int | None = None,
     max_offset: int | None = None,
     prune_exact: bool | None = None,
@@ -128,6 +128,11 @@ def merge_into(
     summary = table.summary()
     if batch_id <= int(summary.get("batch_id", -1)):
         return None  # exactly-once batch fence: already committed
+    if keys is None:
+        # the table's declared row identity governs the upsert; tables
+        # created before merge_keys existed were all written with
+        # DEFAULT_KEYS, so that is the honest legacy fallback
+        keys = tuple(summary.get("merge_keys") or DEFAULT_KEYS)
 
     key_col = summary["key_col"]
     n_buckets = int(summary["n_buckets"])

@@ -484,8 +484,18 @@ class LakeTable:
         prunable, no log replay.
         """
         summary = self.summary()
-        # the declared row identity (full merge key), not the bucket key
-        keys = list(summary.get("merge_keys") or [summary["key_col"]])
+        # the declared row identity (full merge key), not the bucket
+        # key; tables written before merge_keys existed used the merge
+        # module's DEFAULT_KEYS, so fall back to those (restricted to
+        # the schema), never to the bucket key alone
+        from omniparser_spark.lake.merge import DEFAULT_KEYS
+
+        schema_cols = [f.name for f in self.schema().fields]
+        keys = list(
+            summary.get("merge_keys")
+            or [c for c in DEFAULT_KEYS if c in schema_cols]
+            or [summary["key_col"]]
+        )
         post = self.changes_between_versions(from_version, to_version)
         pre = self.read(version=from_version, include_hidden=True)
         data_cols = [
