@@ -3314,6 +3314,58 @@ def _conversation_assembly(spark, sf_dir):
     )
 
 
+@_q(
+    "sample_mixture_fractions",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT / 16777216.0
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE NULL END
+    """,
+)
+def _sample_mixture(spark, sf_dir):
+    """Deterministic hash-threshold mixture sampling (operators/
+    sampling.py): per-language keep fractions from a recipe, stable
+    under any partitioning/cluster size and append-only under corpus
+    growth — the reproducible substitute for rand()/TABLESAMPLE in
+    training-mixture construction."""
+    from omniparser_spark.operators.sampling import sample_fraction
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_fraction(
+        d, {"en": 0.5, "de": 0.25}, key_col="doc_id", strata_col="lang"
+    ).select("doc_id", "lang", "source")
+
+
+@_q(
+    "sample_stratified_topk",
+    """
+    WITH u AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+               / 16777216.0 AS uval
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY uval ASC, doc_id ASC) AS rk
+      FROM u
+    )
+    SELECT doc_id, source FROM ranked WHERE rk <= 20
+    """,
+)
+def _sample_stratified(spark, sf_dir):
+    """Exact-k-per-stratum deterministic sampling: the k smallest
+    content-hash values per source — uniform within stratum, order-
+    free, reproducible in any engine."""
+    from omniparser_spark.operators.sampling import stratified_sample_k
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample_k(
+        d, k=20, key_col="doc_id", strata_col="source"
+    ).select("doc_id", "source")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

@@ -1,0 +1,77 @@
+"""Deterministic sampling for training-data mixture construction.
+
+Training pipelines need reproducible subsets: the same corpus + the
+same config must yield byte-identical mixtures on any cluster size, any
+partitioning, any engine — which rules out `rand()`/`TABLESAMPLE`
+(partition-dependent) in favor of content-hash thresholds. Both
+operators are pure column expressions: shuffle-free row filters (plus
+one bounded per-group window for the stratified variant), scan-bound at
+100 TB, and reproducible in SQL for oracle checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# md5 prefix -> uniform [0, 1): 2^24 buckets is plenty of resolution
+# and stays exact in a double
+_DENOM = float(1 << 24)
+
+
+def hash_unit_interval(key: Column | str) -> Column:
+    """Deterministic uniform [0,1) from a key's md5 — the reproducible
+    substitute for rand()."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 6), 16, 10)
+        .cast("double")
+        / F.lit(_DENOM)
+    )
+
+
+def sample_fraction(
+    df: DataFrame,
+    fraction: float | Mapping[str, float],
+    key_col: str,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Keep each row iff hash(key) < fraction — per-stratum fractions
+    when `fraction` is a mapping over `strata_col` values (a source/
+    language mixture recipe; unlisted strata are dropped). Rows keep or
+    drop independently of partitioning, cluster size, and row order;
+    re-running on a grown corpus keeps every previously-kept row
+    (hash thresholds are stable), which makes incremental mixture
+    refreshes append-only."""
+    u = hash_unit_interval(key_col)
+    if isinstance(fraction, Mapping):
+        if strata_col is None:
+            raise ValueError("strata_col required for per-stratum fractions")
+        thresh = None
+        expr = F.lit(None).cast("double")
+        for value, frac in sorted(fraction.items()):
+            expr = F.when(F.col(strata_col) == value, F.lit(float(frac))).otherwise(expr)
+        thresh = expr
+        return df.filter(u < thresh)
+    return df.filter(u < float(fraction))
+
+
+def stratified_sample_k(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    strata_col: str,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum: the k smallest
+    hash(key) values — deterministic, order-free, and uniform within
+    each stratum. One window sort bounded per stratum (the strata are
+    the bounded monitoring/mixture dimensions, not an open domain)."""
+    u = hash_unit_interval(key_col)
+    w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -1,0 +1,60 @@
+"""Deterministic sampling invariants: partition-independence and
+append-only stability under corpus growth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omniparser_spark.operators.sampling import (
+    sample_fraction,
+    stratified_sample_k,
+)
+
+
+def _docs(spark, n, parts):
+    return spark.range(0, n, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+
+
+def test_sample_fraction_partition_independent(spark):
+    a = sample_fraction(_docs(spark, 2000, 2), 0.3, key_col="doc_id")
+    b = sample_fraction(_docs(spark, 2000, 17), 0.3, key_col="doc_id")
+    ids_a = {r.doc_id for r in a.collect()}
+    ids_b = {r.doc_id for r in b.collect()}
+    assert ids_a == ids_b
+    assert 0.2 < len(ids_a) / 2000 < 0.4  # roughly the asked fraction
+
+
+def test_sample_fraction_append_only_under_growth(spark):
+    small = {
+        r.doc_id
+        for r in sample_fraction(
+            _docs(spark, 500, 4), {"en": 0.5, "de": 0.2},
+            key_col="doc_id", strata_col="lang",
+        ).collect()
+    }
+    grown = {
+        r.doc_id
+        for r in sample_fraction(
+            _docs(spark, 1500, 4), {"en": 0.5, "de": 0.2},
+            key_col="doc_id", strata_col="lang",
+        ).collect()
+    }
+    assert small == {i for i in grown if i < 500}  # stable thresholds
+
+
+def test_stratified_k_exact_and_deterministic(spark):
+    out = stratified_sample_k(
+        _docs(spark, 3000, 8), k=25, key_col="doc_id", strata_col="lang"
+    )
+    counts = {r.lang: r.n for r in out.groupBy("lang").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert counts == {"en": 25, "de": 25}
+    again = stratified_sample_k(
+        _docs(spark, 3000, 3), k=25, key_col="doc_id", strata_col="lang"
+    )
+    assert {r.doc_id for r in out.collect()} == {
+        r.doc_id for r in again.collect()
+    }
