@@ -3366,6 +3366,50 @@ def _sample_stratified(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+@_q(
+    "streaming_continuous_rollup",
+    """
+    SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
+           event_type,
+           count(*) AS n,
+           (sum(value::DECIMAL(18,2))::DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def _stream_continuous_rollup(spark, sf_dir):
+    """Continuous materialized aggregate (streaming/windows.py
+    run_continuous_rollup): the update-mode window rollup MERGEd into a
+    lake table per epoch, keyed (window_start, event_type) with the
+    epoch id as the LWW offset — retried epochs fence to no-ops, later
+    epochs win. The table's final state must equal the batch day-window
+    rollup."""
+    from omniparser_spark.streaming.windows import (
+        run_continuous_rollup,
+        stage_stream_dir,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_contro_")
+    stage_stream_dir(ev, f"{tmp}/src", n_files=6)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{tmp}/src")
+    )
+    table = run_continuous_rollup(
+        spark, stream, f"{tmp}/agg", checkpoint_dir=f"{tmp}/ckpt"
+    )
+    return table.read().select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

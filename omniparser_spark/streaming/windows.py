@@ -221,6 +221,98 @@ def session_windows(
     )
 
 
+def run_continuous_rollup(
+    spark: SparkSession,
+    stream: DataFrame,
+    table_path: str,
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    watermark: str = "40 days",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    checkpoint_dir: str | None = None,
+):
+    """Continuous materialized aggregate: the update-mode windowed
+    rollup MERGEd into a lake table every epoch (the streaming
+    equivalent of a materialized view, with the CDC engine's own
+    exactly-once machinery as the sink).
+
+    Each epoch emits the windows it touched with their new cumulative
+    totals; the merge upserts them keyed on (window_start, group) with
+    the epoch id as the LWW offset, so a replayed epoch (foreachBatch
+    retries with the same id) is fenced to a no-op and later epochs
+    always win. Downstream consumers read the table — including its
+    change-data-feed — instead of re-scanning event history.
+
+    Returns the LakeTable holding the materialized rollup.
+    """
+    from pyspark.sql import types as T
+
+    from omniparser_spark.lake.merge import merge_into
+    from omniparser_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField(group_col, T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark,
+        table_path,
+        schema,
+        key_col="window_start",
+        n_buckets=8,
+        merge_keys=("window_start", group_col),
+    )
+
+    rolled = windowed_rollup(
+        stream,
+        ts_col=ts_col,
+        window_duration=window_duration,
+        watermark=watermark,
+        group_cols=(group_col,),
+        value_col=value_col,
+    )
+
+    def apply_epoch(df: DataFrame, epoch_id: int) -> None:
+        batch = df.select(
+            "window_start",
+            group_col,
+            "n",
+            "sum_value",
+            # LWW spine: constant ts per key + monotonic epoch offset
+            # => the latest epoch's cumulative total always wins and a
+            # retried epoch is an exact no-op
+            F.col("window_start").alias("ts"),
+            F.lit(epoch_id).cast("long").alias("offset"),
+            F.lit("U").alias("op"),
+        )
+        merge_into(
+            table,
+            batch,
+            batch_id=epoch_id,
+            max_offset=epoch_id,
+            observe_stats=False,  # foreachBatch clone: no Observation
+        )
+
+    q = (
+        rolled.writeStream.outputMode("update")
+        .foreachBatch(apply_epoch)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="cont_rollup_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table
+
+
 def run_bounded(
     out: DataFrame,
     output_mode: str,
