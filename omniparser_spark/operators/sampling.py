@@ -49,11 +49,11 @@ def sample_fraction(
     if isinstance(fraction, Mapping):
         if strata_col is None:
             raise ValueError("strata_col required for per-stratum fractions")
-        thresh = None
-        expr = F.lit(None).cast("double")
+        thresh = F.lit(None).cast("double")
         for value, frac in sorted(fraction.items()):
-            expr = F.when(F.col(strata_col) == value, F.lit(float(frac))).otherwise(expr)
-        thresh = expr
+            thresh = F.when(
+                F.col(strata_col) == value, F.lit(float(frac))
+            ).otherwise(thresh)
         return df.filter(u < thresh)
     return df.filter(u < float(fraction))
 

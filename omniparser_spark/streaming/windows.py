@@ -260,14 +260,19 @@ def run_continuous_rollup(
             T.StructField("ts", T.TimestampType()),
         ]
     )
-    table = LakeTable.create(
-        spark,
-        table_path,
-        schema,
-        key_col="window_start",
-        n_buckets=8,
-        merge_keys=("window_start", group_col),
-    )
+    # load-or-create: a RESTARTED stream (same checkpoint) must keep
+    # the existing table — create() would reset the version pointer
+    if LakeTable.exists(table_path):
+        table = LakeTable.load(spark, table_path)
+    else:
+        table = LakeTable.create(
+            spark,
+            table_path,
+            schema,
+            key_col="window_start",
+            n_buckets=8,
+            merge_keys=("window_start", group_col),
+        )
 
     rolled = windowed_rollup(
         stream,
