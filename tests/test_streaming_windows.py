@@ -187,3 +187,62 @@ def test_state_carries_across_epochs(spark, tmp_path):
     assert by_n[2].n_sessions == 1
     assert by_n[3].n_sessions == 2  # 15:00 is > 60 min after 12:10
     assert by_n[3].first_ts_us == by_n[2].first_ts_us
+
+
+def test_continuous_rollup_resumes_across_runs(spark, tmp_path):
+    """The materialized rollup must pick up where it left off: a second
+    availableNow run over the same checkpoint consumes only NEW files
+    and merges their windows into the existing table state."""
+    from omniparser_spark.streaming.windows import run_continuous_rollup
+
+    def rows(pairs):
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime([p[0] for p in pairs]),
+                "event_type": [p[1] for p in pairs],
+                "value": [p[2] for p in pairs],
+            }
+        )
+
+    src = tmp_path / "src"
+    _write_epoch_files(
+        src,
+        [rows([("2024-03-01 10:00:00", "a", 1.0), ("2024-03-01 11:00:00", "a", 2.0)])],
+    )
+
+    def make_stream():
+        return (
+            spark.readStream.schema(
+                "ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    table = run_continuous_rollup(
+        spark, make_stream(), str(tmp_path / "agg"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    first = {(r.window_start, r.event_type): (r.n, r.sum_value)
+             for r in table.read().collect()}
+    assert list(first.values()) == [(2, 3.0)]
+    v1 = table.current().version
+
+    # new data lands after the first run finished; same checkpoint
+    f2 = src / "f1.parquet"
+    df2 = rows([("2024-03-01 12:00:00", "a", 4.0), ("2024-03-02 09:00:00", "b", 5.0)])
+    df2["ts"] = df2["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(df2), f2)
+    os.utime(f2, (1_700_000_100, 1_700_000_100))
+
+    table2 = run_continuous_rollup(
+        spark, make_stream(), str(tmp_path / "agg"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert table2.current().version > v1  # resumed, not reset
+    final = {(str(r.window_start), r.event_type): (r.n, round(r.sum_value, 2))
+             for r in table2.read().collect()}
+    assert final == {
+        ("2024-03-01 00:00:00", "a"): (3, 7.0),
+        ("2024-03-02 00:00:00", "b"): (1, 5.0),
+    }
