@@ -134,3 +134,77 @@ def test_xmlish_roundtrip_escaped_text(spark, rows):
 )
 def test_fixed_roundtrip_within_width(spark, rows):
     _roundtrip(spark, rows, "fixed")
+
+
+# ---------------------------------------------------------------------------
+# The engine's core invariant, property-tested: the final table state is
+# identical for ANY slicing of the feed into micro-batches (the north
+# rule's final-state-equality criterion under adversarial batching).
+# ---------------------------------------------------------------------------
+
+_SLICE_STATE = {}
+
+
+def _slice_fixture(spark, tmp_path_factory):
+    if "ref" not in _SLICE_STATE:
+        from omniparser_spark.cdc.pipeline import CdcPipeline
+        from omniparser_spark.sources.changefeed import FeedSpec, materialize_feed
+
+        root = tmp_path_factory.mktemp("slices")
+        spec = FeedSpec(n_events=400, n_convs=20, seed=13)
+        feed = materialize_feed(spark, spec, str(root / "feed"))
+        ref = CdcPipeline(
+            spark, str(root / "ref_t"), str(root / "ref_c"),
+            n_buckets=4, n_source_parts=spec.n_source_parts,
+        )
+        ref.run_feed(feed, spec.n_events, batch_size=100)
+        _SLICE_STATE.update(
+            root=root, spec=spec, feed=feed,
+            ref=sorted(map(tuple, ref.read_table().collect())),
+            n=0,
+        )
+    return _SLICE_STATE
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cuts=st.lists(
+        st.integers(min_value=1, max_value=399), min_size=0, max_size=6,
+        unique=True,
+    )
+)
+def test_final_state_invariant_to_batch_slicing(
+    spark, tmp_path_factory, cuts
+):
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+
+    state = _slice_fixture(spark, tmp_path_factory)
+    spec, feed, root = state["spec"], state["feed"], state["root"]
+    state["n"] += 1
+    pipe = CdcPipeline(
+        spark,
+        str(root / f"t{state['n']}"),
+        str(root / f"c{state['n']}"),
+        n_buckets=4,
+        n_source_parts=spec.n_source_parts,
+    )
+    # arbitrary batch boundaries: apply [prev, cut) slices in order
+    bounds = sorted(set(cuts)) + [spec.n_events]
+    prev = 0
+    for i, end in enumerate(bounds):
+        if end <= prev:
+            continue
+        from pyspark.sql import functions as FF
+
+        raw = feed.filter(
+            (FF.col("offset") >= prev) & (FF.col("offset") <= end - 1)
+        )
+        pipe.apply_batch(raw, batch_id=i, offset_start=prev, offset_end=end - 1)
+        prev = end
+    got = sorted(map(tuple, pipe.read_table().collect()))
+    assert got == state["ref"]
