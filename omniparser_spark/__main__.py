@@ -41,7 +41,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--total-events", type=int, default=None,
                     help="replay bound (default: max offset in feed + 1)")
     ap.add_argument("--batch-size", type=int, default=250_000)
-    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--n-buckets", type=int, default=None,
+                    help="bucket count for a NEW table (default: derived "
+                         "as ceil(expected-table-rows / target-bucket-rows); "
+                         "ignored when --table already exists)")
+    ap.add_argument("--target-bucket-rows", type=int, default=100_000,
+                    help="bucket sizing knob: per-batch COW merge cost is "
+                         "~ batch_keys x this, per-commit file count is "
+                         "~ table_rows / this")
+    ap.add_argument("--expected-table-rows", type=int, default=None,
+                    help="expected final table size for bucket derivation "
+                         "(default: event count of --feed, an upper bound)")
     ap.add_argument("--master", default=None,
                     help="override master (else spark-submit decides)")
     ap.add_argument("--streaming", action="store_true",
@@ -64,14 +74,44 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import functions as F
 
     from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.lake.table import LakeTable
     from omniparser_spark.session import get_spark
 
+    # maintenance commands are read-only/repair paths: a typo'd --table
+    # must fail fast, never silently materialize a fresh empty table
+    # (the pipeline constructor is create-if-missing by design).
+    if maintenance and not LakeTable.exists(args.table):
+        print(f"error: no lake table at {args.table}", file=sys.stderr)
+        return 2
+
     spark = get_spark(app_name="omniparser_spark_apply", master=args.master)
+
+    feed = total = None
+    if not maintenance and not args.streaming:
+        feed = spark.read.parquet(args.feed)
+        total = args.total_events
+        if total is None:
+            total = (feed.agg(F.max("offset")).collect()[0][0] or -1) + 1
+
+    n_buckets = args.n_buckets
+    if n_buckets is None and not LakeTable.exists(args.table):
+        # size buckets from the TABLE, not the batch (merge.py cost
+        # model): feed event count is an upper bound on final rows
+        from omniparser_spark.lake.merge import derive_n_buckets
+
+        est = args.expected_table_rows
+        if est is None:
+            est = total if total is not None else 0
+        n_buckets = derive_n_buckets(est, args.target_bucket_rows)
+        print(json.dumps({"derived_n_buckets": n_buckets,
+                          "expected_table_rows": est,
+                          "target_bucket_rows": args.target_bucket_rows}))
+
     pipe = CdcPipeline(
         spark,
         args.table,
         args.checkpoint,
-        n_buckets=args.n_buckets,
+        n_buckets=n_buckets if n_buckets is not None else 16,
         quarantine_path=args.quarantine,
     )
 
@@ -100,11 +140,6 @@ def main(argv: list[str] | None = None) -> int:
 
         records = run_streaming_apply(pipe, args.feed)
     else:
-        feed = spark.read.parquet(args.feed)
-        total = args.total_events
-        if total is None:
-            total = (feed.agg(F.max("offset")).collect()[0][0] or -1) + 1
-
         # run_feed: the decode tree is built once for the whole run
         # (~0.5 s/batch of serial driver time saved vs per-batch build)
         records = pipe.run_feed(feed, total, batch_size=args.batch_size)

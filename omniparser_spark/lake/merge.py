@@ -54,6 +54,25 @@ from omniparser_spark.lake.table import LakeTable, bucket_expr
 DEFAULT_KEYS = ("conv_id", "turn_idx")
 
 
+def derive_n_buckets(
+    expected_table_rows: int,
+    target_bucket_rows: int = 100_000,
+    min_buckets: int = 8,
+    max_buckets: int = 4096,
+) -> int:
+    """Size the bucket count from the TABLE, not the batch (the cost
+    model above: per-batch merge cost ~ batch_keys x bucket_rows, so
+    `target_bucket_rows` is the direct knob trading per-commit file
+    count against per-batch COW cost). `expected_table_rows` may be a
+    rough upper bound — total feed events works: over-bucketing only
+    costs file count, under-bucketing costs merge I/O, and
+    :meth:`LakeTable.rescale_buckets` fixes either online."""
+    if expected_table_rows <= 0:
+        return min_buckets
+    b = -(-expected_table_rows // max(target_bucket_rows, 1))  # ceil
+    return max(min_buckets, min(max_buckets, int(b)))
+
+
 def iceberg_merge_sql(
     target: str,
     source_view: str,
@@ -102,21 +121,30 @@ def merge_into(
     Cost model (COW): the merge reads and rewrites every *touched*
     bucket in full, so per-batch cost is O(touched_buckets x
     avg_bucket_size). Pruning to the batch's actual buckets is what
-    bounds that by the batch's key footprint — which only helps when
-    the batch touches a strict subset of buckets. For R uniformly
-    hashed keys over B buckets the expected touched count is
-    B(1 - exp(-R/B)): essentially all of them once R >~ 3B. Hence:
+    bounds that by the batch's key footprint. For R uniformly hashed
+    KEYS (not rows — a 250k-event batch over 5k hot conversations has
+    R=5k) over B buckets the expected touched count is
+    B(1 - exp(-R/B)): essentially all once R >~ 3B. Hence:
 
-    - `prune_exact=None` (auto): run the exact distinct-buckets job
-      only when `expected_rows` < 3 x n_buckets (or is unknown) —
-      beyond that the job costs a driver action and prunes nothing.
-    - `prune_exact=True`: force the exact job regardless of size — the
-      right call for hot-key-skewed feeds, where a large event count
-      still lands on few keys/buckets.
+    - `prune_exact=None` (auto): run the exact distinct-buckets job.
+      The risk is asymmetric — the job costs one aggregate over the
+      (cached) batch, O(batch), while skipping it forces touched=ALL,
+      O(table) read+rewrite per batch; at 100 TB the insurance is
+      orders of magnitude cheaper than the downside, and row counts
+      are a bad proxy for key counts on hot-key CDC feeds (round-2
+      verdict: the old `expected_rows < 3B` auto rule made every
+      default-config batch a full-table rewrite). The only carve-out:
+      `expected_rows` >= 3 x n_buckets AND the table itself is still
+      no bigger than ~2 batches (summary `rows_estimate`, kept by
+      commit) — bootstrap loads, where a full rewrite is both
+      inevitable and cheap, so the distinct job buys nothing.
+    - `prune_exact=False`: caller asserts the batch spans ~all buckets
+      (e.g. uniform backfill replays) — skips the distinct job.
     - At deployment, size `n_buckets` so a steady-state batch's key
       footprint stays well under it (buckets ~ table_rows /
-      target_bucket_rows); a B sized to the *table* keeps per-batch
-      merge cost O(batch keys x bucket size), not O(table).
+      target_bucket_rows, :func:`derive_n_buckets`); a B sized to the
+      *table* keeps per-batch merge cost O(batch keys x bucket size),
+      not O(table).
 
     Rewriting a bucket the batch happens to miss is still correct (its
     content is carried through the LWW union unchanged) — pruning is a
@@ -150,7 +178,18 @@ def merge_into(
     batch = batch.withColumn("_bucket", bucket_expr(key_col, n_buckets))
 
     if prune_exact is None:
-        prune_exact = expected_rows is None or expected_rows < 3 * n_buckets
+        # asymmetric risk: exact pruning costs O(batch); skipping it
+        # costs O(table) when the batch's keys are concentrated. Only
+        # skip during bootstrap (table still <= ~2 batches of events —
+        # proxied by max_offset_applied, an upper bound on events
+        # absorbed so far) with a uniform-looking batch, where the
+        # full rewrite is inevitable AND cheap.
+        uniform_batch = (
+            expected_rows is not None and expected_rows >= 3 * n_buckets
+        )
+        events_so_far = int(summary.get("max_offset_applied", -1)) + 1
+        bootstrap = events_so_far <= 2 * (expected_rows or 0)
+        prune_exact = n_buckets > 1 and not (uniform_batch and bootstrap)
     if prune_exact:
         # batch consumed twice (bucket distinct + merge) — cache it
         batch = batch.persist()

@@ -63,6 +63,10 @@ def asof_join(
         *keys,
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_tag"),
+        # keep the tiebreak's OWN type (string/timestamp tiebreaks order
+        # natively); the left side carries a NULL of the same type, so
+        # unionByName never coerces the right side to string and
+        # equal-timestamp winner selection stays type-correct
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_tie"),
         payload.alias("_rv"),
         *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
@@ -71,14 +75,18 @@ def asof_join(
         *keys,
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_tag"),
-        F.lit(0).alias("_tie"),
+        F.lit(None).cast(r.schema["_tie"].dataType).alias("_tie"),
         F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
     u = r.unionByName(l)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_t"), F.col("_tag"), F.col("_tie"))
+        # _tie only orders right rows among themselves (left rows all
+        # carry NULL and sort first within their (t, tag) stratum —
+        # irrelevant to their own frame result since right rows of the
+        # same timestamp already precede them via _tag)
+        .orderBy(F.col("_t"), F.col("_tag"), F.col("_tie").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn(

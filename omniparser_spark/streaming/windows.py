@@ -251,6 +251,14 @@ def run_continuous_rollup(
     from omniparser_spark.lake.merge import merge_into
     from omniparser_spark.lake.table import LakeTable
 
+    if checkpoint_dir is None:
+        # NEVER a throwaway tempdir: restarting against an existing
+        # table with a fresh checkpoint resets epoch ids to 0, and the
+        # merge's batch-id fence then silently no-ops every epoch (the
+        # table goes stale with no error). A checkpoint derived from
+        # the table path makes resume the default behavior.
+        checkpoint_dir = table_path.rstrip("/") + "_ckpt"
+
     schema = T.StructType(
         [
             T.StructField("window_start", T.TimestampType()),
@@ -307,10 +315,7 @@ def run_continuous_rollup(
     q = (
         rolled.writeStream.outputMode("update")
         .foreachBatch(apply_epoch)
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or tempfile.mkdtemp(prefix="cont_rollup_ckpt_"),
-        )
+        .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )

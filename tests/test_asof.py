@@ -62,3 +62,38 @@ def test_asof_multiple_value_cols_and_keys(spark):
     )
     (r,) = asof_join(left, right, key=["k1", "k2"]).collect()
     assert (r.s, r.n) == ("x", 7)  # k2=2 row excluded by the compound key
+
+
+def test_asof_tiebreak_nonnumeric_types(spark):
+    """ADVICE item: a string or timestamp tiebreak must order in its
+    OWN type — the old left-side int-0 literal either failed unionByName
+    analysis or coerced both sides to string. Also guard the numeric
+    case against lexicographic coercion (10 > 9 numerically, but
+    '10' < '9' as strings)."""
+    left = spark.createDataFrame(
+        [("u", _ts(6), "e")], "k string, ts timestamp, ev string"
+    )
+    # string tiebreak: native (lexicographic) order, 'b' wins
+    right_s = spark.createDataFrame(
+        [("u", _ts(5), "a", "first"), ("u", _ts(5), "b", "second")],
+        "k string, ts timestamp, seq string, val string",
+    )
+    (r,) = asof_join(left, right_s, key="k", value_cols=["val"],
+                     tiebreak="seq").collect()
+    assert r.val == "second"
+    # timestamp tiebreak: later ingest time wins
+    right_t = spark.createDataFrame(
+        [("u", _ts(5), _ts(1), "old"), ("u", _ts(5), _ts(2), "new")],
+        "k string, ts timestamp, ingest timestamp, val string",
+    )
+    (r,) = asof_join(left, right_t, key="k", value_cols=["val"],
+                     tiebreak="ingest").collect()
+    assert r.val == "new"
+    # long tiebreak where lexicographic would invert the winner
+    right_n = spark.createDataFrame(
+        [("u", _ts(5), 9, "nine"), ("u", _ts(5), 10, "ten")],
+        "k string, ts timestamp, seq long, val string",
+    )
+    (r,) = asof_join(left, right_n, key="k", value_cols=["val"],
+                     tiebreak="seq").collect()
+    assert r.val == "ten"

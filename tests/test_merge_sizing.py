@@ -1,0 +1,113 @@
+"""Bucket sizing + prune cost model: defaults must NOT full-rewrite.
+
+Round-2 verdict defect #2: the CLI defaults (250k batches x 64 buckets)
+combined with the old `expected_rows < 3B` auto-prune rule meant every
+default-config batch rewrote the whole table. These tests pin the
+fixed behavior: buckets derive from the TABLE size, and the auto rule
+runs exact bucket pruning for any steady-state batch (skipping only
+the bootstrap regime where a full rewrite is inevitable and cheap).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import types as T
+
+from omniparser_spark.lake.merge import derive_n_buckets, merge_into
+from omniparser_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+BATCH_SCHEMA = T.StructType(
+    SCHEMA.fields
+    + [T.StructField("offset", T.LongType()), T.StructField("op", T.StringType())]
+)
+
+
+def _batch(spark, rows):
+    ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    return spark.createDataFrame(
+        [(c, t, "user", f"{c}-{t}", None, ts, off, "U") for (c, t, off) in rows],
+        BATCH_SCHEMA,
+    )
+
+
+def test_derive_n_buckets_math():
+    assert derive_n_buckets(0) == 8
+    assert derive_n_buckets(100, target_bucket_rows=100_000) == 8  # min
+    assert derive_n_buckets(10_000_000, target_bucket_rows=100_000) == 100
+    assert derive_n_buckets(10_000_001, target_bucket_rows=100_000) == 101
+    assert derive_n_buckets(10**12, target_bucket_rows=100_000) == 4096  # max
+    # the 100 TB shape: ~10^10 final rows at 1M-row buckets -> 10k
+    # buckets capped at 4096 => rescale_buckets is the escape hatch
+    assert derive_n_buckets(10**10, target_bucket_rows=1_000_000) == 4096
+
+
+def test_steady_state_batch_prunes_buckets(spark, tmp_path):
+    """A hot-key batch against a grown table touches only its own
+    buckets under the default (auto) prune rule — even when its ROW
+    count looks uniform (>= 3B)."""
+    n_buckets = derive_n_buckets(400_000, target_bucket_rows=10_000)
+    assert n_buckets == 40
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="conv_id",
+        n_buckets=n_buckets, merge_keys=("conv_id", "turn_idx"),
+    )
+    # bootstrap: 2000 uniform keys -> auto rule skips the distinct job
+    # (full rewrite inevitable + cheap) and touches all buckets
+    boot = [(f"c{i}", 1, i) for i in range(2000)]
+    s0 = merge_into(t, _batch(spark, boot), batch_id=0,
+                    expected_rows=2000, max_offset=1999)
+    assert len(s0["touched_buckets"]) == n_buckets
+    # steady state: 300 events over 5 hot conversations. Row count
+    # still >= 3B (the old rule's full-rewrite trigger), but the auto
+    # rule now prunes: touched <= 5 buckets, not all 40.
+    hot = [(f"c{i % 5}", 2 + j, 2000 + j * 5 + i)
+           for j in range(60) for i in range(5)]
+    s1 = merge_into(t, _batch(spark, hot), batch_id=1,
+                    expected_rows=300, max_offset=2000 + 299)
+    assert len(s1["touched_buckets"]) <= 5
+    # pruning never drops untouched rows: 2000 bootstrap keys + 300
+    # new (conv, turn) keys from the hot batch
+    assert t.read().count() == 2300
+
+
+def test_cli_derives_buckets_and_runs(spark, tmp_path):
+    from omniparser_spark.__main__ import main
+    from omniparser_spark.sources.changefeed import FeedSpec, materialize_feed
+
+    feed_dir = str(tmp_path / "feed")
+    materialize_feed(spark, FeedSpec(n_events=200, n_convs=10, seed=7), feed_dir)
+    rc = main([
+        "--feed", feed_dir,
+        "--table", str(tmp_path / "tab"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--total-events", "200",
+        "--batch-size", "100",
+        "--target-bucket-rows", "25",
+    ])
+    assert rc == 0
+    t = LakeTable.load(spark, str(tmp_path / "tab"))
+    assert int(t.summary()["n_buckets"]) == 8  # ceil(200/25)
+
+def test_cli_maintenance_fails_fast_on_missing_table(tmp_path, capsys):
+    from omniparser_spark.__main__ import main
+
+    missing = str(tmp_path / "nope")
+    rc = main([
+        "--table", missing,
+        "--checkpoint", str(tmp_path / "ck"),
+        "--changelog-since", "0",
+    ])
+    assert rc == 2
+    assert not LakeTable.exists(missing)  # nothing was materialized
+    assert "no lake table" in capsys.readouterr().err

@@ -75,3 +75,83 @@ def test_routed_replay_is_fenced_per_destination(spark, feed, tmp_path):
     )
     assert routed.pipes["all"].table.current().version == v1
     assert len(first["all"]) == 2
+
+
+def test_routed_decodes_once_per_run(spark, feed, tmp_path, monkeypatch):
+    """Round-2 verdict defect #3: run_feed used to rebuild + re-execute
+    the decode per destination (N routes = N decode passes per batch).
+    The router now builds ONE normalize tree per run and persists each
+    batch's canonical slice, so destinations filter the cache. The
+    build-count is asserted here; the execution side is structural
+    (persist before the per-destination loop, unpersist after)."""
+    import omniparser_spark.cdc.routing as routing_mod
+
+    calls = {"n": 0}
+    real = routing_mod.normalize_flagged
+
+    def counting(df):
+        calls["n"] += 1
+        return real(df)
+
+    monkeypatch.setattr(routing_mod, "normalize_flagged", counting)
+    routed = RoutedPipeline(
+        spark,
+        str(tmp_path / "once"),
+        routes={
+            "r0": lambda: F.pmod(F.xxhash64("conv_id"), F.lit(3)) == 0,
+            "r1": lambda: F.pmod(F.xxhash64("conv_id"), F.lit(3)) == 1,
+            "r2": lambda: F.pmod(F.xxhash64("conv_id"), F.lit(3)) == 2,
+        },
+        n_buckets=4,
+        n_source_parts=SPEC.n_source_parts,
+    )
+    routed.run_feed(feed, SPEC.n_events, batch_size=600)
+    assert calls["n"] == 1  # one decode tree for 3 routes x 2 batches
+    total = sum(routed.read(n).count() for n in ("r0", "r1", "r2"))
+    assert total > 0
+
+
+def test_routed_destinations_dead_letter_bad_rows(spark, tmp_path):
+    """ADVICE item: every routed destination captures the slice's
+    undecodable rows in its own dead-letter dir (bad rows carry NULL
+    canonical columns, so no content route matches them — the router
+    must keep them in each slice for quarantine capture)."""
+    import datetime
+
+    ts = datetime.datetime(2024, 7, 1, 12, 0, 0)
+    rows = []
+    for off in range(12):
+        if off % 4 == 0:
+            rows.append((off, "U", "mystery", f"???{off}", ts, 0))
+        else:
+            conv = "cA" if off % 2 else "cB"
+            rows.append((
+                off, "U", "json",
+                '{"conv_id":"%s","turn_idx":%d,"role":"user",'
+                '"text":"t%d","ts":"2024-07-01T12:00:00Z"}' % (conv, off, off),
+                ts, 0,
+            ))
+    feed = spark.createDataFrame(
+        rows,
+        "offset long, op string, format string, payload string, "
+        "ts timestamp, source_part int",
+    )
+    base = str(tmp_path / "dlq")
+    routed = RoutedPipeline(
+        spark,
+        base,
+        routes={
+            "a": lambda: F.col("conv_id") == "cA",
+            "b": lambda: F.col("conv_id") == "cB",
+        },
+        n_buckets=2,
+        n_source_parts=1,
+    )
+    recs = routed.run_feed(feed, 12, batch_size=12)
+    for name in ("a", "b"):
+        dead = spark.read.parquet(f"{base}/{name}/dead/batch_id=0")
+        assert dead.count() == 3  # offsets 0,4,8
+        assert recs[name][0]["quarantined"] == 3
+    # tables only got their own route's good rows
+    assert routed.read("a").count() == 6  # odd offsets 1..11 -> cA
+    assert routed.read("b").count() == 3  # even non-bad offsets 2,6,10 -> cB
