@@ -3520,6 +3520,72 @@ def _dec_edi_hierarchy(spark, sf_dir):
     )
 
 
+@_q(
+    "multimodal_pixel_features",
+    """
+    WITH params AS (
+      SELECT i AS media_id, 8 + i % 9 AS w, 8 + (i * 3) % 7 AS h
+      FROM generate_series(0, 59) t(i)
+    ),
+    pix AS (
+      SELECT p.media_id, p.w, p.h,
+             ((x.v * 31 + y.v * 17 + p.media_id) % 256) // 16 AS b
+      FROM params p
+      JOIN generate_series(0, 15) x(v) ON x.v < p.w
+      JOIN generate_series(0, 13) y(v) ON y.v < p.h
+    ),
+    buckets AS (SELECT v AS b FROM generate_series(0, 15) t(v)),
+    counts AS (SELECT media_id, b, count(*) AS c FROM pix GROUP BY 1, 2),
+    dense AS (
+      SELECT p.media_id, p.w, p.h, bu.b, coalesce(c.c, 0) AS c
+      FROM params p CROSS JOIN buckets bu
+      LEFT JOIN counts c ON c.media_id = p.media_id AND c.b = bu.b
+    )
+    SELECT media_id, w::INT AS width, h::INT AS height,
+           list(c ORDER BY b) AS pixel_hist
+    FROM dense GROUP BY media_id, w, h
+    """,
+)
+def _multimodal_pixels(spark, sf_dir):
+    """REAL pixel decode end-to-end (operators/multimodal.py
+    decode_png_pixels): valid PNGs (zlib-compressed, CRC-checked,
+    filter-encoded IDAT) are decoded — inflate + scanline unfilter —
+    inside the mapInPandas feature extractor, and the per-image
+    pixel-VALUE histogram must equal the oracle's closed-form pixel
+    formula ((x*31 + y*17 + seed) % 256, the make_png generator's
+    gradient), computed by DuckDB from generate_series. Any byte-level
+    shortcut (hashing the compressed stream instead of decoding it)
+    cannot reproduce these counts. Counts are reconstructed exactly
+    from the float32 feature vector (hist = round(f * n_pixels):
+    f32 error <= 224 * 6e-8 << 0.5)."""
+    from omniparser_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        make_png,
+    )
+
+    rows = []
+    for i in range(60):
+        w, h = 8 + i % 9, 8 + (i * 3) % 7
+        rows.append(
+            (i, "image", bytearray(make_png(w, h, seed=i)),
+             ("image/png", w, h, 0))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media)
+    width = (8 + F.col("media_id") % 9).cast("int")
+    height = (8 + (F.col("media_id") * 3) % 7).cast("int")
+    total = (width * height).cast("double")
+    return feats.select(
+        "media_id",
+        width.alias("width"),
+        height.alias("height"),
+        F.transform(
+            "features", lambda v: F.round(v * total).cast("long")
+        ).alias("pixel_hist"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3563,6 +3629,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_stopword_ratio",
     # -- new this round
     "decode_edi_hierarchy",
+    "multimodal_pixel_features",
     # -- load-bearing anchors (all r2-green) to fill the window
     "cdc_replay_final_state",
     "quarantine_deadletter",
@@ -3587,7 +3654,6 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_near_dups_lsh",
     "lsh_topk_ann",
     "ivf_topk_ann",
-    "agg_pricing_summary",
 ]
 
 

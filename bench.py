@@ -125,6 +125,22 @@ def main() -> None:
         materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
+    # iterative-path signal (round-2 verdict): label propagation at a
+    # FIXED 3 rounds — one 3-join DAG, no convergence-count jobs, no
+    # per-round localCheckpoint — so regressions in the clustering
+    # join/agg shape are visible without the driver-latency noise that
+    # kept the convergent variant out of the bench.
+    from omniparser_spark.operators.clustering import connected_components
+    from omniparser_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cc_pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    t0 = time.time()
+    materialize(connected_components(cc_pairs, exact_rounds=3))
+    timings["connected_components_3round"] = round(time.time() - t0, 3)
+
     out = {
         "metric": "change-events/sec applied e2e (normalize+LWW+MERGE)",
         "value": round(events_per_sec, 1),

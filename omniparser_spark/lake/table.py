@@ -32,9 +32,11 @@ On a real cluster with an Iceberg catalog configured,
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -195,6 +197,46 @@ class LakeTable:
                 cur = Snapshot.from_json(f.read())
         return snaps
 
+    @contextlib.contextmanager
+    def _commit_lock(self, timeout: float = 10.0, stale_after: float = 60.0):
+        """Mutual exclusion across the check-and-swap window: an
+        O_EXCL-created ``metadata/commit.lock`` held from the version
+        check through the pointer replace, so two writers cannot both
+        pass the check and clobber each other (the pre-lock CAS was
+        advisory — both could read the same base in the race window).
+        A lock older than `stale_after` is presumed crashed and broken;
+        contention past `timeout` raises ConcurrentCommitError (the
+        caller's retry path re-reads the base either way)."""
+        lock = os.path.join(self._meta_dir, "commit.lock")
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # holder released between open and stat
+                if age > stale_after:
+                    with contextlib.suppress(OSError):
+                        os.unlink(lock)  # break a crashed writer's lock
+                    continue
+                if time.monotonic() > deadline:
+                    raise ConcurrentCommitError(
+                        f"commit lock {lock} held for >{timeout}s; "
+                        "another writer is committing (or crashed "
+                        f"<{stale_after}s ago) — retry on a fresh base"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(lock)
+
     def _write_snapshot(
         self, snap: Snapshot, expected_parent: int | None = None
     ) -> None:
@@ -206,27 +248,32 @@ class LakeTable:
         writer advanced the pointer since this commit's base snapshot
         was read, raise instead of silently clobbering its commit
         (Iceberg's CommitFailedException contract; the caller re-reads
-        and retries on a fresh base). Last-line defense for a
-        mis-deployed second writer — the engine is single-writer by
-        design.
+        and retries on a fresh base). The check and the pointer swap
+        happen under ``_commit_lock``, so concurrent same-base writers
+        serialize: one commits, the other fails the check — defense in
+        depth for a mis-deployed second writer; the engine is
+        single-writer by design.
         """
-        if expected_parent is not None:
-            hint = os.path.join(self._meta_dir, VERSION_HINT)
-            with open(hint) as f:
-                current = int(f.read().strip())
-            if current != expected_parent:
-                raise ConcurrentCommitError(
-                    f"table {self.path} moved to v{current} while this "
-                    f"commit was based on v{expected_parent}; re-read "
-                    "and retry"
-                )
-        meta_path = os.path.join(self._meta_dir, f"v{snap.version}.metadata.json")
-        with open(meta_path, "w") as f:
-            f.write(snap.to_json())
-        fd, tmp = tempfile.mkstemp(dir=self._meta_dir)
-        with os.fdopen(fd, "w") as f:
-            f.write(str(snap.version))
-        os.replace(tmp, os.path.join(self._meta_dir, VERSION_HINT))
+        with self._commit_lock():
+            if expected_parent is not None:
+                hint = os.path.join(self._meta_dir, VERSION_HINT)
+                with open(hint) as f:
+                    current = int(f.read().strip())
+                if current != expected_parent:
+                    raise ConcurrentCommitError(
+                        f"table {self.path} moved to v{current} while this "
+                        f"commit was based on v{expected_parent}; re-read "
+                        "and retry"
+                    )
+            meta_path = os.path.join(
+                self._meta_dir, f"v{snap.version}.metadata.json"
+            )
+            with open(meta_path, "w") as f:
+                f.write(snap.to_json())
+            fd, tmp = tempfile.mkstemp(dir=self._meta_dir)
+            with os.fdopen(fd, "w") as f:
+                f.write(str(snap.version))
+            os.replace(tmp, os.path.join(self._meta_dir, VERSION_HINT))
 
     # ---------- read ----------
 

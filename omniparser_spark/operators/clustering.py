@@ -33,6 +33,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 25,
+    exact_rounds: int | None = None,
 ) -> DataFrame:
     """Components of the undirected graph given by `pairs` rows.
 
@@ -41,6 +42,12 @@ def connected_components(
     `max_rounds` is exhausted before convergence (a dedup pair graph
     with diameter > max_rounds means the candidate generator is linking
     everything to everything — fix the threshold/df-cap upstream).
+
+    `exact_rounds`: run exactly that many propagation rounds with NO
+    per-round convergence-count job and no convergence guarantee —
+    the benchmarking hook (bench.py times the engine work of the
+    iterative path without the driver-latency-bound convergence
+    control), also usable when the graph's diameter is known a priori.
     """
     a, b = F.col(id_a), F.col(id_b)
     # symmetric edge list (each undirected pair once per direction)
@@ -58,7 +65,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_rounds):
+    for _ in range(exact_rounds if exact_rounds is not None else max_rounds):
         # min label among each node's neighbors, one shuffle with
         # map-side partial min
         nbr_min = (
@@ -82,11 +89,16 @@ def connected_components(
                 ).alias("_changed"),
             )
         )
+        if exact_rounds is not None:
+            labels = new_labels.drop("_changed")
+            continue
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             return labels
+    if exact_rounds is not None:
+        return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds — "
         "candidate pair graph is pathologically deep; tighten the "

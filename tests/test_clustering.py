@@ -61,3 +61,23 @@ def test_divergence_guard_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_rounds=3)
+
+
+def test_exact_rounds_matches_converged_on_shallow_graph(spark):
+    """The fixed-round bench hook must equal the convergent result when
+    rounds >= diameter (and must not raise on non-convergence)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    conv = {
+        (r.id, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    fixed = {
+        (r.id, r.component)
+        for r in connected_components(pairs, exact_rounds=3).collect()
+    }
+    assert fixed == conv
+    # under-iterating is allowed (bench hook): runs without raising
+    partial = connected_components(pairs, exact_rounds=1).collect()
+    assert len(partial) == len(conv)

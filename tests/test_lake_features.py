@@ -253,3 +253,36 @@ def test_changes_between_versions_bounded_window(spark, tmp_path):
         for r in t.changes_between_versions(2).collect()
     }
     assert cur == {("a", 1): "a1-v3"}
+
+
+def test_commit_lock_serializes_writers(spark, tmp_path):
+    """ADVICE item: the version check and pointer swap hold an O_EXCL
+    lock file, so a second writer blocks (then fails the version
+    check / times out) instead of racing through the check window."""
+    import os
+    import time
+
+    from omniparser_spark.lake.table import ConcurrentCommitError
+
+    t = _make(spark, tmp_path)
+    lock = os.path.join(str(tmp_path / "t"), "metadata", "commit.lock")
+    # a held (fresh) lock makes a commit attempt time out cleanly
+    with open(lock, "w") as f:
+        f.write("someone-else")
+    t0 = time.monotonic()
+    try:
+        merge_into(
+            t, _batch(spark, [("z", 1, "z1", 3, 50, "I")]),
+            batch_id=7, max_offset=50,
+        )
+        raise AssertionError("expected ConcurrentCommitError")
+    except ConcurrentCommitError:
+        assert time.monotonic() - t0 < 60
+    # a STALE lock (crashed writer) is broken and the commit proceeds
+    os.utime(lock, (1, 1))  # ancient mtime
+    stats = merge_into(
+        t, _batch(spark, [("z", 1, "z1", 3, 50, "I")]),
+        batch_id=7, max_offset=50,
+    )
+    assert stats is not None
+    assert not os.path.exists(lock)  # released after commit

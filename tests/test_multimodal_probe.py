@@ -56,3 +56,135 @@ def test_probe_media_quarantines_truncated_wav(spark):
     )
     (r,) = probe_media(media).collect()
     assert r.valid is False and r.error  # quarantined, not a task crash
+
+
+# ---------------------------------------------------------------- pixels
+def _crafted_png(rows, channels=1, color_type=0, filters=None):
+    """Encode `rows` (list of scanlines, each a flat list of channel
+    bytes) using an explicit per-row filter type — exercises the
+    decoder's unfilter paths, which make_png (always filter 0) does
+    not."""
+    import struct
+    import zlib
+
+    width = len(rows[0]) // channels
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = [0] * len(rows[0])
+    for y, r in enumerate(rows):
+        ft = filters[y]
+        raw.append(ft)
+        for i, cur in enumerate(r):
+            left = r[i - channels] if i >= channels else 0
+            up = prev[i]
+            ul = prev[i - channels] if i >= channels else 0
+            enc = {
+                0: cur,
+                1: (cur - left) & 0xFF,
+                2: (cur - up) & 0xFF,
+                3: (cur - ((left + up) >> 1)) & 0xFF,
+                4: (cur - paeth(left, up, ul)) & 0xFF,
+            }[ft]
+            raw.append(enc)
+        prev = r
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", width, len(rows), 8, color_type, 0, 0, 0)
+    return (
+        sig + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_reverses_all_filters():
+    from omniparser_spark.operators.multimodal import decode_png_pixels
+
+    rows = [[(x * 7 + y * 13) % 256 for x in range(6)] for y in range(5)]
+    png = _crafted_png(rows, filters=[0, 1, 2, 3, 4])
+    w, h, ch, pix = decode_png_pixels(png)
+    assert (w, h, ch) == (6, 5, 1)
+    assert pix == bytes(v for r in rows for v in r)
+
+
+def test_png_decode_rgb_sub_filter_uses_bpp_offset():
+    from omniparser_spark.operators.multimodal import decode_png_pixels
+
+    # RGB: Sub/Paeth 'left' is 3 bytes back, not 1 — a bpp bug shows here
+    rows = [
+        [(x * 11 + c * 5 + y * 29) % 256
+         for x in range(4) for c in range(3)]
+        for y in range(3)
+    ]
+    png = _crafted_png(rows, channels=3, color_type=2, filters=[1, 4, 3])
+    w, h, ch, pix = decode_png_pixels(png)
+    assert (w, h, ch) == (4, 3, 3)
+    assert pix == bytes(v for r in rows for v in r)
+
+
+def test_make_png_pixels_match_generator_formula():
+    from omniparser_spark.operators.multimodal import (
+        decode_png_pixels,
+        make_png,
+    )
+
+    w, h, ch, pix = decode_png_pixels(make_png(9, 7, seed=3))
+    assert (w, h, ch) == (9, 7, 1)
+    assert pix == bytes(
+        (x * 31 + y * 17 + 3) % 256 for y in range(7) for x in range(9)
+    )
+
+
+def test_wav_decode_yields_pcm_samples():
+    from omniparser_spark.operators.multimodal import (
+        decode_wav_samples,
+        make_wav,
+    )
+
+    rate, ch, samples = decode_wav_samples(make_wav(8000, 50))
+    assert (rate, ch, len(samples)) == (8000, 1, 400)
+    assert samples[:3] == [
+        ((i * 797) % 20000) - 10000 for i in range(3)
+    ]
+
+
+def test_image_features_are_pixel_derived():
+    """Recompressing the same pixels (different zlib level => different
+    bytes) must yield IDENTICAL features — the byte-histogram stand-in
+    could not pass this."""
+    import struct
+    import zlib
+
+    from omniparser_spark.operators.multimodal import (
+        _decode_image,
+        make_png,
+    )
+
+    png = make_png(16, 16, seed=5)
+    # re-encode the IDAT at a different compression level
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    sig_ihdr = png[:33]
+    length, = struct.unpack(">I", png[33:37])
+    idat_body = png[41:41 + length]
+    raw = zlib.decompress(idat_body)
+    png2 = (
+        sig_ihdr + chunk(b"IDAT", zlib.compress(raw, level=1))
+        + chunk(b"IEND", b"")
+    )
+    assert png2 != png
+    assert _decode_image(png, None) == _decode_image(png2, None)

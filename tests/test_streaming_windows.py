@@ -189,6 +189,47 @@ def test_state_carries_across_epochs(spark, tmp_path):
     assert by_n[3].first_ts_us == by_n[2].first_ts_us
 
 
+def test_sessionize_state_is_interval_merged(spark, tmp_path):
+    """State is O(sessions), not O(events): out-of-order and duplicate
+    arrivals across epochs collapse into session intervals, and the
+    cumulative answer stays arrival-order invariant (a late event
+    bridging two sessions MERGES them — the count can go down)."""
+    f1 = pd.DataFrame(
+        {
+            "user_id": [9] * 4,
+            # two sessions, plus duplicates (dupes must not grow state)
+            "ts": pd.to_datetime(
+                ["2024-03-01 12:00:00", "2024-03-01 12:00:00",
+                 "2024-03-01 15:00:00", "2024-03-01 15:00:00"]
+            ),
+        }
+    )
+    f2 = pd.DataFrame(
+        {
+            "user_id": [9],
+            # late arrival lands BETWEEN the two sessions, within the
+            # gap of both -> bridges them into one session
+            "ts": pd.to_datetime(["2024-03-01 13:30:00"]),
+        }
+    )
+    _write_epoch_files(tmp_path / "src", [f1, f2])
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    out = sessionize_with_state(stream, key_col="user_id", gap_minutes=90)
+    rows = run_bounded(
+        out, "update", checkpoint_dir=str(tmp_path / "ckpt")
+    ).collect()
+    by_n = {r.n_events: r for r in rows}
+    assert set(by_n) == {4, 5}
+    assert by_n[4].n_sessions == 2  # 12:00 and 15:00 are 180 min apart
+    assert by_n[5].n_sessions == 1  # 13:30 bridges: 90+90 min chain
+    assert by_n[5].first_ts_us == by_n[4].first_ts_us
+    assert by_n[5].last_ts_us == by_n[4].last_ts_us
+
+
 def test_continuous_rollup_resumes_across_runs(spark, tmp_path):
     """The materialized rollup must pick up where it left off: a second
     availableNow run over the same checkpoint consumes only NEW files
