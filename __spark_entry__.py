@@ -3521,6 +3521,60 @@ def _dec_edi_hierarchy(spark, sf_dir):
 
 
 @_q(
+    "cdc_erase_final_state",
+    f"""
+    WITH final_state AS (
+{_CDC_FINAL_STATE_SQL}
+    )
+    SELECT * FROM final_state WHERE conv_id NOT LIKE '%3'
+    """,
+)
+def _cdc_erase(spark, sf_dir):
+    """Physical erasure (lake/table.py erase_where — GDPR hard delete):
+    replay the full change stream to its final state, then erase every
+    conversation whose id ends in '3' (rows AND their tombstones leave
+    the current snapshot via a COW bucket rewrite; snapshot expiry then
+    drops the old files). The result must equal the oracle's final
+    state filtered by the same predicate — erasure of whole
+    conversations commutes with per-(conv,turn) LWW."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.sources.changefeed import FeedSpec, encode_payload
+
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev)
+    feed = encode_payload(fields, FeedSpec(n_events=1, evolution_frac=0.0)).select(
+        "offset", "op", "format", "payload", "ts", "source_part"
+    )
+    feed = feed.persist()
+    try:
+        total = feed.agg(F.max("offset")).collect()[0][0] + 1
+        tmp = tempfile.mkdtemp(prefix="omniparser_spark_erase_")
+        pipe = CdcPipeline(
+            spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8,
+            n_source_parts=8,
+        )
+
+        def feed_for_range(start: int, end: int) -> DataFrame:
+            return feed.filter(
+                (F.col("offset") >= start) & (F.col("offset") <= end)
+            )
+
+        pipe.run(feed_for_range, total, batch_size=(total + 1) // 2)
+        rec = pipe.table.erase_where(F.col("conv_id").endswith("3"))
+        assert rec["rows_erased"] > 0
+        pipe.table.expire_snapshots(keep_last=1)
+        out = pipe.read_table().select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            _us("ts").alias("ts_us"),
+        )
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        feed.unpersist()
+
+
+@_q(
     "multimodal_pixel_features",
     """
     WITH params AS (
@@ -3586,6 +3640,121 @@ def _multimodal_pixels(spark, sf_dir):
     )
 
 
+@_q("cdc_wap_final_state", _CDC_FINAL_STATE_SQL)
+def _cdc_wap(spark, sf_dir):
+    """Write-audit-publish replay (lake/table.py publish, merge stage):
+    every micro-batch is MERGEd as a STAGED snapshot (head unmoved),
+    audited against invariants (non-null keys, no duplicate
+    (conv_id, turn_idx)) by reading the staged version, then published
+    by atomic fast-forward. The final published state must equal the
+    plain replay's LWW oracle — WAP is a commit-protocol wrapper, never
+    a semantics change."""
+    from omniparser_spark.cdc.pipeline import TRANSCRIPTS_SCHEMA
+    from omniparser_spark.lake.merge import merge_into
+    from omniparser_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "offset", "op"
+    )
+    fields = fields.persist()
+    try:
+        total = int(fields.agg(F.max("offset")).collect()[0][0]) + 1
+        tmp = tempfile.mkdtemp(prefix="omniparser_spark_wap_")
+        table = LakeTable.create(
+            spark, f"{tmp}/table", TRANSCRIPTS_SCHEMA, key_col="conv_id",
+            n_buckets=8, merge_keys=("conv_id", "turn_idx"),
+        )
+        batch_size = (total + 2) // 3
+        start, batch_id = 0, 0
+        while start < total:
+            end = min(start + batch_size - 1, total - 1)
+            sl = fields.filter(
+                (F.col("offset") >= start) & (F.col("offset") <= end)
+            )
+            stats = merge_into(
+                table, sl, batch_id=batch_id, max_offset=end, stage=True,
+                expected_rows=end - start + 1,
+            )
+            staged = table.read(
+                version=stats["snapshot_version"], include_hidden=True
+            )
+            bad = staged.filter(
+                F.col("conv_id").isNull() | F.col("turn_idx").isNull()
+            ).limit(1).count()
+            dups = (
+                staged.groupBy("conv_id", "turn_idx").count()
+                .filter(F.col("count") > 1).limit(1).count()
+            )
+            assert bad == 0 and dups == 0, "WAP audit failed"
+            table.publish(stats["snapshot_version"])
+            start, batch_id = end + 1, batch_id + 1
+        out = table.read().select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            _us("ts").alias("ts_us"),
+        )
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        fields.unpersist()
+
+
+@_q(
+    "multimodal_audio_features",
+    """
+    WITH params AS (
+      SELECT i AS media_id, 160 + 40 * (i % 5) AS n
+      FROM generate_series(0, 39) t(i)
+    ),
+    samp AS (
+      SELECT p.media_id, p.n,
+             ((s.v * 797) % 20000 - 10000 + 32768) // 4096 AS b
+      FROM params p JOIN generate_series(0, 319) s(v) ON s.v < p.n
+    ),
+    buckets AS (SELECT v AS b FROM generate_series(0, 15) t(v)),
+    counts AS (SELECT media_id, b, count(*) AS c FROM samp GROUP BY 1, 2),
+    dense AS (
+      SELECT p.media_id, p.n, bu.b, coalesce(c.c, 0) AS c
+      FROM params p CROSS JOIN buckets bu
+      LEFT JOIN counts c ON c.media_id = p.media_id AND c.b = bu.b
+    )
+    SELECT media_id, n::INT AS n_samples, list(c ORDER BY b) AS amp_hist
+    FROM dense GROUP BY media_id, n
+    """,
+)
+def _multimodal_audio(spark, sf_dir):
+    """REAL audio decode end-to-end (operators/multimodal.py
+    decode_wav_samples): valid 16-bit PCM WAVs are decoded inside the
+    mapInPandas feature extractor and the per-file AMPLITUDE histogram
+    must equal the oracle's closed-form sample formula
+    ((i*797) % 20000 - 10000, the make_wav generator). Counts
+    reconstructed exactly from the float32 features (n <= 320)."""
+    from omniparser_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        make_wav,
+    )
+
+    rows = []
+    for i in range(40):
+        dur = 40 + (i % 5) * 10
+        rows.append(
+            (i, "audio", bytearray(make_wav(4000, dur)),
+             ("audio/wav", 0, 0, dur))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media)
+    n = (160 + 40 * (F.col("media_id") % 5)).cast("int")
+    return feats.select(
+        "media_id",
+        n.alias("n_samples"),
+        F.transform(
+            "features", lambda v: F.round(v * n.cast("double")).cast("long")
+        ).alias("amp_hist"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3630,6 +3799,9 @@ _DRIVER_PRIORITY: list[str] = [
     # -- new this round
     "decode_edi_hierarchy",
     "multimodal_pixel_features",
+    "multimodal_audio_features",
+    "cdc_erase_final_state",
+    "cdc_wap_final_state",
     # -- load-bearing anchors (all r2-green) to fill the window
     "cdc_replay_final_state",
     "quarantine_deadletter",
@@ -3639,7 +3811,6 @@ _DRIVER_PRIORITY: list[str] = [
     "spec_transform",
     "decode_csv_roundtrip",
     "decode_json_payload",
-    "decode_json_nested",
     "decode_fixed_roundtrip",
     "decode_xmlish_roundtrip",
     "decode_xmlish_ns",
@@ -3647,9 +3818,7 @@ _DRIVER_PRIORITY: list[str] = [
     "decode_edi_escaped",
     "assembly_hierarchical",
     "assembly_envelope",
-    "assembly_rows_envelope",
     "assembly_occurs",
-    "assembly_payload",
     "minhash_lsh_candidates",
     "embedding_near_dups_lsh",
     "lsh_topk_ann",

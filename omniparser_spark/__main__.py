@@ -63,9 +63,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--changelog-since", type=int, default=None,
                     help="print the change-data-feed (post-images) since "
                          "this snapshot version, then exit")
+    ap.add_argument("--erase-where", default=None,
+                    help="PHYSICAL erasure (GDPR): SQL boolean predicate; "
+                         "rewrites matching rows (incl. tombstones) out of "
+                         "the table, prints the erasure record, then exits")
+    ap.add_argument("--erase-keys", default=None,
+                    help="comma-separated bucket-key values to erase (with "
+                         "or instead of --erase-where); prunes the rewrite "
+                         "to their buckets")
     args = ap.parse_args(argv)
 
-    maintenance = args.replay_quarantine or args.changelog_since is not None
+    erasure = args.erase_where is not None or args.erase_keys is not None
+    maintenance = (
+        args.replay_quarantine or args.changelog_since is not None or erasure
+    )
     if not maintenance and not args.feed:
         ap.error("--feed is required for apply/streaming runs")
     if args.replay_quarantine and not args.quarantine:
@@ -132,6 +143,19 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.replay_quarantine:
         rec = pipe.replay_quarantine()
+        print(json.dumps(rec, default=str))
+        return 0
+    if erasure:
+        keys = args.erase_keys.split(",") if args.erase_keys else None
+        key_col = pipe.table.summary()["key_col"]
+        # with both flags the predicate is restricted to the named keys
+        # (bucket pruning only skips buckets no named key hashes to, so
+        # the restriction makes the pruned and unpruned results equal)
+        pred = F.expr(args.erase_where) if args.erase_where else F.lit(True)
+        if keys:
+            pred = pred & F.col(key_col).isin(keys)
+        rec = pipe.table.erase_where(pred, key_values=keys)
+        pipe.table.expire_snapshots(keep_last=2)
         print(json.dumps(rec, default=str))
         return 0
 

@@ -108,6 +108,7 @@ def merge_into(
     max_offset: int | None = None,
     prune_exact: bool | None = None,
     observe_stats: bool = True,
+    stage: bool = False,
 ) -> dict[str, Any] | None:
     """Apply one micro-batch (need NOT be pre-deduped: the merge's
     max_by aggregate picks the per-key LWW winner among all batch rows
@@ -152,6 +153,12 @@ def merge_into(
 
     `max_offset` is caller-known bookkeeping (offset range bound) —
     passed in rather than computed with an extra action.
+
+    `stage=True` runs the merge as a write-audit-publish stage: the
+    snapshot is fully written but the table head does not move until
+    :meth:`LakeTable.publish`. The batch fence still reads the
+    PUBLISHED head, so a crashed (never-published) stage is simply
+    re-staged on re-delivery — exactly-once composes with WAP.
     """
     summary = table.summary()
     if batch_id <= int(summary.get("batch_id", -1)):
@@ -278,6 +285,7 @@ def merge_into(
                     int(max_offset if max_offset is not None else -1),
                 ),
             },
+            stage=stage,
         )
     finally:
         if prune_exact:
@@ -286,6 +294,7 @@ def merge_into(
     return {
         "batch_id": batch_id,
         "snapshot_version": snap.version,
+        "staged": stage,
         "touched_buckets": touched,
         "rows_written": int(stats_row["rows_written"]) if stats_row else None,
         "tombstones": int(stats_row["tombstones"]) if stats_row else None,

@@ -237,6 +237,39 @@ class LakeTable:
             with contextlib.suppress(OSError):
                 os.unlink(lock)
 
+    def _write_metadata_file(self, snap: Snapshot) -> None:
+        meta_path = os.path.join(
+            self._meta_dir, f"v{snap.version}.metadata.json"
+        )
+        with open(meta_path, "w") as f:
+            f.write(snap.to_json())
+
+    def publish(self, version: int) -> Snapshot:
+        """Write-audit-publish: fast-forward the main pointer to a
+        STAGED snapshot (``commit(..., stage=True)``) after its audit
+        passed. Atomic CAS under the commit lock: the staged snapshot's
+        parent must still be the current head, else
+        ConcurrentCommitError (someone published in between — re-stage
+        on the new base). Iceberg parity: stage-only commits +
+        cherry-pick publish, the standard audit-gate pattern for
+        production lake ingest."""
+        snap = self.snapshot_at(version)  # raises if never staged/expired
+        with self._commit_lock():
+            hint = os.path.join(self._meta_dir, VERSION_HINT)
+            with open(hint) as f:
+                current = int(f.read().strip())
+            if snap.parent_version != current:
+                raise ConcurrentCommitError(
+                    f"staged v{version} was built on v{snap.parent_version} "
+                    f"but the table head is v{current}; re-stage on the "
+                    "current head"
+                )
+            fd, tmp = tempfile.mkstemp(dir=self._meta_dir)
+            with os.fdopen(fd, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, hint)
+        return snap
+
     def _write_snapshot(
         self, snap: Snapshot, expected_parent: int | None = None
     ) -> None:
@@ -265,11 +298,7 @@ class LakeTable:
                         f"commit was based on v{expected_parent}; re-read "
                         "and retry"
                     )
-            meta_path = os.path.join(
-                self._meta_dir, f"v{snap.version}.metadata.json"
-            )
-            with open(meta_path, "w") as f:
-                f.write(snap.to_json())
+            self._write_metadata_file(snap)
             fd, tmp = tempfile.mkstemp(dir=self._meta_dir)
             with os.fdopen(fd, "w") as f:
                 f.write(str(snap.version))
@@ -319,6 +348,7 @@ class LakeTable:
         touched_buckets: list[int] | None,
         summary_updates: dict[str, Any],
         new_schema: T.StructType | None = None,
+        stage: bool = False,
     ) -> Snapshot:
         """Write `df` as the new content of `touched_buckets` (None = all),
         carrying over untouched buckets by reference, then commit.
@@ -329,6 +359,16 @@ class LakeTable:
         derived partition transform, recomputed from the key on read
         when needed — it is not stored in the row data (same as Iceberg
         hidden partitioning).
+
+        `stage=True` (write-audit-publish): the snapshot's data and
+        metadata are fully written but the main pointer does NOT move —
+        readers keep seeing the old head. Audit the staged snapshot via
+        ``read(version=snap.version)``, then :meth:`publish` it (atomic
+        fast-forward) or simply abandon it (a batch re-delivery after a
+        crash re-stages; orphaned staged files are collected by the
+        next ``expire_snapshots``). Do not run expiry while a stage you
+        still intend to publish is pending — staged snapshots are not
+        on the kept chain and expiry treats their files as orphans.
         """
         prev = self.current()
         version = prev.version + 1
@@ -370,7 +410,10 @@ class LakeTable:
             summary=summary,
             parent_version=prev.version,
         )
-        self._write_snapshot(snap, expected_parent=prev.version)
+        if stage:
+            self._write_metadata_file(snap)  # pointer untouched
+        else:
+            self._write_snapshot(snap, expected_parent=prev.version)
         return snap
 
     def expire_snapshots(self, keep_last: int = 2) -> int:
@@ -513,6 +556,83 @@ class LakeTable:
         )
         df = self.read(buckets=[int(b)], include_hidden=include_hidden)
         return df.filter(F.col(key_col) == key_value)
+
+    def erase_where(
+        self,
+        predicate: Column,
+        key_values: list | None = None,
+    ) -> dict[str, Any]:
+        """PHYSICAL erasure (GDPR/right-to-be-forgotten): rewrite the
+        touched buckets with every row matching `predicate` removed —
+        including tombstones, so no trace of the key remains in the
+        current snapshot (Iceberg `DELETE FROM` with copy-on-write).
+        Returns {snapshot_version, rows_erased, touched_buckets}.
+
+        `key_values`: when the erasure targets known bucket-key values
+        (the common case: erase these conv_ids), pass them so the
+        rewrite prunes to their buckets — O(matching buckets), not
+        O(table). A free predicate rewrites every bucket.
+
+        Semantics notes:
+        - This is a point-in-time TABLE operation, not a change event:
+          it does not advance the offset/batch fence, and a later feed
+          event for an erased key will legitimately re-insert it —
+          upstream must also drop the subject's events (standard
+          erasure-pipeline practice).
+        - Prior snapshots still reference the old files; follow with
+          :meth:`expire_snapshots` (as the CDC loop already does each
+          batch) to physically drop them. Time travel to pre-erasure
+          versions then fails, by design.
+        """
+        summary = self.summary()
+        key_col = summary["key_col"]
+        n_buckets = int(summary["n_buckets"])
+        if key_values is not None:
+            key_type = next(
+                f.dataType for f in self.schema().fields if f.name == key_col
+            )
+            vals = self.spark.createDataFrame(
+                [(v,) for v in key_values],
+                T.StructType([T.StructField(key_col, key_type)]),
+            )
+            buckets = sorted(
+                int(r["b"])
+                for r in vals.select(
+                    bucket_expr(key_col, n_buckets).alias("b")
+                ).distinct().collect()
+            )
+        else:
+            buckets = list(range(n_buckets))
+
+        target = self.read(buckets=buckets, include_hidden=True)
+        for hidden, default in (("_last_offset", F.lit(-1).cast("long")),
+                                ("_deleted", F.lit(False))):
+            if hidden not in target.columns:
+                target = target.withColumn(hidden, default)
+        marked = target.withColumn(
+            "_erase", F.coalesce(predicate, F.lit(False))
+        )
+        # explicit count, not an Observation: when the erasure empties
+        # its buckets the commit write collapses to an empty relation
+        # and a CollectMetrics node would never fire. Erasure is a rare
+        # maintenance op; one extra scan of the PRUNED buckets is fine.
+        erased = int(
+            marked.agg(
+                F.count(F.when(F.col("_erase"), 1)).alias("e")
+            ).collect()[0]["e"]
+        )
+        kept = (
+            marked.filter(~F.col("_erase"))
+            .drop("_erase")
+            .withColumn("_bucket", bucket_expr(key_col, n_buckets))
+            .repartition(max(len(buckets), 1), "_bucket")
+        )
+        snap = self.commit(kept, touched_buckets=buckets, summary_updates={})
+        return {
+            "snapshot_version": snap.version,
+            "rows_erased": erased,
+            "touched_buckets": buckets,
+        }
 
     def read_changes_with_preimage(
         self, from_version: int, to_version: int | None = None

@@ -286,3 +286,85 @@ def test_commit_lock_serializes_writers(spark, tmp_path):
     )
     assert stats is not None
     assert not os.path.exists(lock)  # released after commit
+
+
+def test_erase_where_removes_rows_and_tombstones(spark, tmp_path):
+    """Physical erasure: matching live rows AND tombstones leave the
+    snapshot; key_values prunes the rewrite to the keys' buckets."""
+    t = _make(spark, tmp_path, n_buckets=8)
+    # _make leaves: a/1 (a1-v2), a/2 (a2-v1), b/1 tombstoned
+    hidden = t.read(include_hidden=True)
+    assert hidden.filter("conv_id = 'b'").count() == 1  # tombstone row
+    rec = t.erase_where(
+        F.col("conv_id") == "b", key_values=["b"]
+    )
+    assert rec["rows_erased"] == 1  # the tombstone is physically gone
+    assert len(rec["touched_buckets"]) < 8  # pruned to b's bucket
+    assert t.read(include_hidden=True).filter("conv_id = 'b'").count() == 0
+    # untouched conversation intact
+    assert t.read().filter("conv_id = 'a'").count() == 2
+    # erasure is a normal snapshot: expiry then drops pre-erasure files
+    t.expire_snapshots(keep_last=1)
+    assert t.read().count() == 2
+
+
+def test_erase_where_free_predicate_touches_all_buckets(spark, tmp_path):
+    t = _make(spark, tmp_path, n_buckets=4)
+    rec = t.erase_where(F.col("text").contains("a1"))
+    assert rec["touched_buckets"] == [0, 1, 2, 3]
+    assert rec["rows_erased"] == 1
+    assert t.read().filter("conv_id = 'a' AND turn_idx = 1").count() == 0
+
+
+def test_wap_stage_invisible_until_publish(spark, tmp_path):
+    """Write-audit-publish: a staged merge is fully written and
+    auditable by version, but readers of the table head see nothing
+    until publish; publish is an atomic fast-forward."""
+    t = _make(spark, tmp_path)
+    head = t.current().version
+    stats = merge_into(
+        t,
+        _batch(spark, [("w", 1, "w1", 5, 90, "I"), ("w", 2, "w2", 5, 91, "I")]),
+        batch_id=5,
+        max_offset=91,
+        stage=True,
+    )
+    assert stats["staged"]
+    staged_v = stats["snapshot_version"]
+    # head unmoved; readers see the old state
+    assert t.current().version == head
+    assert t.read().filter("conv_id = 'w'").count() == 0
+    # the staged snapshot is auditable by version
+    audit = t.read(version=staged_v)
+    assert audit.filter("conv_id = 'w'").count() == 2
+    # batch fence still reads the PUBLISHED head: re-delivery re-stages
+    assert int(t.summary().get("batch_id")) < 5
+    # publish fast-forwards atomically
+    t.publish(staged_v)
+    assert t.current().version == staged_v
+    assert t.read().filter("conv_id = 'w'").count() == 2
+    assert int(t.summary()["batch_id"]) == 5
+
+
+def test_wap_publish_rejects_stale_stage(spark, tmp_path):
+    """A stage built on an older head must not publish over a commit
+    that landed in between (ConcurrentCommitError, re-stage)."""
+    import pytest
+
+    from omniparser_spark.lake.table import ConcurrentCommitError
+
+    t = _make(spark, tmp_path)
+    stats = merge_into(
+        t, _batch(spark, [("x", 1, "x1", 5, 90, "I")]),
+        batch_id=5, max_offset=90, stage=True,
+    )
+    # a direct commit advances the head under the stage
+    merge_into(
+        t, _batch(spark, [("y", 1, "y1", 5, 91, "I")]),
+        batch_id=5, max_offset=91,
+    )
+    with pytest.raises(ConcurrentCommitError):
+        t.publish(stats["snapshot_version"])
+    # table state is the published commit only
+    assert t.read().filter("conv_id = 'y'").count() == 1
+    assert t.read().filter("conv_id = 'x'").count() == 0

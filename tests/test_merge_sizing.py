@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import datetime
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from omniparser_spark.lake.merge import derive_n_buckets, merge_into
@@ -111,3 +112,30 @@ def test_cli_maintenance_fails_fast_on_missing_table(tmp_path, capsys):
     assert rc == 2
     assert not LakeTable.exists(missing)  # nothing was materialized
     assert "no lake table" in capsys.readouterr().err
+
+
+def test_cli_erase_keys(spark, tmp_path):
+    """--erase-keys: maintenance-mode physical erasure through the ship
+    vehicle, pruned to the named keys' buckets, then snapshot-expired."""
+    from omniparser_spark.__main__ import main
+    from omniparser_spark.sources.changefeed import FeedSpec, materialize_feed
+
+    feed_dir = str(tmp_path / "feed")
+    materialize_feed(spark, FeedSpec(n_events=300, n_convs=12, seed=3), feed_dir)
+    table = str(tmp_path / "tab")
+    assert main([
+        "--feed", feed_dir, "--table", table,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--total-events", "300", "--batch-size", "150",
+    ]) == 0
+    t = LakeTable.load(spark, table)
+    victim = t.read().select("conv_id").first()["conv_id"]
+    before = t.read().count()
+    n_victim = t.read().filter(F.col("conv_id") == victim).count()
+    assert main([
+        "--table", table, "--checkpoint", str(tmp_path / "ckpt"),
+        "--erase-keys", victim,
+    ]) == 0
+    t = LakeTable.load(spark, table)
+    assert t.read().filter(F.col("conv_id") == victim).count() == 0
+    assert t.read().count() == before - n_victim
