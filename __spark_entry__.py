@@ -3701,6 +3701,59 @@ def _cdc_wap(spark, sf_dir):
 
 
 @_q(
+    "pack_sequences_greedy",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+               AS rn
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, shard, n_tokens, rn,
+             0::BIGINT AS pack_seq, n_tokens AS acc
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.doc_id, d.shard, d.n_tokens, d.rn,
+             CASE WHEN p.acc + d.n_tokens > 256
+                  THEN p.pack_seq + 1 ELSE p.pack_seq END,
+             CASE WHEN p.acc + d.n_tokens > 256
+                  THEN d.n_tokens ELSE p.acc + d.n_tokens END
+      FROM d JOIN p ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, pack_seq, n_tokens,
+           (n_tokens > 256) AS oversize
+    FROM p
+    """,
+)
+def _pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/packing.py): greedy sequential
+    first-fit of documents into 256-token training packs within hash
+    shards — parallel across shards (one shuffle + per-shard Arrow
+    pass), sequential within, fully deterministic. The oracle replays
+    the identical greedy recurrence as a DuckDB recursive CTE, so any
+    divergence in shard routing, in-shard order, or the overflow rule
+    breaks the hash."""
+    from omniparser_spark.functions.text import token_count
+    from omniparser_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        d,
+        budget=256,
+        tokens_col="n_tokens",
+        id_col="doc_id",
+        shard=F.col("doc_id") % 8,
+        order_col="doc_id",
+    )
+
+
+@_q(
     "multimodal_audio_features",
     """
     WITH params AS (
@@ -3802,6 +3855,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_audio_features",
     "cdc_erase_final_state",
     "cdc_wap_final_state",
+    "pack_sequences_greedy",
     # -- load-bearing anchors (all r2-green) to fill the window
     "cdc_replay_final_state",
     "quarantine_deadletter",
@@ -3814,7 +3868,6 @@ _DRIVER_PRIORITY: list[str] = [
     "decode_fixed_roundtrip",
     "decode_xmlish_roundtrip",
     "decode_xmlish_ns",
-    "decode_ediish_roundtrip",
     "decode_edi_escaped",
     "assembly_hierarchical",
     "assembly_envelope",

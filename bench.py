@@ -112,6 +112,8 @@ def main() -> None:
         "text_chunk_windows",
         "text_redact_pii",
         "profile_numeric_stats",
+        "decode_edi_hierarchy",
+        "pack_sequences_greedy",
         # dedup_cluster_assign intentionally NOT benched: its iterative
         # rounds are driver-latency-bound (localCheckpoint per round),
         # so wall time tracks host scheduling noise more than engine

@@ -128,17 +128,19 @@ def merge_into(
     B(1 - exp(-R/B)): essentially all once R >~ 3B. Hence:
 
     - `prune_exact=None` (auto): run the exact distinct-buckets job.
-      The risk is asymmetric — the job costs one aggregate over the
-      (cached) batch, O(batch), while skipping it forces touched=ALL,
-      O(table) read+rewrite per batch; at 100 TB the insurance is
-      orders of magnitude cheaper than the downside, and row counts
-      are a bad proxy for key counts on hot-key CDC feeds (round-2
-      verdict: the old `expected_rows < 3B` auto rule made every
-      default-config batch a full-table rewrite). The only carve-out:
-      `expected_rows` >= 3 x n_buckets AND the table itself is still
-      no bigger than ~2 batches (summary `rows_estimate`, kept by
-      commit) — bootstrap loads, where a full rewrite is both
-      inevitable and cheap, so the distinct job buys nothing.
+      The risk is asymmetric — the job is a KEY-ONLY pass over the
+      batch (column pruning reaches the scan: `_bucket` needs just the
+      key column, so per-format payload decode reduces to one field),
+      while skipping it forces touched=ALL, O(table) read+rewrite per
+      batch; at 100 TB the insurance is orders of magnitude cheaper
+      than the downside, and row counts are a bad proxy for key counts
+      on hot-key CDC feeds (round-2 verdict: the old
+      `expected_rows < 3B` auto rule made every default-config batch a
+      full-table rewrite). The only carve-out: `expected_rows` >=
+      3 x n_buckets AND the table holds at most ~4 batches of events
+      (proxied by `max_offset_applied`) — bootstrap loads, where the
+      full rewrite costs the same order as the batch scan, so pruning
+      cannot pay for itself.
     - `prune_exact=False`: caller asserts the batch spans ~all buckets
       (e.g. uniform backfill replays) — skips the distinct job.
     - At deployment, size `n_buckets` so a steady-state batch's key
@@ -191,15 +193,37 @@ def merge_into(
         # proxied by max_offset_applied, an upper bound on events
         # absorbed so far) with a uniform-looking batch, where the
         # full rewrite is inevitable AND cheap.
+        # OMNIPARSER_PRUNE_MODE overrides the auto rule per deployment:
+        # "always"/"never" for operators who know their feed's key
+        # distribution, "legacy" = the pre-round-3 rows<3B rule (bench
+        # comparisons).
+        import os as _os
+
+        mode = _os.environ.get("OMNIPARSER_PRUNE_MODE", "auto")
         uniform_batch = (
             expected_rows is not None and expected_rows >= 3 * n_buckets
         )
-        events_so_far = int(summary.get("max_offset_applied", -1)) + 1
-        bootstrap = events_so_far <= 2 * (expected_rows or 0)
-        prune_exact = n_buckets > 1 and not (uniform_batch and bootstrap)
+        if mode == "always":
+            prune_exact = n_buckets > 1
+        elif mode == "never":
+            prune_exact = False
+        elif mode == "legacy":
+            prune_exact = not uniform_batch
+        else:
+            # "bootstrap" = the table holds at most ~4 batches of
+            # events: rewriting it costs the same order as scanning the
+            # batch, so pruning can't pay for its extra pass. Beyond
+            # that the table-vs-batch ratio (and the saving) only grows.
+            events_so_far = int(summary.get("max_offset_applied", -1)) + 1
+            bootstrap = events_so_far <= 4 * (expected_rows or 0)
+            prune_exact = n_buckets > 1 and not (uniform_batch and bootstrap)
     if prune_exact:
-        # batch consumed twice (bucket distinct + merge) — cache it
-        batch = batch.persist()
+        # NO persist: caching the decoded batch costs more than it
+        # saves (cache write + losing whole-stage codegen on the
+        # InMemoryRelation read measurably beat the re-decode —
+        # round-3 scaling A/B). Column pruning makes this distinct a
+        # key-only pass: `_bucket` needs just the key column, so the
+        # scan decodes one field, not the whole payload schema.
         touched = sorted(
             int(r["_bucket"])
             for r in batch.select("_bucket").distinct().collect()
@@ -274,22 +298,18 @@ def merge_into(
             F.count(F.when(F.col("_deleted"), 1)).alias("tombstones"),
         )
 
-    try:
-        snap = table.commit(
-            merged,
-            touched_buckets=touched,
-            summary_updates={
-                "batch_id": batch_id,
-                "max_offset_applied": max(
-                    int(summary.get("max_offset_applied", -1)),
-                    int(max_offset if max_offset is not None else -1),
-                ),
-            },
-            stage=stage,
-        )
-    finally:
-        if prune_exact:
-            batch.unpersist()
+    snap = table.commit(
+        merged,
+        touched_buckets=touched,
+        summary_updates={
+            "batch_id": batch_id,
+            "max_offset_applied": max(
+                int(summary.get("max_offset_applied", -1)),
+                int(max_offset if max_offset is not None else -1),
+            ),
+        },
+        stage=stage,
+    )
     stats_row = obs.get if obs is not None else None
     return {
         "batch_id": batch_id,

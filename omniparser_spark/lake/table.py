@@ -732,3 +732,54 @@ class LakeTable:
             parent_version=prev.version,
         )
         self._write_snapshot(snap, expected_parent=prev.version)
+
+    # safe widenings: parquet files written at the narrow type read
+    # correctly under the wide read schema (verified against Spark 4's
+    # vectorized parquet reader; Iceberg V2 type-promotion set)
+    _WIDENINGS = {
+        ("integer", "long"),
+        ("float", "double"),
+        ("short", "integer"),
+        ("short", "long"),
+        ("byte", "short"),
+        ("byte", "integer"),
+        ("byte", "long"),
+    }
+
+    def evolve_schema_widen(self, widened: dict[str, T.DataType]) -> None:
+        """ALTER TABLE ALTER COLUMN TYPE along the safe widening
+        lattice (int->long, float->double, ...) — metadata-only, no
+        data rewrite: old files keep their narrow physical type and the
+        read schema widens them at scan time (Iceberg type-promotion
+        parity). Raises on any non-widening change (string<->numeric,
+        narrowing) — those require a real rewrite and are refused
+        rather than corrupting reads."""
+        prev = self.current()
+        schema = T.StructType.fromJson(prev.schema_json)
+        by_name = {f.name: f for f in schema.fields}
+        changed = False
+        for col, new_type in widened.items():
+            if col not in by_name:
+                raise ValueError(f"no such column: {col}")
+            old_type = by_name[col].dataType
+            if old_type == new_type:
+                continue
+            pair = (old_type.typeName(), new_type.typeName())
+            if pair not in self._WIDENINGS:
+                raise ValueError(
+                    f"{col}: {pair[0]} -> {pair[1]} is not a safe "
+                    "widening; rewrite the table instead"
+                )
+            by_name[col] = T.StructField(col, new_type, by_name[col].nullable)
+            changed = True
+        if not changed:
+            return
+        merged = T.StructType([by_name[f.name] for f in schema.fields])
+        snap = Snapshot(
+            version=prev.version + 1,
+            schema_json=json.loads(merged.json()),
+            bucket_dirs=prev.bucket_dirs,
+            summary=dict(prev.summary),
+            parent_version=prev.version,
+        )
+        self._write_snapshot(snap, expected_parent=prev.version)

@@ -1,0 +1,111 @@
+"""Sequence packing: assemble documents into fixed token-budget
+training sequences (the "pack to 4k/8k context" step of an LLM data
+pipeline).
+
+Greedy sequential first-fit within hash shards: documents are routed to
+a shard (any key-aligned expression — hash of doc_id, tenant, source),
+ordered deterministically within the shard, and accumulated into packs;
+a document that would overflow `budget` starts the next pack. A single
+document larger than the budget gets a pack of its own (callers
+truncate or split upstream — flagged via `oversize`).
+
+Why this shape at 100 TB:
+- packing is embarrassingly parallel ACROSS shards and inherently
+  sequential WITHIN one (each pack's start depends on every prior
+  doc), so the shard count IS the parallelism knob — one shuffle to
+  co-locate shards, then a per-shard Arrow-batched pass
+  (``applyInPandas``); no global sort, no driver loop.
+- determinism: shard assignment and in-shard order are pure functions
+  of the data, so re-runs (and the DuckDB oracle) reproduce the exact
+  pack ids — the property training-data reproducibility needs.
+- the greedy loop is O(shard rows) python over numpy arrays inside one
+  Arrow batch per shard; with shards sized ~10^5 docs the per-task
+  cost is milliseconds — utterly scan-dominated. (A true bin-packing
+  optimum is NP-hard and order-destroying; sequential first-fit is the
+  standard practice, optionally after a length-descending pre-sort via
+  `order_col`.)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard: Column | None = None,
+    n_shards: int = 64,
+    order_col: str | None = None,
+) -> DataFrame:
+    """-> (id_col, shard, pack_seq, n_tokens, oversize) — one row per
+    doc with its pack assignment; (shard, pack_seq) identifies a pack.
+
+    `shard`: key-aligned shard expression; defaults to
+    ``pmod(xxhash64(id_col), n_shards)``. `order_col`: in-shard
+    packing order (default `id_col` ascending).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    order = order_col or id_col
+    shard_expr = (
+        shard
+        if shard is not None
+        else F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
+    )
+    tagged = docs.select(
+        F.col(id_col),
+        shard_expr.cast("long").alias("shard"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.col(order).alias("_ord"),
+    )
+
+    id_type = tagged.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, shard long, pack_seq long, "
+        "n_tokens long, oversize boolean"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ord"], kind="mergesort")
+        toks = pdf["n_tokens"].to_numpy()
+        seqs = [0] * len(toks)
+        acc = 0
+        seq = 0
+        first = True
+        for i, t in enumerate(toks):
+            t = int(t)
+            if not first and acc + t > budget:
+                seq += 1
+                acc = 0
+            seqs[i] = seq
+            acc += t
+            first = False
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "shard": pdf["shard"],
+                "pack_seq": seqs,
+                "n_tokens": pdf["n_tokens"],
+                "oversize": pdf["n_tokens"] > budget,
+            }
+        )
+
+    return tagged.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
+def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-pack utilization: (shard, pack_seq, n_docs, pack_tokens,
+    fill_ratio) — the packing-efficiency monitoring aggregate (one
+    map-side-combinable groupBy)."""
+    return packed.groupBy("shard", "pack_seq").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias(
+            "fill_ratio"
+        ),
+    )

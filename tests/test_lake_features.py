@@ -368,3 +368,49 @@ def test_wap_publish_rejects_stale_stage(spark, tmp_path):
     # table state is the published commit only
     assert t.read().filter("conv_id = 'y'").count() == 1
     assert t.read().filter("conv_id = 'x'").count() == 0
+
+
+def test_evolve_schema_widen_reads_old_files(spark, tmp_path):
+    """Type widening is metadata-only: files written as int/float read
+    back as long/double after the evolution; non-widening changes are
+    refused (they would corrupt reads, not just lose precision)."""
+    import pytest
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("score", T.FloatType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "w"), schema, key_col="conv_id",
+        n_buckets=2, merge_keys=("conv_id", "turn_idx"),
+    )
+    batch = spark.createDataFrame(
+        [("a", 1, 1.5, _ts(1), 0, "I")],
+        T.StructType(schema.fields + [
+            T.StructField("offset", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]),
+    )
+    merge_into(t, batch, batch_id=0, max_offset=0)
+    t.evolve_schema_widen({"turn_idx": T.LongType(), "score": T.DoubleType()})
+    df = t.read()
+    assert dict(df.dtypes)["turn_idx"] == "bigint"
+    assert dict(df.dtypes)["score"] == "double"
+    (r,) = df.collect()
+    assert (r.turn_idx, r.score) == (1, 1.5)  # old narrow file readable
+    # a later merge writes at the WIDE type into the same buckets
+    batch2 = spark.createDataFrame(
+        [("a", 2, 2.5, _ts(2), 1, "I")],
+        "conv_id string, turn_idx long, score double, ts timestamp, "
+        "offset long, op string",
+    )
+    merge_into(t, batch2, batch_id=1, max_offset=1)
+    assert t.read().count() == 2
+    with pytest.raises(ValueError, match="not a safe widening"):
+        t.evolve_schema_widen({"conv_id": T.LongType()})
+    with pytest.raises(ValueError, match="not a safe widening"):
+        t.evolve_schema_widen({"turn_idx": T.IntegerType()})  # narrowing

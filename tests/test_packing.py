@@ -1,0 +1,66 @@
+"""Sequence packing: greedy first-fit semantics, determinism, and
+utilization stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omniparser_spark.operators.packing import pack_sequences, pack_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def test_greedy_first_fit_boundaries(spark):
+    # budget 10; docs in id order: 4,4,4 -> packs [4+4],[4]; exact fill
+    # then a 10 goes alone; an 11 (oversize) gets its own pack
+    docs = _docs(
+        spark,
+        [(1, 4), (2, 4), (3, 4), (4, 2), (5, 10), (6, 11), (7, 1)],
+    )
+    out = {
+        r.doc_id: (r.pack_seq, r.oversize)
+        for r in pack_sequences(
+            docs, budget=10, shard=F.lit(0)
+        ).collect()
+    }
+    assert out[1] == (0, False)
+    assert out[2] == (0, False)  # 4+4=8 fits
+    assert out[3] == (1, False)  # 8+4 > 10 -> new pack
+    assert out[4] == (1, False)  # 4+2=6
+    assert out[5] == (2, False)  # 6+10 > 10 -> new pack, exact fill
+    assert out[6] == (3, True)   # 10+11 > 10 -> own pack, oversize
+    assert out[7] == (4, False)  # 11+1 > 10 -> next pack
+
+
+def test_sharding_is_parallel_and_deterministic(spark):
+    docs = _docs(spark, [(i, 1 + i % 7) for i in range(200)])
+    a = sorted(
+        (r.doc_id, r.shard, r.pack_seq)
+        for r in pack_sequences(docs, budget=16, n_shards=8).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.shard, r.pack_seq)
+        for r in pack_sequences(
+            docs.repartition(13), budget=16, n_shards=8
+        ).collect()
+    )
+    assert a == b  # partitioning-independent
+    # every pack respects the budget unless it is a single oversize doc
+    stats = pack_stats(
+        pack_sequences(docs, budget=16, n_shards=8), budget=16
+    ).collect()
+    assert all(s.pack_tokens <= 16 or s.n_docs == 1 for s in stats)
+    assert all(0 < s.fill_ratio for s in stats)
+
+
+def test_order_col_controls_packing_order(spark):
+    # length-descending packing: the 9 and 1 pair into one pack
+    docs = spark.createDataFrame(
+        [(1, 1, 1), (2, 9, 0)], "doc_id long, n_tokens long, rank long"
+    )
+    out = pack_sequences(
+        docs, budget=10, shard=F.lit(0), order_col="rank"
+    ).collect()
+    assert {r.pack_seq for r in out} == {0}
