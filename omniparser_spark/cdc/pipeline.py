@@ -61,6 +61,7 @@ class CdcPipeline:
         quarantine_path: str | None = None,
         n_source_parts: int | None = None,
         expire_keep_last: int | None = 2,
+        sort_order: tuple[str, ...] | None = None,
     ):
         """`n_source_parts`: size of the source-partition domain (e.g.
         Kafka partition count — always known for a real binlog tail).
@@ -77,6 +78,7 @@ class CdcPipeline:
             self.table = LakeTable.create(
                 spark, table_path, schema, key_col="conv_id",
                 n_buckets=n_buckets, merge_keys=("conv_id", "turn_idx"),
+                sort_order=sort_order,
             )
         self.checkpoints = CheckpointStore(checkpoint_path)
         self.metrics = MetricsLog()

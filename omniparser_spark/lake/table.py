@@ -110,11 +110,20 @@ class LakeTable:
         key_col: str = "conv_id",
         n_buckets: int = 16,
         merge_keys: tuple[str, ...] | None = None,
+        sort_order: tuple[str, ...] | None = None,
     ) -> "LakeTable":
         """`key_col` is the bucket-partition key; `merge_keys` is the
         full row-identity key the MERGE upserts on (defaults to just
         key_col). Both are snapshot-summary facts so every reader —
-        CDF pre-image joins included — uses the declared identity."""
+        CDF pre-image joins included — uses the declared identity.
+
+        `sort_order` (Iceberg sort-order parity): columns every commit
+        sorts rows by WITHIN each bucket file. Costs one in-task sort
+        per commit (no extra shuffle — rows are already co-located per
+        bucket); buys parquet run-length/dictionary compression on the
+        sort prefix and contiguous per-conversation reads downstream
+        (e.g. ("conv_id", "turn_idx") lays every conversation out in
+        turn order)."""
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         # hidden engine columns ride along in the stored schema
@@ -139,6 +148,7 @@ class LakeTable:
                 "n_buckets": n_buckets,
                 "batch_id": -1,
                 "max_offset_applied": -1,
+                **({"sort_order": list(sort_order)} if sort_order else {}),
             },
         )
         t._write_snapshot(snap)
@@ -375,6 +385,12 @@ class LakeTable:
         snap_rel = os.path.join("data", f"snap-{version}-{uuid.uuid4().hex[:8]}")
         snap_dir = os.path.join(self.path, snap_rel)
 
+        sort_order = prev.summary.get("sort_order")
+        if sort_order and all(c in df.columns for c in sort_order):
+            # declared table sort order: in-task sort only (rows are
+            # already bucket-co-located), applied on every commit path
+            # (merge / erase / rescale) uniformly
+            df = df.sortWithinPartitions("_bucket", *sort_order)
         (
             df.write.mode("overwrite")
             .partitionBy("_bucket")

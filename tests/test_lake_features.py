@@ -414,3 +414,28 @@ def test_evolve_schema_widen_reads_old_files(spark, tmp_path):
         t.evolve_schema_widen({"conv_id": T.LongType()})
     with pytest.raises(ValueError, match="not a safe widening"):
         t.evolve_schema_widen({"turn_idx": T.IntegerType()})  # narrowing
+
+
+def test_sort_order_lays_out_rows_within_bucket_files(spark, tmp_path):
+    """Declared sort order: every commit's bucket files store rows in
+    (conv_id, turn_idx) order — no extra shuffle, just in-task sort."""
+    import glob
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "s"), SCHEMA, key_col="conv_id",
+        n_buckets=2, merge_keys=("conv_id", "turn_idx"),
+        sort_order=("conv_id", "turn_idx"),
+    )
+    rows = [(f"c{i % 3}", j, f"t{i}-{j}", 1, i * 10 + j, "I")
+            for i in range(6) for j in range(4)]
+    merge_into(t, _batch(spark, rows), batch_id=0, max_offset=100)
+    files = glob.glob(str(tmp_path / "s" / "data" / "*" / "_bucket=*" / "*.parquet"))
+    assert files
+    for f in files:
+        got = [
+            (r.conv_id, r.turn_idx)
+            for r in spark.read.parquet(f).select("conv_id", "turn_idx").collect()
+        ]
+        assert got == sorted(got), f"unsorted file {f}"
+    # state unaffected by the layout
+    assert t.read().count() == 3 * 4  # 3 convs x 4 turns (LWW collapses i)
