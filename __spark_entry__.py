@@ -3640,6 +3640,55 @@ def _multimodal_pixels(spark, sf_dir):
     )
 
 
+@_q(
+    "decontaminate_ngrams",
+    """
+    WITH grams AS (
+      SELECT doc_id, unnest(ngrams) AS g
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= 3 THEN
+                 list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+               ELSE [array_to_string(ws, ' ')] END AS ngrams
+        FROM (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS ws
+          FROM documents WHERE length(trim(text)) > 0
+        )
+      )
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT DISTINCT gr.doc_id FROM grams gr JOIN ev USING (g)
+    )
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def _decontaminate(spark, sf_dir):
+    """Eval-set decontamination (operators/dedup_text.py decontaminate):
+    every 50th document plays the eval corpus; any training doc sharing
+    a word 3-gram with it is flagged contaminated (13 is the production
+    default — 3 here so the synthetic corpus's planted near-dups
+    actually trip the filter). Broadcast semi-join of eval n-grams
+    against the exploded corpus; the oracle replays the identical
+    shingle normalization in SQL."""
+    from omniparser_spark.operators.dedup_text import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    clean, contaminated = decontaminate(d, ev, n=3)
+    return (
+        clean.select("doc_id", F.lit(False).alias("contaminated"))
+        .unionByName(
+            contaminated.select("doc_id", F.lit(True).alias("contaminated"))
+        )
+    )
+
+
 @_q("cdc_wap_final_state", _CDC_FINAL_STATE_SQL)
 def _cdc_wap(spark, sf_dir):
     """Write-audit-publish replay (lake/table.py publish, merge stage):
@@ -3856,6 +3905,7 @@ _DRIVER_PRIORITY: list[str] = [
     "cdc_erase_final_state",
     "cdc_wap_final_state",
     "pack_sequences_greedy",
+    "decontaminate_ngrams",
     # -- load-bearing anchors (all r2-green) to fill the window
     "cdc_replay_final_state",
     "quarantine_deadletter",
@@ -3875,7 +3925,6 @@ _DRIVER_PRIORITY: list[str] = [
     "minhash_lsh_candidates",
     "embedding_near_dups_lsh",
     "lsh_topk_ann",
-    "ivf_topk_ann",
 ]
 
 

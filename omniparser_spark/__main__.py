@@ -76,11 +76,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated bucket-key values to erase (with "
                          "or instead of --erase-where); prunes the rewrite "
                          "to their buckets")
+    ap.add_argument("--fsck", action="store_true",
+                    help="lake consistency check (metadata refs, orphans, "
+                         "bucket-hash + merge-key integrity), print the "
+                         "report, exit non-zero on errors")
     args = ap.parse_args(argv)
 
     erasure = args.erase_where is not None or args.erase_keys is not None
     maintenance = (
-        args.replay_quarantine or args.changelog_since is not None or erasure
+        args.replay_quarantine
+        or args.changelog_since is not None
+        or erasure
+        or args.fsck
     )
     if not maintenance and not args.feed:
         ap.error("--feed is required for apply/streaming runs")
@@ -153,6 +160,10 @@ def main(argv: list[str] | None = None) -> int:
         rec = pipe.replay_quarantine()
         print(json.dumps(rec, default=str))
         return 0
+    if args.fsck:
+        report = pipe.table.fsck()
+        print(json.dumps(report, default=str))
+        return 0 if report["ok"] else 1
     if erasure:
         keys = args.erase_keys.split(",") if args.erase_keys else None
         key_col = pipe.table.summary()["key_col"]

@@ -573,6 +573,106 @@ class LakeTable:
         df = self.read(buckets=[int(b)], include_hidden=include_hidden)
         return df.filter(F.col(key_col) == key_value)
 
+    def fsck(self, check_rows: bool = True) -> dict[str, Any]:
+        """Lake consistency check (ops tool; `python -m omniparser_spark
+        --fsck`). Verifies, without mutating anything:
+
+        - the version pointer resolves and every snapshot on the kept
+          chain references existing bucket directories (a miss means
+          data loss — ERROR);
+        - unreferenced data roots are counted (WARNING only: expected
+          debris after a crash or an abandoned WAP stage; the next
+          ``expire_snapshots`` collects them);
+        - a stale ``commit.lock`` is reported (crashed writer);
+        - with `check_rows` (one full-scan Spark job — it is an fsck):
+          every stored row hashes to the bucket directory it lives in
+          (a mismatch means a corrupted bucket transform — ERROR) and
+          the merge keys are unique among live rows (ERROR).
+
+        Returns {"ok": bool, "errors": [...], "warnings": [...],
+        stats...}.
+        """
+        errors: list[str] = []
+        warnings: list[str] = []
+        snaps = self.history()
+        summary = self.summary()
+        key_col = summary["key_col"]
+        n_buckets = int(summary["n_buckets"])
+
+        referenced: set[str] = set()
+        for s in snaps:
+            for b, d in s.bucket_dirs.items():
+                referenced.add(d)
+                if not os.path.isdir(os.path.join(self.path, d)):
+                    errors.append(
+                        f"snapshot v{s.version} references missing dir {d}"
+                    )
+        kept_roots = {os.path.dirname(d) for d in referenced}
+        data_root = os.path.join(self.path, "data")
+        orphans = 0
+        if os.path.isdir(data_root):
+            for root in os.listdir(data_root):
+                if os.path.join("data", root) not in kept_roots:
+                    orphans += 1
+        if orphans:
+            warnings.append(
+                f"{orphans} unreferenced data root(s) (crash/stage "
+                "debris; expire_snapshots collects them)"
+            )
+        lock = os.path.join(self._meta_dir, "commit.lock")
+        if os.path.exists(lock):
+            age = time.time() - os.path.getmtime(lock)
+            (warnings if age < 60 else errors).append(
+                f"commit.lock present ({age:.0f}s old)"
+            )
+
+        row_stats: dict[str, Any] = {}
+        if check_rows and not errors:
+            cur = self.current()
+            parts = []
+            for b, d in cur.bucket_dirs.items():
+                parts.append(
+                    self.spark.read.schema(self.schema())
+                    .parquet(os.path.join(self.path, d))
+                    .select(
+                        F.col(key_col).alias("_k"),
+                        F.lit(int(b)).alias("_dir_b"),
+                    )
+                )
+            if parts:
+                import functools
+
+                allb = functools.reduce(lambda a, x: a.unionByName(x), parts)
+                bad = allb.filter(
+                    bucket_expr(F.col("_k"), n_buckets) != F.col("_dir_b")
+                ).count()
+                if bad:
+                    errors.append(f"{bad} row(s) in the wrong bucket dir")
+                row_stats["rows_checked"] = allb.count()
+                merge_keys = list(
+                    summary.get("merge_keys") or [key_col]
+                )
+                dups = (
+                    self.read()
+                    .groupBy(*merge_keys)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .count()
+                )
+                if dups:
+                    errors.append(
+                        f"{dups} duplicate live merge-key group(s)"
+                    )
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "warnings": warnings,
+            "snapshots": len(snaps),
+            "current_version": snaps[0].version if snaps else None,
+            "orphan_data_roots": orphans,
+            **row_stats,
+        }
+
     def erase_where(
         self,
         predicate: Column,

@@ -78,6 +78,47 @@ def word_shingles(col, k: int = 3) -> Column:
     )
 
 
+# ------------------------------------------------------- decontamination
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Test-set decontamination: split the training corpus into
+    (clean, contaminated), where a doc is contaminated iff it shares
+    ANY word n-gram with the eval corpus (the standard 13-gram rule;
+    docs shorter than n words match on their whole normalized text).
+
+    Scale shape: the eval side is tiny relative to the corpus — its
+    distinct n-grams BROADCAST into a semi-join against the corpus's
+    exploded n-grams, so the corpus is scanned once and nothing
+    pairwise ever materializes; cost is O(corpus tokens) + a broadcast
+    of O(eval n-grams). Empty documents are never contaminated.
+    """
+    nonempty = F.length(F.trim(F.col(text_col))) > 0
+    ev = (
+        eval_docs.filter(nonempty)
+        .select(F.explode(word_shingles(F.col(text_col), n)).alias("_g"))
+        .distinct()
+    )
+    doc_grams = (
+        docs.filter(nonempty)
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+        )
+    )
+    hit_ids = (
+        doc_grams.join(F.broadcast(ev), "_g").select(id_col).distinct()
+    )
+    clean = docs.join(hit_ids, id_col, "left_anti")
+    contaminated = docs.join(hit_ids, id_col, "left_semi")
+    return clean, contaminated
+
+
 # -------------------------------------------------------------- minhash
 
 MINHASH_P = 1_000_000_007  # 30-bit prime: a*x + b stays far inside int64

@@ -439,3 +439,36 @@ def test_sort_order_lays_out_rows_within_bucket_files(spark, tmp_path):
         assert got == sorted(got), f"unsorted file {f}"
     # state unaffected by the layout
     assert t.read().count() == 3 * 4  # 3 convs x 4 turns (LWW collapses i)
+
+
+def test_fsck_clean_and_detects_damage(spark, tmp_path):
+    import os
+    import shutil
+
+    t = _make(spark, tmp_path)
+    rep = t.fsck()
+    assert rep["ok"], rep
+    assert rep["rows_checked"] >= 3  # live + tombstone rows
+    assert rep["orphan_data_roots"] == 0  # full history still referenced
+    # crash debris (e.g. an abandoned WAP stage's data) -> WARNING only
+    os.makedirs(os.path.join(str(tmp_path / "t"), "data", "snap-99-dead"))
+    rep1 = t.fsck(check_rows=False)
+    assert rep1["ok"] and rep1["orphan_data_roots"] == 1
+    # damage: delete a referenced bucket dir -> ERROR
+    cur = t.current()
+    victim = next(iter(cur.bucket_dirs.values()))
+    shutil.rmtree(os.path.join(str(tmp_path / "t"), victim))
+    rep2 = t.fsck(check_rows=False)
+    assert not rep2["ok"]
+    assert any("missing dir" in e for e in rep2["errors"])
+
+
+def test_fsck_cli(spark, tmp_path):
+    from omniparser_spark.__main__ import main
+
+    _make(spark, tmp_path)
+    assert main([
+        "--table", str(tmp_path / "t"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--fsck",
+    ]) == 0

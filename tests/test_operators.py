@@ -328,3 +328,29 @@ def test_per_type_occurs(spark):
     assert by_seq[1] == "record type 'E': more than max_occurs=2"
     assert by_seq[3] == "record type 'O': fewer than min_occurs=1"
     assert [r["record_seq"] for r in recs.collect()] == [2]
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from omniparser_spark.operators.dedup_text import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a totally different sentence with no overlap here"),
+            (3, "we saw the quick brown fox yesterday evening"),  # shares 3-gram
+            (4, "short one"),          # < n words: whole-text gram
+            (5, ""),                   # empty: never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "quick brown fox"), (101, "short one")],
+        "doc_id long, text string",
+    )
+    clean, cont = decontaminate(docs, ev, n=3)
+    assert sorted(r.doc_id for r in cont.collect()) == [1, 3, 4]
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 5]
+    # 13-gram default: nothing in this fixture is that long -> whole-text
+    # grams only, no cross-doc hits
+    clean13, cont13 = decontaminate(docs, ev, n=13)
+    assert sorted(r.doc_id for r in cont13.collect()) == [4]
