@@ -124,7 +124,28 @@ def main(argv: list[str] | None = None) -> int:
 
         est = args.expected_table_rows
         if est is None:
-            est = total if total is not None else 0
+            est = total
+        if est is None and args.streaming and args.feed:
+            # streaming run creating a new table: size from the feed's
+            # current backlog rather than silently minimum-bucketing a
+            # table that may grow 1000x (every merge would then rewrite
+            # ~the whole table)
+            try:
+                est = (
+                    spark.read.parquet(args.feed)
+                    .agg(F.max("offset"))
+                    .collect()[0][0]
+                    or -1
+                ) + 1
+            except Exception:
+                est = None
+        if est is None:
+            print(
+                "error: cannot size buckets for a new table — pass "
+                "--n-buckets or --expected-table-rows",
+                file=sys.stderr,
+            )
+            return 2
         n_buckets = derive_n_buckets(est, args.target_bucket_rows)
         print(json.dumps({"derived_n_buckets": n_buckets,
                           "expected_table_rows": est,
@@ -174,7 +195,10 @@ def main(argv: list[str] | None = None) -> int:
         if keys:
             pred = pred & F.col(key_col).isin(keys)
         rec = pipe.table.erase_where(pred, key_values=keys)
-        pipe.table.expire_snapshots(keep_last=2)
+        # keep_last=1: anything more retains the PRE-erasure snapshot's
+        # files, leaving the erased rows on disk and time-travelable —
+        # the opposite of physical erasure
+        pipe.table.expire_snapshots(keep_last=1)
         print(json.dumps(rec, default=str))
         return 0
 

@@ -89,6 +89,14 @@ class CdcPipeline:
         # this off (foreachBatch's cloned session never completes
         # Observation futures) and those batches record null counts.
         self.observe_merge = True
+        # routing hook (cdc/routing.py): a predicate builder over the
+        # CANONICAL columns applied whenever this pipeline decodes raw
+        # rows itself (apply_batch without _canon — notably
+        # replay_quarantine). Bad rows (~_ok) are always kept so the
+        # dead-letter capture still sees them. Without this, a routed
+        # destination's quarantine REPLAY would merge every recovered
+        # row — including other routes' — into its own table.
+        self.canon_filter: Callable[[], Any] | None = None
 
     # ---------- single micro-batch ----------
 
@@ -134,7 +142,12 @@ class CdcPipeline:
             self.metrics.record(record)
             return record
 
-        canon = _canon if _canon is not None else normalize_flagged(raw)
+        if _canon is not None:
+            canon = _canon
+        else:
+            canon = normalize_flagged(raw)
+            if self.canon_filter is not None:
+                canon = canon.filter(self.canon_filter() | ~F.col("_ok"))
 
         if self.n_source_parts is not None:
             # ---- fast path: ONE Spark job per micro-batch ----

@@ -80,6 +80,13 @@ class RoutedPipeline:
             )
             for name in routes
         }
+        for name, pipe in self.pipes.items():
+            # route-aware self-decodes: replay_quarantine (and any
+            # direct apply of this destination) must filter recovered
+            # rows by ITS route — every destination captured the whole
+            # slice's bad rows, so an unfiltered replay would merge
+            # other routes' recovered rows into this table
+            pipe.canon_filter = self.routes[name]
 
     def run_feed(
         self, feed: DataFrame, total_events: int, batch_size: int

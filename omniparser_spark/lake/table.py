@@ -231,8 +231,27 @@ class LakeTable:
                 except OSError:
                     continue  # holder released between open and stat
                 if age > stale_after:
-                    with contextlib.suppress(OSError):
-                        os.unlink(lock)  # break a crashed writer's lock
+                    # break a crashed writer's lock — but under a break
+                    # MUTEX with a re-verify, so two waiters cannot both
+                    # decide "stale" and the second unlink a lock a live
+                    # writer just (re)acquired (TOCTOU)
+                    bl = lock + ".break"
+                    try:
+                        bfd = os.open(bl, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                        os.close(bfd)
+                    except FileExistsError:
+                        with contextlib.suppress(OSError):
+                            if time.time() - os.path.getmtime(bl) > 5:
+                                os.unlink(bl)  # crashed breaker
+                        time.sleep(0.05)
+                        continue
+                    try:
+                        with contextlib.suppress(OSError):
+                            if time.time() - os.path.getmtime(lock) > stale_after:
+                                os.unlink(lock)
+                    finally:
+                        with contextlib.suppress(OSError):
+                            os.unlink(bl)
                     continue
                 if time.monotonic() > deadline:
                     raise ConcurrentCommitError(
@@ -427,6 +446,25 @@ class LakeTable:
             parent_version=prev.version,
         )
         if stage:
+            # two DIFFERENT outstanding stages would collide on the same
+            # version number (both derive it from the published head) and
+            # the second would silently overwrite the first — publish(N)
+            # would then fast-forward to a snapshot missing the first
+            # batch. Overwriting is legal only for a re-delivery of the
+            # SAME batch (crash-before-publish re-stage).
+            meta_path = os.path.join(
+                self._meta_dir, f"v{version}.metadata.json"
+            )
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    existing = Snapshot.from_json(f.read())
+                if existing.summary.get("batch_id") != summary.get("batch_id"):
+                    raise ConcurrentCommitError(
+                        f"a staged snapshot v{version} for batch "
+                        f"{existing.summary.get('batch_id')} is pending; "
+                        "publish or abandon it before staging batch "
+                        f"{summary.get('batch_id')}"
+                    )
             self._write_metadata_file(snap)  # pointer untouched
         else:
             self._write_snapshot(snap, expected_parent=prev.version)
@@ -584,10 +622,12 @@ class LakeTable:
           debris after a crash or an abandoned WAP stage; the next
           ``expire_snapshots`` collects them);
         - a stale ``commit.lock`` is reported (crashed writer);
-        - with `check_rows` (one full-scan Spark job — it is an fsck):
-          every stored row hashes to the bucket directory it lives in
-          (a mismatch means a corrupted bucket transform — ERROR) and
-          the merge keys are unique among live rows (ERROR).
+        - with `check_rows` (two full-scan Spark jobs — it is an fsck:
+          one combined count/wrong-bucket aggregate, one merge-key
+          uniqueness groupBy): every stored row hashes to the bucket
+          directory it lives in (a mismatch means a corrupted bucket
+          transform — ERROR) and the merge keys are unique among live
+          rows (ERROR).
 
         Returns {"ok": bool, "errors": [...], "warnings": [...],
         stats...}.
@@ -643,12 +683,21 @@ class LakeTable:
                 import functools
 
                 allb = functools.reduce(lambda a, x: a.unionByName(x), parts)
-                bad = allb.filter(
-                    bucket_expr(F.col("_k"), n_buckets) != F.col("_dir_b")
-                ).count()
-                if bad:
-                    errors.append(f"{bad} row(s) in the wrong bucket dir")
-                row_stats["rows_checked"] = allb.count()
+                agg = allb.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(
+                        F.when(
+                            bucket_expr(F.col("_k"), n_buckets)
+                            != F.col("_dir_b"),
+                            1,
+                        )
+                    ).alias("bad"),
+                ).collect()[0]
+                if int(agg["bad"]):
+                    errors.append(
+                        f"{int(agg['bad'])} row(s) in the wrong bucket dir"
+                    )
+                row_stats["rows_checked"] = int(agg["n"])
                 merge_keys = list(
                     summary.get("merge_keys") or [key_col]
                 )

@@ -71,7 +71,10 @@ def pack_sequences(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_ord"], kind="mergesort")
+        # id_col as tiebreak: with order_col ties (e.g. the recommended
+        # length-descending pre-sort) a bare stable sort would preserve
+        # the NONDETERMINISTIC shuffle arrival order across runs
+        pdf = pdf.sort_values(["_ord", id_col], kind="mergesort")
         toks = pdf["n_tokens"].to_numpy()
         seqs = [0] * len(toks)
         acc = 0

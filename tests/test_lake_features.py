@@ -472,3 +472,62 @@ def test_fsck_cli(spark, tmp_path):
         "--checkpoint", str(tmp_path / "ck"),
         "--fsck",
     ]) == 0
+
+
+def test_wap_second_stage_for_different_batch_rejected(spark, tmp_path):
+    """Review fix: two outstanding stages would collide on the same
+    version number; the second (different batch) must be refused, while
+    re-staging the SAME batch (crash-before-publish re-delivery) is
+    allowed."""
+    import pytest
+
+    from omniparser_spark.lake.table import ConcurrentCommitError
+
+    t = _make(spark, tmp_path)
+    s1 = merge_into(
+        t, _batch(spark, [("p", 1, "p1", 5, 90, "I")]),
+        batch_id=5, max_offset=90, stage=True,
+    )
+    with pytest.raises(ConcurrentCommitError, match="pending"):
+        merge_into(
+            t, _batch(spark, [("q", 1, "q1", 5, 91, "I")]),
+            batch_id=6, max_offset=91, stage=True,
+        )
+    # same batch re-stage (crash replay) is fine and publishable
+    s1b = merge_into(
+        t, _batch(spark, [("p", 1, "p1", 5, 90, "I")]),
+        batch_id=5, max_offset=90, stage=True,
+    )
+    t.publish(s1b["snapshot_version"])
+    assert t.read().filter("conv_id = 'p'").count() == 1
+    assert s1["snapshot_version"] == s1b["snapshot_version"]
+
+
+def test_cli_erase_leaves_no_trace_on_disk(spark, tmp_path):
+    """Review fix: the CLI erasure must expire down to keep_last=1 —
+    keeping the pre-erasure snapshot would leave the subject's rows on
+    disk and time-travel-readable."""
+    import glob
+
+    from omniparser_spark.__main__ import main
+    from omniparser_spark.sources.changefeed import FeedSpec, materialize_feed
+
+    feed_dir = str(tmp_path / "feed")
+    materialize_feed(spark, FeedSpec(n_events=200, n_convs=8, seed=5), feed_dir)
+    table = str(tmp_path / "tab")
+    assert main([
+        "--feed", feed_dir, "--table", table,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--total-events", "200", "--batch-size", "200",
+    ]) == 0
+    t = LakeTable.load(spark, table)
+    victim = t.read().select("conv_id").first()["conv_id"]
+    assert main([
+        "--table", table, "--checkpoint", str(tmp_path / "ckpt"),
+        "--erase-keys", victim,
+    ]) == 0
+    # no parquet file anywhere under the table still holds the key
+    files = glob.glob(f"{table}/data/*/_bucket=*/*.parquet")
+    assert files
+    remaining = spark.read.parquet(*files)
+    assert remaining.filter(F.col("conv_id") == victim).count() == 0

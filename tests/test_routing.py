@@ -155,3 +155,71 @@ def test_routed_destinations_dead_letter_bad_rows(spark, tmp_path):
     # tables only got their own route's good rows
     assert routed.read("a").count() == 6  # odd offsets 1..11 -> cA
     assert routed.read("b").count() == 3  # even non-bad offsets 2,6,10 -> cB
+
+
+def test_routed_quarantine_replay_respects_routes(spark, tmp_path):
+    """Review fix: every destination captures the whole slice's bad
+    rows, so its REPLAY must filter recovered rows by its own route —
+    an unfiltered replay would merge other routes' conversations into
+    this table."""
+    import datetime
+
+    from omniparser_spark.sources.decoders import register_format
+
+    ts = datetime.datetime(2024, 7, 1, 12, 0, 0)
+    rows = []
+    for off in range(8):
+        conv = "cA" if off % 2 else "cB"
+        # ALL rows use a format unknown at first apply
+        rows.append((
+            off, "U", "lateformat",
+            f"conv_id={conv};turn_idx={off};role=user;"
+            f"text=fixed {off};ts=2024-07-01T12:00:00Z",
+            ts, 0,
+        ))
+    feed = spark.createDataFrame(
+        rows,
+        "offset long, op string, format string, payload string, "
+        "ts timestamp, source_part int",
+    )
+    base = str(tmp_path / "rr")
+    routed = RoutedPipeline(
+        spark, base,
+        routes={
+            "a": lambda: F.col("conv_id") == "cA",
+            "b": lambda: F.col("conv_id") == "cB",
+        },
+        n_buckets=2, n_source_parts=1,
+    )
+    routed.run_feed(feed, 8, batch_size=8)
+    assert routed.read("a").count() == 0  # everything dead-lettered
+
+    # decoder fix: kv-ish parser for 'lateformat'
+    from pyspark.sql import functions as SF
+
+    def late_decoder(payload):
+        def field(k):
+            return SF.regexp_extract(payload, rf"{k}=([^;]*)", 1)
+        return SF.struct(
+            field("conv_id").alias("conv_id"),
+            field("turn_idx").cast("int").alias("turn_idx"),
+            field("role").alias("role"),
+            field("text").alias("text"),
+            SF.lit(None).cast("string").alias("tool"),
+            SF.to_timestamp(
+                SF.regexp_extract(payload, r"ts=([^;]*)", 1),
+                "yyyy-MM-dd'T'HH:mm:ssX",
+            ).alias("ts"),
+        )
+    register_format("lateformat", late_decoder)
+    try:
+        for name in ("a", "b"):
+            routed.pipes[name].replay_quarantine()
+        # each table got ONLY its own route's recovered conversations
+        assert {r.conv_id for r in routed.read("a").collect()} == {"cA"}
+        assert {r.conv_id for r in routed.read("b").collect()} == {"cB"}
+        assert routed.read("a").count() == 4
+        assert routed.read("b").count() == 4
+    finally:
+        from omniparser_spark.sources import decoders as dec_mod
+        dec_mod._DECODERS.pop("lateformat", None)
