@@ -3641,6 +3641,61 @@ def _multimodal_pixels(spark, sf_dir):
 
 
 @_q(
+    "text_repetition_signals",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    dims AS (
+      SELECT doc_id, ws, len(ws) AS n_words,
+             len(list_distinct(ws)) AS n_distinct
+      FROM base
+    ),
+    wcnt AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(ws) AS w FROM dims) GROUP BY 1, 2
+    ),
+    topw AS (SELECT doc_id, max(c) AS top_w FROM wcnt GROUP BY 1),
+    bcnt AS (
+      SELECT doc_id, b, count(*) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= 2 THEN
+                 list_transform(range(1, len(ws)),
+                   i -> ws[i] || ' ' || ws[i+1])
+               ELSE []::VARCHAR[] END) AS b
+        FROM dims
+      ) GROUP BY 1, 2
+    ),
+    topb AS (SELECT doc_id, max(c) AS top_b FROM bcnt GROUP BY 1)
+    SELECT d.doc_id, d.n_words::INT AS n_words,
+           round(1 - d.n_distinct / d.n_words::DOUBLE, 6) AS dup_word_frac,
+           round(topw.top_w / d.n_words::DOUBLE, 6) AS top_word_frac,
+           round(CASE WHEN d.n_words > 1
+                 THEN coalesce(topb.top_b, 0) / (d.n_words - 1)::DOUBLE
+                 ELSE 0 END, 6) AS top_bigram_frac
+    FROM dims d
+    JOIN topw USING (doc_id)
+    LEFT JOIN topb USING (doc_id)
+    """,
+)
+def _repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (functions/text.py
+    repetition_profile): duplicate-word fraction, top-word fraction,
+    top-bigram fraction per document — two map-side-combinable
+    aggregations, no windows, no cross-doc traffic. Oracle replays the
+    identical normalization + counting in SQL."""
+    from omniparser_spark.functions.text import repetition_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_profile(d)
+
+
+@_q(
     "decontaminate_ngrams",
     """
     WITH grams AS (
@@ -3906,6 +3961,7 @@ _DRIVER_PRIORITY: list[str] = [
     "cdc_wap_final_state",
     "pack_sequences_greedy",
     "decontaminate_ngrams",
+    "text_repetition_signals",
     # -- load-bearing anchors (all r2-green) to fill the window
     "cdc_replay_final_state",
     "quarantine_deadletter",
@@ -3922,7 +3978,6 @@ _DRIVER_PRIORITY: list[str] = [
     "assembly_hierarchical",
     "assembly_envelope",
     "assembly_occurs",
-    "minhash_lsh_candidates",
     "embedding_near_dups_lsh",
     "lsh_topk_ann",
 ]

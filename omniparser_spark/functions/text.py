@@ -117,3 +117,77 @@ def fingerprint(col, modulus: int = 1_000_000_007, base: int = 257) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * base + h) % F.lit(modulus),
     )
+
+
+def repetition_profile(
+    df, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Gopher-style repetition signals per document (the standard
+    quality gates for web-scale training text — highly repetitive docs
+    are boilerplate/spam):
+
+    - `dup_word_frac`: 1 - distinct_words / words (pure column expr);
+    - `top_word_frac`: occurrences of the most frequent word / words;
+    - `top_bigram_frac`: occurrences of the most frequent word bigram
+      / bigrams (single-word docs: 0).
+
+    Scale shape: one explode + one (doc, gram) partial-count + one
+    per-doc max — two map-side-combinable aggregations keyed by doc,
+    no windows, no cross-doc traffic; cost is O(corpus tokens). Empty
+    documents are excluded (no tokens to profile).
+    """
+    from omniparser_spark.operators.dedup_text import normalized_text
+
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    n_words = F.size(words)
+    base = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            words.alias("_ws"),
+            n_words.alias("n_words"),
+            F.size(F.array_distinct(words)).alias("_n_distinct"),
+        )
+    )
+    # sequence(1, 0) would generate DESCENDING [1, 0] for single-word
+    # docs and 0 is an invalid element_at ordinal — guard to empty
+    bigrams = F.when(
+        F.size(F.col("_ws")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_ws")) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(F.col("_ws"), i),
+                                  F.element_at(F.col("_ws"), i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        id_col, "n_words", "_n_distinct",
+        F.explode(
+            F.concat(
+                F.transform(F.col("_ws"), lambda w: F.struct(
+                    F.lit("w").alias("k"), w.alias("g"))),
+                F.transform(bigrams, lambda b: F.struct(
+                    F.lit("b").alias("k"), b.alias("g"))),
+            )
+        ).alias("_gram"),
+    )
+    counts = grams.groupBy(
+        id_col, "n_words", "_n_distinct",
+        F.col("_gram.k").alias("_k"), F.col("_gram.g").alias("_g"),
+    ).count()
+    per_doc = counts.groupBy(id_col, "n_words", "_n_distinct").agg(
+        F.max(F.when(F.col("_k") == "w", F.col("count"))).alias("_top_w"),
+        F.coalesce(
+            F.max(F.when(F.col("_k") == "b", F.col("count"))), F.lit(0)
+        ).alias("_top_b"),
+    )
+    nw = F.col("n_words").cast("double")
+    nb = F.greatest(F.col("n_words") - 1, F.lit(0)).cast("double")
+    return per_doc.select(
+        id_col,
+        "n_words",
+        F.round(1 - F.col("_n_distinct") / nw, 6).alias("dup_word_frac"),
+        F.round(F.col("_top_w") / nw, 6).alias("top_word_frac"),
+        F.round(
+            F.when(nb > 0, F.col("_top_b") / nb).otherwise(0.0), 6
+        ).alias("top_bigram_frac"),
+    )

@@ -117,3 +117,26 @@ def test_fingerprint_is_order_sensitive(spark):
     fps = [r["f"] for r in df.select(X.fingerprint(F.col("t")).alias("f")).collect()]
     assert fps[0] == fps[2]
     assert fps[0] != fps[1]
+
+
+def test_repetition_profile_signals(spark):
+    from omniparser_spark.functions.text import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),            # maximal repetition
+            (2, "all words here are unique ok"),   # none
+            (3, "one"),                            # single word
+            (4, ""),                               # excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_profile(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].dup_word_frac == 0.75      # 1 distinct of 4
+    assert out[1].top_word_frac == 1.0
+    assert out[1].top_bigram_frac == 1.0     # "spam spam" x3 of 3
+    assert out[2].dup_word_frac == 0.0
+    assert out[2].top_word_frac == round(1 / 6, 6)
+    assert out[3].n_words == 1
+    assert out[3].top_bigram_frac == 0.0
