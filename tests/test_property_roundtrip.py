@@ -208,3 +208,95 @@ def test_final_state_invariant_to_batch_slicing(
         prev = end
     got = sorted(map(tuple, pipe.read_table().collect()))
     assert got == state["ref"]
+
+
+# ------------------------------------------------- round-3 properties
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    channels_color=st.sampled_from([(1, 0), (3, 2), (2, 4), (4, 6)]),
+    data=st.data(),
+)
+def test_png_decode_roundtrips_random_pixels_and_filters(
+    w, h, channels_color, data
+):
+    """Any pixel content under any per-row filter choice must decode
+    back to the original bytes — the unfilter paths are exact inverses
+    of the spec's filter definitions for every color type."""
+    import struct
+    import zlib
+
+    from omniparser_spark.operators.multimodal import decode_png_pixels
+
+    channels, color_type = channels_color
+    stride = w * channels
+    rows = [
+        [data.draw(st.integers(0, 255)) for _ in range(stride)]
+        for _ in range(h)
+    ]
+    filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = [0] * stride
+    for y, r in enumerate(rows):
+        ft = filters[y]
+        raw.append(ft)
+        for i, cur in enumerate(r):
+            left = r[i - channels] if i >= channels else 0
+            up = prev[i]
+            ul = prev[i - channels] if i >= channels else 0
+            enc = {
+                0: cur,
+                1: (cur - left) & 0xFF,
+                2: (cur - up) & 0xFF,
+                3: (cur - ((left + up) >> 1)) & 0xFF,
+                4: (cur - paeth(left, up, ul)) & 0xFF,
+            }[ft]
+            raw.append(enc)
+        prev = r
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png_pixels(png)
+    assert got == (w, h, channels, bytes(v for r in rows for v in r))
+
+
+def test_packing_is_prefix_stable_under_append(spark):
+    """Greedy sequential packing is prefix-stable: appending documents
+    with HIGHER in-shard order must not change any existing pack
+    assignment — the property that lets a growing corpus be re-packed
+    incrementally without invalidating already-trained mixtures."""
+    from pyspark.sql import functions as F
+
+    from omniparser_spark.operators.packing import pack_sequences
+
+    base = [(i, 1 + (i * 7) % 9) for i in range(60)]
+    extra = [(i, 1 + (i * 5) % 9) for i in range(60, 90)]
+    d1 = spark.createDataFrame(base, "doc_id long, n_tokens long")
+    d2 = spark.createDataFrame(base + extra, "doc_id long, n_tokens long")
+    p1 = {
+        r.doc_id: (r.shard, r.pack_seq)
+        for r in pack_sequences(d1, budget=12, n_shards=4).collect()
+    }
+    p2 = {
+        r.doc_id: (r.shard, r.pack_seq)
+        for r in pack_sequences(d2, budget=12, n_shards=4).collect()
+    }
+    assert all(p2[i] == p1[i] for i in p1)
