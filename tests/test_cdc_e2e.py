@@ -265,8 +265,9 @@ def test_snapshot_expiry_bounds_disk(spark, feed_df, tmp_path, feed_events):
                   for d in s.bucket_dirs.values()}
     # every surviving snap dir must be referenced by a kept snapshot
     assert set(snap_dirs) <= kept_roots
-    # at most keep_last snapshots' worth of data roots remain
-    assert len(snap_dirs) <= 2
+    # bounded retention: periodic expiry (every expire_every batches)
+    # keeps at most keep_last + expire_every snapshots' data roots
+    assert len(snap_dirs) <= 2 + p.expire_every
     assert _spark_rows(p.read_table()) == sorted(_oracle_rows(feed_events))
 
 
