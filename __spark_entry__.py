@@ -3641,6 +3641,58 @@ def _multimodal_pixels(spark, sf_dir):
 
 
 @_q(
+    "pack_texts_materialized",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, text, doc_id % 8 AS shard,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+               AS rn
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, text, shard, n_tokens, rn,
+             0::BIGINT AS pack_seq, n_tokens AS acc
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.doc_id, d.text, d.shard, d.n_tokens, d.rn,
+             CASE WHEN p.acc + d.n_tokens > 256
+                  THEN p.pack_seq + 1 ELSE p.pack_seq END,
+             CASE WHEN p.acc + d.n_tokens > 256
+                  THEN d.n_tokens ELSE p.acc + d.n_tokens END
+      FROM d JOIN p ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT shard, pack_seq,
+           string_agg(text, e'\\n\\n' ORDER BY doc_id) AS pack_text,
+           count(*) AS n_docs,
+           sum(n_tokens) AS pack_tokens
+    FROM p GROUP BY shard, pack_seq
+    """,
+)
+def _pack_texts(spark, sf_dir):
+    """Packed training-sequence materialization (operators/packing.py
+    materialize_packs): documents concatenated in packing order with a
+    document separator, one row per (shard, pack). Oracle replays the
+    greedy recurrence AND the ordered concatenation in SQL, so any
+    divergence in pack membership or in-pack order corrupts the
+    pack_text hash."""
+    from omniparser_spark.functions.text import token_count
+    from omniparser_spark.operators.packing import (
+        materialize_packs,
+        pack_sequences,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", token_count("text").alias("n_tokens"))
+    packed = pack_sequences(
+        toks, budget=256, shard=F.col("doc_id") % 8, order_col="doc_id"
+    )
+    return materialize_packs(d, packed)
+
+
+@_q(
     "text_repetition_signals",
     """
     WITH base AS (
@@ -3962,6 +4014,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pack_sequences_greedy",
     "decontaminate_ngrams",
     "text_repetition_signals",
+    "pack_texts_materialized",
     # -- load-bearing anchors (all r2-green) to fill the window
     "cdc_replay_final_state",
     "quarantine_deadletter",
@@ -3978,7 +4031,6 @@ _DRIVER_PRIORITY: list[str] = [
     "assembly_hierarchical",
     "assembly_envelope",
     "assembly_occurs",
-    "embedding_near_dups_lsh",
     "lsh_topk_ann",
 ]
 

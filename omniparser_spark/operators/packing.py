@@ -101,6 +101,45 @@ def pack_sequences(
     return tagged.groupBy("shard").applyInPandas(pack, schema=schema)
 
 
+def materialize_packs(
+    docs: DataFrame,
+    packed: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Join pack assignments back to document text and emit one row per
+    pack: (shard, pack_seq, pack_text, n_docs, pack_tokens) — the
+    training-sequence materialization step (docs concatenated in
+    packing order with `sep` between them, i.e. the EOS/document
+    separator of the tokenizer downstream).
+
+    Scale shape: one equi-join on id (broadcast-able when `packed` came
+    from a filtered corpus) + one groupBy on (shard, pack_seq) with
+    collect_list bounded by docs-per-pack (budget / min doc length) —
+    no global sort; in-pack order is restored per group via sort_array
+    on the packing key."""
+    j = packed.join(docs.select(id_col, text_col), id_col)
+    return j.groupBy("shard", "pack_seq").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(id_col).alias("_o"),
+                            F.col(text_col).alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("t"),
+            ),
+            sep,
+        ).alias("pack_text"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
 def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
     """Per-pack utilization: (shard, pack_seq, n_docs, pack_tokens,
     fill_ratio) — the packing-efficiency monitoring aggregate (one

@@ -64,3 +64,24 @@ def test_order_col_controls_packing_order(spark):
         docs, budget=10, shard=F.lit(0), order_col="rank"
     ).collect()
     assert {r.pack_seq for r in out} == {0}
+
+
+def test_materialize_packs_concatenates_in_order(spark):
+    from omniparser_spark.operators.packing import (
+        materialize_packs,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", 4), (2, "beta", 4), (3, "gamma", 4)],
+        "doc_id long, text string, n_tokens long",
+    )
+    packed = pack_sequences(
+        docs.select("doc_id", "n_tokens"), budget=10, shard=F.lit(0)
+    )
+    out = {
+        (r.shard, r.pack_seq): (r.pack_text, r.n_docs, r.pack_tokens)
+        for r in materialize_packs(docs, packed, sep=" <eos> ").collect()
+    }
+    assert out[(0, 0)] == ("alpha <eos> beta", 2, 8)
+    assert out[(0, 1)] == ("gamma", 1, 4)
