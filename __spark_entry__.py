@@ -3596,7 +3596,22 @@ def _cdc_erase(spark, sf_dir):
       LEFT JOIN counts c ON c.media_id = p.media_id AND c.b = bu.b
     )
     SELECT media_id, w::INT AS width, h::INT AS height,
-           list(c ORDER BY b) AS pixel_hist
+           max(CASE WHEN b = 0 THEN c END)::BIGINT AS b0,
+           max(CASE WHEN b = 1 THEN c END)::BIGINT AS b1,
+           max(CASE WHEN b = 2 THEN c END)::BIGINT AS b2,
+           max(CASE WHEN b = 3 THEN c END)::BIGINT AS b3,
+           max(CASE WHEN b = 4 THEN c END)::BIGINT AS b4,
+           max(CASE WHEN b = 5 THEN c END)::BIGINT AS b5,
+           max(CASE WHEN b = 6 THEN c END)::BIGINT AS b6,
+           max(CASE WHEN b = 7 THEN c END)::BIGINT AS b7,
+           max(CASE WHEN b = 8 THEN c END)::BIGINT AS b8,
+           max(CASE WHEN b = 9 THEN c END)::BIGINT AS b9,
+           max(CASE WHEN b = 10 THEN c END)::BIGINT AS b10,
+           max(CASE WHEN b = 11 THEN c END)::BIGINT AS b11,
+           max(CASE WHEN b = 12 THEN c END)::BIGINT AS b12,
+           max(CASE WHEN b = 13 THEN c END)::BIGINT AS b13,
+           max(CASE WHEN b = 14 THEN c END)::BIGINT AS b14,
+           max(CASE WHEN b = 15 THEN c END)::BIGINT AS b15
     FROM dense GROUP BY media_id, w, h
     """,
 )
@@ -3611,7 +3626,9 @@ def _multimodal_pixels(spark, sf_dir):
     shortcut (hashing the compressed stream instead of decoding it)
     cannot reproduce these counts. Counts are reconstructed exactly
     from the float32 feature vector (hist = round(f * n_pixels):
-    f32 error <= 224 * 6e-8 << 0.5)."""
+    f32 error <= 224 * 6e-8 << 0.5). Histogram buckets are emitted as
+    16 scalar columns b0..b15 (the minhash m0..m7 convention) because
+    the driver canonicalizer cannot sort array-typed columns."""
     from omniparser_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         extract_features,
@@ -3634,9 +3651,10 @@ def _multimodal_pixels(spark, sf_dir):
         "media_id",
         width.alias("width"),
         height.alias("height"),
-        F.transform(
-            "features", lambda v: F.round(v * total).cast("long")
-        ).alias("pixel_hist"),
+        *[
+            F.round(F.col("features")[i] * total).cast("long").alias(f"b{i}")
+            for i in range(16)
+        ],
     )
 
 
@@ -3667,7 +3685,7 @@ def _multimodal_pixels(spark, sf_dir):
     SELECT shard, pack_seq,
            string_agg(text, e'\\n\\n' ORDER BY doc_id) AS pack_text,
            count(*) AS n_docs,
-           sum(n_tokens) AS pack_tokens
+           sum(n_tokens)::BIGINT AS pack_tokens
     FROM p GROUP BY shard, pack_seq
     """,
 )
@@ -3928,7 +3946,23 @@ def _pack_sequences(spark, sf_dir):
       FROM params p CROSS JOIN buckets bu
       LEFT JOIN counts c ON c.media_id = p.media_id AND c.b = bu.b
     )
-    SELECT media_id, n::INT AS n_samples, list(c ORDER BY b) AS amp_hist
+    SELECT media_id, n::INT AS n_samples,
+           max(CASE WHEN b = 0 THEN c END)::BIGINT AS b0,
+           max(CASE WHEN b = 1 THEN c END)::BIGINT AS b1,
+           max(CASE WHEN b = 2 THEN c END)::BIGINT AS b2,
+           max(CASE WHEN b = 3 THEN c END)::BIGINT AS b3,
+           max(CASE WHEN b = 4 THEN c END)::BIGINT AS b4,
+           max(CASE WHEN b = 5 THEN c END)::BIGINT AS b5,
+           max(CASE WHEN b = 6 THEN c END)::BIGINT AS b6,
+           max(CASE WHEN b = 7 THEN c END)::BIGINT AS b7,
+           max(CASE WHEN b = 8 THEN c END)::BIGINT AS b8,
+           max(CASE WHEN b = 9 THEN c END)::BIGINT AS b9,
+           max(CASE WHEN b = 10 THEN c END)::BIGINT AS b10,
+           max(CASE WHEN b = 11 THEN c END)::BIGINT AS b11,
+           max(CASE WHEN b = 12 THEN c END)::BIGINT AS b12,
+           max(CASE WHEN b = 13 THEN c END)::BIGINT AS b13,
+           max(CASE WHEN b = 14 THEN c END)::BIGINT AS b14,
+           max(CASE WHEN b = 15 THEN c END)::BIGINT AS b15
     FROM dense GROUP BY media_id, n
     """,
 )
@@ -3938,7 +3972,9 @@ def _multimodal_audio(spark, sf_dir):
     mapInPandas feature extractor and the per-file AMPLITUDE histogram
     must equal the oracle's closed-form sample formula
     ((i*797) % 20000 - 10000, the make_wav generator). Counts
-    reconstructed exactly from the float32 features (n <= 320)."""
+    reconstructed exactly from the float32 features (n <= 320).
+    Buckets emitted as 16 scalar columns b0..b15 — the driver
+    canonicalizer cannot sort array-typed columns."""
     from omniparser_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         extract_features,
@@ -3958,9 +3994,12 @@ def _multimodal_audio(spark, sf_dir):
     return feats.select(
         "media_id",
         n.alias("n_samples"),
-        F.transform(
-            "features", lambda v: F.round(v * n.cast("double")).cast("long")
-        ).alias("amp_hist"),
+        *[
+            F.round(F.col("features")[i] * n.cast("double"))
+            .cast("long")
+            .alias(f"b{i}")
+            for i in range(16)
+        ],
     )
 
 

@@ -125,11 +125,20 @@ class CdcPipeline:
         # batch fence up front: a re-delivered batch must be a complete
         # no-op — including its quarantine append and metrics — not just
         # a skipped MERGE (exactly-once covers side outputs too).
-        if batch_id <= int(self.table.summary().get("batch_id", -1)):
+        summary = self.table.summary()
+        if batch_id <= int(summary.get("batch_id", -1)):
+            # The repair checkpoint must not claim offsets the table
+            # never applied: if the feed GREW since the crashed commit,
+            # the re-derived batch can span a wider range than the one
+            # the table committed under this id — clamp to the table's
+            # applied frontier so the un-applied tail is re-driven
+            # under the next batch id instead of silently skipped.
+            applied_max = int(summary.get("max_offset_applied", offset_end))
+            safe_end = max(offset_start - 1, min(offset_end, applied_max))
             record: dict[str, Any] = {
                 "batch_id": batch_id,
                 "offset_start": offset_start,
-                "offset_end": offset_end,
+                "offset_end": safe_end,
                 "events_in": 0,
                 "quarantined": 0,
                 "rows_written": 0,
@@ -350,10 +359,13 @@ class CdcPipeline:
                 ):
                     self.table.evolve_schema_additive(evolved_columns)
                 raw, canon = make_slices(offset, end)
-                results.append(
-                    self.apply_batch(raw, batch_id, offset, end, _canon=canon)
-                )
-                offset = end + 1
+                rec = self.apply_batch(raw, batch_id, offset, end, _canon=canon)
+                results.append(rec)
+                # advance from the RECORD's frontier, not the grid's: a
+                # fenced repair clamps offset_end to what the table
+                # actually applied (grown-feed crash recovery), and the
+                # un-applied tail must re-drive in THIS run
+                offset = int(rec["offset_end"]) + 1
                 batch_id += 1
         finally:
             self.spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)

@@ -92,20 +92,36 @@ class RoutedPipeline:
         self, feed: DataFrame, total_events: int, batch_size: int
     ) -> dict[str, list[dict[str, Any]]]:
         """Apply the feed to every destination, decoding each batch
-        once. The batch grid is deterministic (offset 0, fixed
-        batch_size), so batch k is identical across runs and
-        destinations; a destination that already committed batch k
-        fences it to a no-op — a partially-crashed fan-out self-heals
-        on the next run without re-decoding for the healthy tables
-        more than once."""
+        once. The batch grid resumes from the LAGGARD destination's
+        checkpoint frontier (min next_offset across pipes) — never from
+        offset 0 — and cross-run fencing is OFFSET-based: a destination
+        whose checkpoint frontier is already past a batch's range skips
+        it without touching its checkpoint. Batch ids are
+        per-destination monotonic (each pipe's own next_batch_id), so a
+        destination that replayed quarantine out-of-band keeps a valid
+        id sequence.
+
+        Why not a fixed offset-0 grid + batch-id fence (the previous
+        design): if the feed GROWS between runs, the old run's clamped
+        last batch re-derives with the same id but a wider range, and
+        the id fence silently no-ops the new events inside it — data
+        loss. Offset fencing is immune: new offsets are by construction
+        past every committed frontier.
+
+        If a crash left destinations at different frontiers, the batch
+        that straddles a leader's frontier re-applies a committed
+        prefix of rows to it; the merge is idempotent under LWW + the
+        per-row offset fence, so re-application changes no state (the
+        only cost is duplicate work for that one batch)."""
         results: dict[str, list[dict[str, Any]]] = {n: [] for n in self.routes}
         canon_full = normalize_flagged(feed)  # ONE decode tree per run
 
         saved_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
         self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
-            start = 0
-            batch_id = 0
+            start = min(
+                pipe.checkpoints.next_offset() for pipe in self.pipes.values()
+            )
             while start < total_events:
                 end = min(start + batch_size - 1, total_events - 1)
                 rng = (F.col("offset") >= start) & (F.col("offset") <= end)
@@ -117,10 +133,33 @@ class RoutedPipeline:
                 canon = canon_full.filter(rng).persist()
                 try:
                     for name, pipe in self.pipes.items():
+                        if end < pipe.checkpoints.next_offset():
+                            # offset fence: this destination already
+                            # committed past this whole range — skip
+                            # WITHOUT a checkpoint write (a commit here
+                            # would rewind its frontier)
+                            results[name].append(
+                                {
+                                    "batch_id": None,
+                                    "offset_start": start,
+                                    "offset_end": end,
+                                    "events_in": 0,
+                                    "quarantined": 0,
+                                    "rows_written": 0,
+                                    "tombstones": 0,
+                                    "fenced": True,
+                                    "snapshot_version": (
+                                        pipe.table.current().version
+                                    ),
+                                    "touched_buckets": [],
+                                    "lineage": [],
+                                }
+                            )
+                            continue
                         results[name].append(
                             pipe.apply_batch(
                                 raw,
-                                batch_id,
+                                pipe.checkpoints.next_batch_id(),
                                 start,
                                 end,
                                 # bad rows (NULL canonical cols) match
@@ -136,7 +175,6 @@ class RoutedPipeline:
                 finally:
                     canon.unpersist()
                 start = end + 1
-                batch_id += 1
         finally:
             self.spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
         return results

@@ -464,3 +464,42 @@ def test_bootstrap_with_hidden_cols_preserves_tombstones(
     src.run(_feed_for_range(feed_df), SPEC.n_events, batch_size=400)
     mig.run(_feed_for_range(feed_df), SPEC.n_events, batch_size=400)
     assert _spark_rows(mig.read_table()) == _spark_rows(src.read_table())
+
+
+def test_grown_feed_crash_repair_does_not_skip_new_events(
+    spark, feed_df, tmp_path, feed_events
+):
+    """Grown-feed variant of the commit/checkpoint crash: the table
+    committed the (clamped) last batch, the checkpoint write was lost,
+    and the feed then GREW. On restart the re-derived batch spans a
+    wider range under the same id; the fence must clamp its repair
+    checkpoint to the table's applied frontier (max_offset_applied) so
+    the new tail re-drives under the next id instead of being claimed
+    as applied."""
+    import json
+    import os
+
+    table_path = str(tmp_path / "grown_table")
+    ckpt_path = str(tmp_path / "grown_ckpt")
+    p = CdcPipeline(spark, table_path, ckpt_path, n_buckets=8)
+    feed = _feed_for_range(feed_df)
+    # run to a truncated total: last batch [1200, 1399] is clamped
+    p.run(feed, 1400, batch_size=600)
+    # crash simulation: lose the LAST checkpoint (table keeps batch 2)
+    recs = sorted(
+        f for f in os.listdir(ckpt_path) if f.startswith("batch-")
+    )
+    os.remove(os.path.join(ckpt_path, recs[-1]))
+    with open(os.path.join(ckpt_path, recs[-2])) as fh:
+        prev = json.load(fh)
+    with open(os.path.join(ckpt_path, "latest.json"), "w") as fh:
+        json.dump(prev, fh)
+    # restart against the GROWN feed (full 1500 events)
+    p2 = CdcPipeline(spark, table_path, ckpt_path, n_buckets=8)
+    recs2 = p2.run(feed, SPEC.n_events, batch_size=600)
+    fenced = [r for r in recs2 if r["fenced"]]
+    assert fenced and fenced[0]["offset_end"] == 1399  # clamped repair
+    assert any(
+        not r["fenced"] and r["offset_start"] == 1400 for r in recs2
+    ), "grown tail must re-drive under a fresh batch id"
+    assert _spark_rows(p2.read_table()) == sorted(_oracle_rows(feed_events))

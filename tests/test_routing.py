@@ -223,3 +223,41 @@ def test_routed_quarantine_replay_respects_routes(spark, tmp_path):
     finally:
         from omniparser_spark.sources import decoders as dec_mod
         dec_mod._DECODERS.pop("lateformat", None)
+
+
+def test_routed_grown_feed_resume_applies_new_events(spark, tmp_path):
+    """ADVICE (r3, high): run_feed used to rebuild the batch grid from
+    offset 0 with the CURRENT total_events; after the feed grew, the
+    previous run's clamped last batch re-derived under the same id with
+    a wider range and the id fence silently no-opped the new events
+    inside it. The grid now resumes from the destinations' checkpoint
+    frontiers, so regrown offsets always land in fresh batches."""
+    spec = FeedSpec(n_events=1600, n_convs=30, seed=17)
+    feed = materialize_feed(spark, spec, str(tmp_path / "grownfeed"))
+    routes = {
+        "even": lambda: F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0,
+        "odd": lambda: F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1,
+    }
+    grown = RoutedPipeline(
+        spark, str(tmp_path / "grown"), routes=routes,
+        n_buckets=4, n_source_parts=spec.n_source_parts,
+    )
+    # first run sees only 1200 events: batch 2 is CLAMPED to [1000,1199]
+    grown.run_feed(feed, 1200, batch_size=500)
+    # the feed grows by 400 events; same grid parameters as before
+    recs = grown.run_feed(feed, 1600, batch_size=500)
+    applied = [
+        r for recs_ in recs.values() for r in recs_ if not r["fenced"]
+    ]
+    assert applied, "grown events must not be fenced away"
+    assert all(r["offset_start"] >= 1200 for r in applied)
+
+    fresh = RoutedPipeline(
+        spark, str(tmp_path / "fresh"), routes=routes,
+        n_buckets=4, n_source_parts=spec.n_source_parts,
+    )
+    fresh.run_feed(feed, 1600, batch_size=500)
+    for name in routes:
+        assert _sorted_rows(grown.read(name)) == _sorted_rows(
+            fresh.read(name)
+        ), name

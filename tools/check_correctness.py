@@ -2,7 +2,21 @@
 
 Runs each __spark_entry__.queries() entry on Spark and its oracle_sql()
 on DuckDB at sf0.01, then compares row count, column-name set, and an
-order-insensitive value hash (columns sorted by name, rows sorted).
+order-insensitive value hash.
+
+Canonicalization deliberately MIRRORS the driver (round-3 lesson: the
+old checker normalized lists and Python ints itself, so it passed three
+queries the driver failed):
+
+- both sides go through pandas (Spark ``toPandas()``, DuckDB ``.df()``)
+  so dtype coercions the driver sees (e.g. DuckDB HUGEINT -> float64)
+  are reproduced, not papered over;
+- ``_canon`` sorts columns by name then ``sort_values`` over ALL
+  columns — an array/map/struct column raises ``TypeError: unhashable
+  type`` here exactly as it does in the driver;
+- cell rendering happens AFTER pandas coercion, so an int64 column on
+  one side and a float64 column on the other hash differently even when
+  the values are numerically equal.
 
 Usage: python tools/check_correctness.py [query_name ...]
 """
@@ -15,6 +29,7 @@ import sys
 import time
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -27,34 +42,70 @@ TABLES = [
 ]
 
 
-def norm_val(v):
-    if v is None:
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-shaped canonicalization: columns sorted by name, rows
+    sorted by every column.  No tolerance for unhashable cell types —
+    if the driver would crash on this frame, so do we."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def _cell(v) -> str:
+    """Render one pandas cell.  Runs after pandas dtype coercion: an
+    integer that arrived as float64 (DuckDB HUGEINT, nullable BIGINT)
+    renders with a trailing ``.0`` and will not match an int64 column."""
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, (bool,)) or str(type(v)).endswith("bool_'>"):
         return "true" if v else "false"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "NULL"
         return repr(round(v, 9))
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_val(x) for x in v) + "]"
     import datetime
     import decimal
 
+    import numpy as np
+
+    if isinstance(v, np.floating):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"
+        return repr(round(f, 9))
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, int):
+        return str(v)
     if isinstance(v, decimal.Decimal):
         return repr(round(float(v), 9))
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
     if isinstance(v, datetime.datetime):
         return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, dict, set)) or str(
+        type(v)
+    ).startswith("<class 'numpy.ndarray"):
+        raise TypeError(
+            f"unhashable type: {type(v).__name__} — the driver "
+            f"canonicalizer cannot sort array/map/struct columns"
+        )
     return str(v)
 
 
-def value_hash(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted(
-        "\x1f".join(norm_val(r[i]) for i in order) for r in rows
-    )
+def _lines(df: pd.DataFrame) -> list[str]:
+    return [
+        "\x1f".join(_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+
+
+def value_hash(df: pd.DataFrame) -> str:
     h = hashlib.md5()
-    for line in lines:
+    for line in _lines(df):
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()
@@ -81,47 +132,40 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = _canon(sdf.toPandas())
         except Exception as e:
-            print(f"FAIL  {name:28} spark error: {str(e)[:300]}")
+            print(f"FAIL  {name:28} spark/canon error: {str(e)[:300]}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"WEAK  {name:28} rows={len(srows)} (no oracle)")
+            print(f"WEAK  {name:28} rows={len(spdf)} (no oracle)")
             n_weak += 1
             continue
         try:
-            ores = con.sql(oracles[name])
-            ocols = ores.columns
-            orows = ores.fetchall()
+            opdf = _canon(con.sql(oracles[name]).df())
         except Exception as e:
-            print(f"FAIL  {name:28} duckdb error: {str(e)[:300]}")
+            print(f"FAIL  {name:28} duckdb/canon error: {str(e)[:300]}")
             n_fail += 1
             continue
         dt = time.time() - t0
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount {len(srows)} vs {len(orows)}")
-        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
-            problems.append(f"schema {sorted(scols)} vs {sorted(ocols)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount {len(spdf)} vs {len(opdf)}")
+        scols = [c.lower() for c in spdf.columns]
+        ocols = [c.lower() for c in opdf.columns]
+        if scols != ocols:
+            problems.append(f"schema {scols} vs {ocols}")
         if not problems:
-            hs = value_hash(srows, scols)
-            ho = value_hash(orows, ocols)
-            if hs != ho:
+            try:
+                hs = value_hash(spdf)
+                ho = value_hash(opdf)
+            except TypeError as e:
+                problems.append(f"canon error: {e}")
+                hs = ho = None
+            if hs is not None and hs != ho:
                 problems.append("value-hash mismatch")
-                # show a few differing lines for debugging
-                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                ls = sorted(
-                    "\x1f".join(norm_val(r[i]) for i in order_s) for r in srows
-                )
-                lo = sorted(
-                    "\x1f".join(norm_val(r[i]) for i in order_o) for r in orows
-                )
-                diffs = [
-                    (a, b) for a, b in zip(ls, lo) if a != b
-                ][:3]
+                ls, lo = _lines(spdf), _lines(opdf)
+                diffs = [(a, b) for a, b in zip(ls, lo) if a != b][:3]
                 for a, b in diffs:
                     print(f"        spark: {a[:160]}")
                     print(f"        duck : {b[:160]}")
@@ -129,7 +173,7 @@ def main():
             print(f"FAIL  {name:28} {'; '.join(problems)}")
             n_fail += 1
         else:
-            print(f"PASS  {name:28} rows={len(srows)} ({dt:.1f}s)")
+            print(f"PASS  {name:28} rows={len(spdf)} ({dt:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
     return 1 if n_fail else 0
