@@ -3924,7 +3924,7 @@ def _pack_sequences(spark, sf_dir):
         id_col="doc_id",
         shard=F.col("doc_id") % 8,
         order_col="doc_id",
-    )
+    ).drop("_ord")
 
 
 @_q(

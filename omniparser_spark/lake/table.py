@@ -394,10 +394,11 @@ class LakeTable:
         readers keep seeing the old head. Audit the staged snapshot via
         ``read(version=snap.version)``, then :meth:`publish` it (atomic
         fast-forward) or simply abandon it (a batch re-delivery after a
-        crash re-stages; orphaned staged files are collected by the
-        next ``expire_snapshots``). Do not run expiry while a stage you
-        still intend to publish is pending — staged snapshots are not
-        on the kept chain and expiry treats their files as orphans.
+        crash re-stages; orphaned staged files are collected by
+        ``expire_snapshots`` once they age past its stage grace
+        period). Staged and non-staged commits for DIFFERENT batches
+        collide on the same version number; both paths refuse to
+        clobber a pending stage for another batch.
         """
         prev = self.current()
         version = prev.version + 1
@@ -445,32 +446,34 @@ class LakeTable:
             summary=summary,
             parent_version=prev.version,
         )
+        # Any commit at this version number — staged or not — would
+        # overwrite a pending staged snapshot's metadata file (both
+        # derive the number from the published head). Overwriting is
+        # legal only for a re-delivery of the SAME batch (crash-before-
+        # publish re-apply); a different batch must publish or abandon
+        # the pending stage first, else publish(N) would fast-forward
+        # to a snapshot missing the staged batch (stage path) or the
+        # staged batch's data would be silently orphaned (commit path).
+        meta_path = os.path.join(self._meta_dir, f"v{version}.metadata.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                existing = Snapshot.from_json(f.read())
+            if existing.summary.get("batch_id") != summary.get("batch_id"):
+                raise ConcurrentCommitError(
+                    f"a staged snapshot v{version} for batch "
+                    f"{existing.summary.get('batch_id')} is pending; "
+                    "publish or abandon it before committing batch "
+                    f"{summary.get('batch_id')}"
+                )
         if stage:
-            # two DIFFERENT outstanding stages would collide on the same
-            # version number (both derive it from the published head) and
-            # the second would silently overwrite the first — publish(N)
-            # would then fast-forward to a snapshot missing the first
-            # batch. Overwriting is legal only for a re-delivery of the
-            # SAME batch (crash-before-publish re-stage).
-            meta_path = os.path.join(
-                self._meta_dir, f"v{version}.metadata.json"
-            )
-            if os.path.exists(meta_path):
-                with open(meta_path) as f:
-                    existing = Snapshot.from_json(f.read())
-                if existing.summary.get("batch_id") != summary.get("batch_id"):
-                    raise ConcurrentCommitError(
-                        f"a staged snapshot v{version} for batch "
-                        f"{existing.summary.get('batch_id')} is pending; "
-                        "publish or abandon it before staging batch "
-                        f"{summary.get('batch_id')}"
-                    )
             self._write_metadata_file(snap)  # pointer untouched
         else:
             self._write_snapshot(snap, expected_parent=prev.version)
         return snap
 
-    def expire_snapshots(self, keep_last: int = 2) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 2, stage_grace_seconds: float = 24 * 3600.0
+    ) -> int:
         """Iceberg-style snapshot expiry: drop metadata older than the
         last `keep_last` snapshots and delete data directories no
         longer referenced by any kept snapshot. COW merges rewrite
@@ -478,15 +481,44 @@ class LakeTable:
         tail retains every historical copy of the table. Returns the
         number of data directories removed.
 
+        PENDING STAGED snapshots (metadata versions above the published
+        head — commit(stage=True) awaiting publish) are off the kept
+        chain but are NOT orphans while a WAP audit may still publish
+        them: their metadata and data (including carried-over bucket
+        references) are protected until older than
+        `stage_grace_seconds`, after which they are collected as
+        abandoned. This makes expiry safe to run concurrently with a
+        live pipeline that also stages merges (CdcPipeline runs expiry
+        periodically on its own).
+
         Single-writer: safe to run between commits (readers in this
         engine resolve the snapshot at read time on the same driver).
         """
         import shutil
+        import time as _time
 
         snaps = self.history()  # newest first
         keep, drop = snaps[:keep_last], snaps[keep_last:]
         if not drop:
             return 0
+
+        # collect pending stages still inside the grace period
+        import re as _re
+
+        head = snaps[0].version
+        pending: list[Snapshot] = []
+        now = _time.time()
+        for fn in os.listdir(self._meta_dir):
+            m = _re.fullmatch(r"v(\d+)\.metadata\.json", fn)
+            if m and int(m.group(1)) > head:
+                p = os.path.join(self._meta_dir, fn)
+                try:
+                    fresh = (now - os.path.getmtime(p)) < stage_grace_seconds
+                    if fresh:
+                        with open(p) as f:
+                            pending.append(Snapshot.from_json(f.read()))
+                except FileNotFoundError:
+                    pass
 
         # Crash-safe ordering: FIRST re-link the oldest kept snapshot as
         # the history root (atomic tmp + os.replace, same protocol as
@@ -513,8 +545,12 @@ class LakeTable:
         # remove_orphan_files).
         import re
 
-        kept_versions = {s.version for s in keep}
-        referenced = {d for s in keep for d in s.bucket_dirs.values()}
+        kept_versions = {s.version for s in keep} | {
+            s.version for s in pending
+        }
+        referenced = {
+            d for s in keep + pending for d in s.bucket_dirs.values()
+        }
         kept_roots = {os.path.dirname(d) for d in referenced}
         removed = 0
         for fn in os.listdir(self._meta_dir):

@@ -42,8 +42,12 @@ def pack_sequences(
     n_shards: int = 64,
     order_col: str | None = None,
 ) -> DataFrame:
-    """-> (id_col, shard, pack_seq, n_tokens, oversize) — one row per
-    doc with its pack assignment; (shard, pack_seq) identifies a pack.
+    """-> (id_col, shard, pack_seq, n_tokens, oversize, _ord) — one row
+    per doc with its pack assignment; (shard, pack_seq) identifies a
+    pack. `_ord` is the packing-order key (the `order_col` value), kept
+    in the output so downstream consumers — materialize_packs above
+    all — can reconstruct the exact in-pack order; drop it when not
+    needed.
 
     `shard`: key-aligned shard expression; defaults to
     ``pmod(xxhash64(id_col), n_shards)``. `order_col`: in-shard
@@ -65,9 +69,10 @@ def pack_sequences(
     )
 
     id_type = tagged.schema[id_col].dataType.simpleString()
+    ord_type = tagged.schema["_ord"].dataType.simpleString()
     schema = (
         f"{id_col} {id_type}, shard long, pack_seq long, "
-        "n_tokens long, oversize boolean"
+        f"n_tokens long, oversize boolean, _ord {ord_type}"
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -95,6 +100,7 @@ def pack_sequences(
                 "pack_seq": seqs,
                 "n_tokens": pdf["n_tokens"],
                 "oversize": pdf["n_tokens"] > budget,
+                "_ord": pdf["_ord"],
             }
         )
 
@@ -118,19 +124,25 @@ def materialize_packs(
     from a filtered corpus) + one groupBy on (shard, pack_seq) with
     collect_list bounded by docs-per-pack (budget / min doc length) —
     no global sort; in-pack order is restored per group via sort_array
-    on the packing key."""
+    on the TRUE packing key: (`_ord`, id) when `packed` carries the
+    `_ord` ordering column pack_sequences emits (id alone otherwise),
+    so a non-default order_col — e.g. the recommended length-descending
+    pre-sort — materializes in the same order it packed."""
     j = packed.join(docs.select(id_col, text_col), id_col)
+    if "_ord" in packed.columns:
+        key = F.struct(
+            F.col("_ord").alias("_k"),
+            F.col(id_col).alias("_o"),
+            F.col(text_col).alias("t"),
+        )
+    else:
+        key = F.struct(
+            F.col(id_col).alias("_o"), F.col(text_col).alias("t")
+        )
     return j.groupBy("shard", "pack_seq").agg(
         F.array_join(
             F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            F.col(id_col).alias("_o"),
-                            F.col(text_col).alias("t"),
-                        )
-                    )
-                ),
+                F.sort_array(F.collect_list(key)),
                 lambda s: s.getField("t"),
             ),
             sep,

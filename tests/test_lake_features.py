@@ -531,3 +531,66 @@ def test_cli_erase_leaves_no_trace_on_disk(spark, tmp_path):
     assert files
     remaining = spark.read.parquet(*files)
     assert remaining.filter(F.col("conv_id") == victim).count() == 0
+
+
+def test_commit_refuses_to_clobber_pending_stage(spark, tmp_path):
+    """ADVICE (r3): the pending-stage collision guard only ran on the
+    stage=True path — a NORMAL commit at the same version silently
+    overwrote a pending staged snapshot for a different batch, orphaning
+    its data and making the later publish fail with a misleading
+    'parent moved' error. Both paths now refuse."""
+    import pytest
+
+    from omniparser_spark.lake.table import ConcurrentCommitError
+
+    t = _make(spark, tmp_path)
+    merge_into(
+        t, _batch(spark, [("s", 1, "s1", 5, 90, "I")]),
+        batch_id=5, max_offset=90, stage=True,
+    )
+    with pytest.raises(ConcurrentCommitError, match="pending"):
+        merge_into(
+            t, _batch(spark, [("z", 1, "z1", 5, 91, "I")]),
+            batch_id=6, max_offset=91,
+        )
+    # same-batch re-delivery (crash re-apply) is still legal
+    merge_into(
+        t, _batch(spark, [("s", 1, "s1", 5, 90, "I")]),
+        batch_id=5, max_offset=90, stage=True,
+    )
+
+
+def test_expiry_preserves_fresh_pending_stage(spark, tmp_path):
+    """ADVICE (r3): expiry treated staged (off-chain) snapshots as
+    orphans, so a live pipeline's periodic expiry could collect a
+    pending WAP stage. Fresh stages (younger than stage_grace_seconds)
+    are now protected — metadata, new data, AND carried-over bucket
+    references — and remain publishable after expiry."""
+    t = _make(spark, tmp_path)
+    stats = merge_into(
+        t, _batch(spark, [("w", 1, "w1", 5, 90, "I")]),
+        batch_id=5, max_offset=90, stage=True,
+    )
+    staged_v = stats["snapshot_version"]
+    t.expire_snapshots(keep_last=1)  # default 24h grace
+    audit = t.read(version=staged_v)  # still auditable
+    assert audit.filter("conv_id = 'w'").count() == 1
+    t.publish(staged_v)
+    assert t.read().filter("conv_id = 'w'").count() == 1
+    # and the pre-stage rows carried over by reference survived expiry
+    assert t.read().count() > 1
+
+
+def test_expiry_collects_aged_out_stage(spark, tmp_path):
+    """An abandoned stage past the grace period is garbage-collected."""
+    import pytest
+
+    t = _make(spark, tmp_path)
+    stats = merge_into(
+        t, _batch(spark, [("w", 1, "w1", 5, 90, "I")]),
+        batch_id=5, max_offset=90, stage=True,
+    )
+    staged_v = stats["snapshot_version"]
+    t.expire_snapshots(keep_last=1, stage_grace_seconds=0.0)
+    with pytest.raises(Exception):
+        t.read(version=staged_v).collect()

@@ -85,3 +85,59 @@ def test_materialize_packs_concatenates_in_order(spark):
     }
     assert out[(0, 0)] == ("alpha <eos> beta", 2, 8)
     assert out[(0, 1)] == ("gamma", 1, 4)
+
+
+def test_materialize_packs_respects_custom_order_col(spark):
+    """ADVICE (r3, medium): pack membership was computed in order_col
+    order but materialization concatenated in id order, so any
+    non-default order_col (e.g. the recommended length-descending
+    pre-sort) produced training sequences that did not reflect packing
+    order. pack_sequences now carries `_ord` and materialize_packs
+    sorts on it."""
+    from omniparser_spark.operators.packing import (
+        materialize_packs,
+        pack_sequences,
+    )
+
+    # ids chosen so id order DISAGREES with the length-descending order
+    docs = spark.createDataFrame(
+        [
+            (1, "bb", 2),
+            (2, "dddd", 4),
+            (3, "a", 1),
+            (4, "ccc", 3),
+        ],
+        "doc_id long, text string, n_tokens long",
+    )
+    with_ord = docs.withColumn("neg_len", -F.col("n_tokens"))
+    packed = pack_sequences(
+        with_ord.select("doc_id", "n_tokens", "neg_len"),
+        budget=10,
+        shard=F.lit(0),
+        order_col="neg_len",
+    )
+    rows = {r.doc_id: r.pack_seq for r in packed.collect()}
+    # greedy over 4,3,2,1: 4+3+2 fits, 1 overflows? 4+3+2=9, +1=10 <= 10
+    assert rows == {2: 0, 4: 0, 1: 0, 3: 0}
+    out = materialize_packs(docs, packed, sep="|").collect()
+    assert len(out) == 1
+    # concatenated in PACKING order (length-descending), not id order
+    assert out[0].pack_text == "dddd|ccc|bb|a"
+    assert out[0].pack_tokens == 10
+
+
+def test_materialize_packs_without_ord_column_sorts_by_id(spark):
+    """Back-compat: a pack-assignment frame without `_ord` (external
+    producer) still materializes deterministically in id order."""
+    from omniparser_spark.operators.packing import materialize_packs
+
+    docs = spark.createDataFrame(
+        [(1, "x", 1), (2, "y", 1)], "doc_id long, text string, n_tokens long"
+    )
+    packed = spark.createDataFrame(
+        [(1, 0, 0, 1, False), (2, 0, 0, 1, False)],
+        "doc_id long, shard long, pack_seq long, n_tokens long, "
+        "oversize boolean",
+    )
+    out = materialize_packs(docs, packed, sep="|").collect()
+    assert out[0].pack_text == "x|y"
