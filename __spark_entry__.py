@@ -3711,6 +3711,50 @@ def _pack_texts(spark, sf_dir):
 
 
 @_q(
+    "pack_split_oversize",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n,
+             regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    small AS (
+      SELECT doc_id, 0::INT AS piece_idx, text, n::BIGINT AS n_tokens
+      FROM d WHERE n <= 32
+    ),
+    big AS (
+      SELECT d.doc_id, g.i::INT AS piece_idx,
+             array_to_string(d.ws[g.i*24+1 : g.i*24+32], ' ') AS text,
+             least(32, d.n - g.i*24)::BIGINT AS n_tokens
+      FROM d JOIN generate_series(0, 15) g(i) ON g.i <= (d.n - 1) // 24
+      WHERE d.n > 32
+    )
+    SELECT doc_id, piece_idx, text, n_tokens FROM small
+    UNION ALL
+    SELECT doc_id, piece_idx, text, n_tokens FROM big
+    """,
+)
+def _pack_split_oversize(spark, sf_dir):
+    """Oversize-document splitter (operators/packing.py split_oversize):
+    documents beyond a 32-token budget split into word windows of at
+    most 32 tokens at stride 24 (8-token overlap); within-budget
+    documents pass through verbatim as piece 0. The oracle replays the
+    closed-form window recurrence (starts 0, 24, 48, ... while start <=
+    n-1; piece i carries min(32, n - 24*i) tokens) with DuckDB list
+    slicing, so any divergence in window grid, join separator, or
+    token accounting breaks the hash. Feeding the pieces to
+    pack_sequences at the same budget yields zero oversize flags
+    (property-tested in tests/test_packing.py)."""
+    from omniparser_spark.operators.packing import split_oversize
+
+    d = _t(spark, sf_dir, "documents")
+    return split_oversize(d, budget=32, overlap=8)
+
+
+@_q(
     "text_repetition_signals",
     """
     WITH base AS (
@@ -4010,52 +4054,58 @@ def _multimodal_audio(spark, sf_dir):
 # The driver verifies the FIRST 50 entries of queries() in iteration order
 # (CORRECTNESS_r02 covered exactly positions 1-50 of registration order, so
 # round-2's additions at 51-75 never got a driver row).  Emit an explicit
-# priority order instead of raw registration order: first every query that
-# has never had a driver-green row (cdc_streaming_apply leads -- its only
-# driver verdict ever was a r1 FAIL), then this round's new queries, then
-# the most load-bearing regression anchors, filling the 50-slot window;
-# everything else (all previously double-verified) follows after.
+# priority order instead of raw registration order. Round-4 rotation: first
+# the three r3-red queries (driver-contract shapes fixed this round), then
+# the round's new query, then every query whose latest driver row is the
+# now-stale r2 run, then load-bearing anchors filling the 50-slot window;
+# everything after slot 50 was driver-verified green in r3.
 _DRIVER_PRIORITY: list[str] = [
-    # -- last driver verdict FAIL (r1), fixed + local-green since
-    "cdc_streaming_apply",
-    # -- never driver-verified in any round (r2 registration positions 60-75)
-    "streaming_windowed_rollup",
-    "streaming_sessionize_state",
-    "streaming_session_windows",
-    "streaming_continuous_rollup",
-    "cdc_changelog_read",
-    "dedup_cluster_assign",
-    "dedup_cluster_canonical",
-    "text_tfidf_topterms",
-    "text_redact_pii",
-    "text_chunk_windows",
-    "conversation_assembly",
-    "sample_mixture_fractions",
-    "sample_stratified_topk",
-    "asof_join_enrich",
-    "profile_numeric_stats",
-    "func_copy_raw",
-    "decode_charset_matrix",
-    "decode_csv_multichar",
-    "decode_csv_header_verify",
-    # -- fell out of the window after r1 (r1-green, no r2 row)
-    "spec_pandas_udf",
-    "multimodal_features",
-    "decode_custom_plugin",
-    "decode_charset_bom",
-    "text_stopword_ratio",
-    # -- new this round
-    "decode_edi_hierarchy",
+    # -- r3 FAIL (shape defects fixed in round 4: HUGEINT-vs-long cast,
+    #    array-typed output columns flattened to b0..b15)
     "multimodal_pixel_features",
     "multimodal_audio_features",
-    "cdc_erase_final_state",
-    "cdc_wap_final_state",
-    "pack_sequences_greedy",
-    "decontaminate_ngrams",
-    "text_repetition_signals",
     "pack_texts_materialized",
-    # -- load-bearing anchors (all r2-green) to fill the window
+    # -- new this round
+    "pack_split_oversize",
+    # -- latest driver row is r2 (rotated out of the r3 window); all
+    #    were r2-green, refreshed here
+    "agg_pricing_summary",
+    "array_reshape",
+    "assembly_payload",
+    "assembly_rows_envelope",
+    "cardinality_guard",
+    "cast_matrix",
+    "cosine_topk_bruteforce",
+    "decode_ediish_roundtrip",
+    "decode_json_nested",
+    "dedup_exact_groups",
+    "embedding_near_dups_lsh",
+    "filter_predicate",
+    "func_datetime_suite",
+    "func_string_suite",
+    "func_tz_convert",
+    "func_uuidv3",
+    "ivf_topk_ann",
+    "join_broadcast_enrich",
+    "minhash_lsh_candidates",
+    "minhash_signature",
+    "ngram_jaccard_capped",
+    "ngram_jaccard_pairs",
+    "object_reshape",
+    "project_dynamic",
+    "sessionize_events",
+    "simhash_near_dups",
+    "simhash_signature",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_count",
+    "topk_per_group",
+    "trim_and_prune",
+    # -- load-bearing anchors (r3-green) filling the window
     "cdc_replay_final_state",
+    "cdc_streaming_apply",
     "quarantine_deadletter",
     "lww_dedup",
     "lww_dedup_salted",
@@ -4063,14 +4113,9 @@ _DRIVER_PRIORITY: list[str] = [
     "spec_transform",
     "decode_csv_roundtrip",
     "decode_json_payload",
-    "decode_fixed_roundtrip",
-    "decode_xmlish_roundtrip",
-    "decode_xmlish_ns",
-    "decode_edi_escaped",
-    "assembly_hierarchical",
-    "assembly_envelope",
-    "assembly_occurs",
-    "lsh_topk_ann",
+    "decode_edi_hierarchy",
+    "decontaminate_ngrams",
+    "pack_sequences_greedy",
 ]
 
 

@@ -152,6 +152,74 @@ def materialize_packs(
     )
 
 
+def split_oversize(
+    docs: DataFrame,
+    budget: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents longer than `budget` whitespace tokens into
+    word windows of at most `budget` tokens (stride = budget −
+    `overlap`), so every piece fits a pack — the in-engine upstream for
+    pack_sequences' `oversize` flag. Documents within budget pass
+    through VERBATIM as piece 0 (original whitespace preserved); only
+    oversize documents are re-tokenized into space-joined windows.
+
+    -> (id_col, piece_idx, text_col, n_tokens), one row per piece.
+
+    Scale shape: the same pure-array-expression machinery as
+    functions/redact.py chunk_text (split → sequence of window starts →
+    slice → posexplode) — shuffle-free, scan-bound, piece count per doc
+    bounded by ceil(tokens/stride). The window grid covers every word:
+    the last start is the final stride boundary at or before the last
+    word, so trailing fragments are never dropped.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    stride = budget - overlap
+    if stride <= 0:
+        raise ValueError("budget must exceed overlap")
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(ws))
+    starts = F.sequence(
+        F.lit(0),
+        F.floor((n - 1) / F.lit(stride)).cast("int") * F.lit(stride),
+        F.lit(stride),
+    )
+    chunks = F.when(
+        n <= budget, F.array(F.col(text_col))
+    ).otherwise(
+        F.transform(
+            starts,
+            lambda s: F.array_join(F.slice(ws, s + 1, F.lit(budget)), " "),
+        )
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            n.alias("_n"),
+            F.posexplode(chunks).alias("piece_idx", text_col),
+        )
+        .select(
+            id_col,
+            "piece_idx",
+            text_col,
+            F.when(F.col("_n") <= budget, F.col("_n"))
+            .otherwise(
+                F.least(
+                    F.lit(budget),
+                    F.col("_n") - F.col("piece_idx") * F.lit(stride),
+                )
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
 def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
     """Per-pack utilization: (shard, pack_seq, n_docs, pack_tokens,
     fill_ratio) — the packing-efficiency monitoring aggregate (one

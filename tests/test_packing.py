@@ -141,3 +141,61 @@ def test_materialize_packs_without_ord_column_sorts_by_id(spark):
     )
     out = materialize_packs(docs, packed, sep="|").collect()
     assert out[0].pack_text == "x|y"
+
+
+def test_split_oversize_bounds_and_coverage(spark):
+    """Property: after split_oversize(budget), packing the pieces at
+    the same budget yields NO oversize flag and no pack over budget;
+    every original word appears in at least one piece; within-budget
+    docs pass through verbatim."""
+    from omniparser_spark.operators.packing import (
+        pack_sequences,
+        pack_stats,
+        split_oversize,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(25))),   # oversize
+            (2, "short  doc   with\tweird   spacing"),   # verbatim
+            (3, ""),                                     # empty
+            (4, " ".join(f"x{i}" for i in range(10))),   # exactly budget
+        ],
+        "doc_id long, text string",
+    )
+    pieces = split_oversize(docs, budget=10, overlap=2)
+    rows = pieces.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # verbatim pass-through incl. original whitespace
+    assert len(by_doc[2]) == 1 and by_doc[2][0].text == (
+        "short  doc   with\tweird   spacing"
+    )
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_tokens == 0
+    assert len(by_doc[4]) == 1 and by_doc[4][0].n_tokens == 10
+    # oversize doc: stride 8, starts 0,8,16,24 -> 4 pieces
+    p1 = sorted(by_doc[1], key=lambda r: r.piece_idx)
+    assert [r.n_tokens for r in p1] == [10, 10, 9, 1]
+    assert all(r.n_tokens <= 10 for r in rows)
+    # coverage: every original word somewhere in the pieces
+    words = {f"w{i}" for i in range(25)}
+    seen = set(w for r in p1 for w in r.text.split())
+    assert words <= seen
+    # piece text matches the window grid exactly
+    assert p1[0].text == " ".join(f"w{i}" for i in range(10))
+    assert p1[1].text == " ".join(f"w{i}" for i in range(8, 18))
+    # downstream: packing the pieces at the same budget -> no oversize
+    from pyspark.sql import functions as F2
+
+    packed = pack_sequences(
+        pieces.select(
+            F2.concat_ws("#", "doc_id", "piece_idx").alias("doc_id"),
+            "n_tokens",
+        ),
+        budget=10,
+        n_shards=2,
+    )
+    assert packed.filter("oversize").count() == 0
+    stats = pack_stats(packed, budget=10)
+    assert stats.filter("pack_tokens > 10").count() == 0
