@@ -130,6 +130,177 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
     return w, h, channels, bytes(out)
 
 
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """REAL GIF-variant LZW decompression (GIF89a spec, Appendix F):
+    variable code width starting at min_code_size+1, dedicated CLEAR
+    and END codes, dictionary growth up to 12-bit codes, and the
+    KwKwK (code == next slot) special case. Pure stdlib."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+
+    # bit reader: GIF packs codes LSB-first across the byte stream
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def read_code(width: int) -> int | None:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    def reset_table() -> tuple[dict[int, bytes], int, int]:
+        table = {i: bytes([i]) for i in range(clear)}
+        return table, end + 1, min_code_size + 1
+
+    table, next_code, width = reset_table()
+    prev: bytes | None = None
+    while True:
+        code = read_code(width)
+        if code is None or code == end:
+            break
+        if code == clear:
+            table, next_code, width = reset_table()
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code})")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """REAL LZW compression (dictionary building, growing code width,
+    table reset at 4096) — the inverse of `_lzw_decode`, used by
+    `make_gif` so test media carries genuinely compressed pixel data."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def reset_table() -> tuple[dict[bytes, int], int, int]:
+        return (
+            {bytes([i]): i for i in range(clear)},
+            end + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = reset_table()
+    emit(clear, width)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                # decoder grows width when ITS next slot hits the
+                # boundary; the encoder must grow one code earlier so
+                # both sides agree on every code's width
+                width += 1
+        else:
+            emit(clear, width)
+            table, next_code, width = reset_table()
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif_pixels(blob: bytes) -> tuple[int, int, bytes, list[tuple]]:
+    """REAL GIF pixel decode, pure stdlib: parse the logical screen
+    descriptor and color tables, skip extension blocks, and LZW-
+    decompress the first image's indexed pixel data. Returns (width,
+    height, color-index pixels row-major, palette as (r,g,b) tuples).
+    Non-interlaced only (interlaced raises NotImplementedError)."""
+    import struct
+
+    info = parse_gif_header(blob)
+    pos = 13
+    gct = []
+    if info["gct_size"]:
+        n = info["gct_size"]
+        for i in range(n):
+            r, g, b = blob[pos + 3 * i : pos + 3 * i + 3]
+            gct.append((r, g, b))
+        pos += 3 * n
+    while pos < len(blob):
+        marker = blob[pos]
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{marker:02x}")
+        _left, _top, w, h, packed = struct.unpack(
+            "<HHHHB", blob[pos + 1 : pos + 10]
+        )
+        pos += 10
+        palette = gct
+        if packed & 0x80:  # local color table
+            n = 2 << (packed & 0x07)
+            palette = [
+                tuple(blob[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)
+            ]
+            pos += 3 * n
+        if packed & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        min_code_size = blob[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(blob) and blob[pos] != 0:
+            size = blob[pos]
+            lzw += blob[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        indices = _lzw_decode(bytes(lzw), min_code_size)
+        if len(indices) < w * h:
+            raise ValueError("GIF pixel data size mismatch")
+        return w, h, indices[: w * h], palette
+    raise ValueError("GIF contains no image descriptor")
+
+
 def decode_wav_samples(blob: bytes) -> tuple[int, int, list[int]]:
     """REAL 16-bit PCM WAV decode, pure stdlib: (sample_rate, channels,
     interleaved samples as signed ints)."""
@@ -180,6 +351,16 @@ def _decode_image(blob: bytes, meta) -> list[float]:
         hist = [0] * FEATURE_DIM
         for v in pixels:
             hist[v * FEATURE_DIM // 256] += 1
+        total = max(sum(hist), 1)
+        return [h / total for h in hist]
+    if blob[:6] in _GIF_SIGS:
+        # REAL LZW decode -> histogram of the PALETTE-RESOLVED red
+        # channel (not the raw index), so the feature depends on both
+        # the decompressed index stream and the color table
+        _w, _h, indices, palette = decode_gif_pixels(blob)
+        hist = [0] * FEATURE_DIM
+        for idx in indices:
+            hist[palette[idx][0] * FEATURE_DIM // 256] += 1
         total = max(sum(hist), 1)
         return [h / total for h in hist]
     return _byte_histogram(blob)
@@ -282,6 +463,25 @@ def parse_png_header(blob: bytes) -> dict:
     return {"width": w, "height": h, "bit_depth": depth}
 
 
+def parse_gif_header(blob: bytes) -> dict:
+    """GIF logical screen descriptor: width/height + global-color-table
+    geometry (bit depth from the color-resolution field)."""
+    import struct
+
+    if len(blob) < 13 or blob[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF (bad signature)")
+    w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", blob[6:13])
+    gct_size = (2 << (packed & 0x07)) if packed & 0x80 else 0
+    if gct_size and 13 + 3 * gct_size > len(blob):
+        raise ValueError("truncated global color table")
+    return {
+        "width": w,
+        "height": h,
+        "bit_depth": ((packed >> 4) & 0x07) + 1,
+        "gct_size": gct_size,
+    }
+
+
 def parse_wav_header(blob: bytes) -> dict:
     """RIFF/WAVE: channels, sample rate, bit depth, duration from the
     fmt and data chunks."""
@@ -333,6 +533,10 @@ def probe_media(media: DataFrame) -> DataFrame:
                     if b[:8] == _PNG_SIG:
                         info = parse_png_header(b)
                         rec.update(container="png", valid=True, **info)
+                    elif b[:6] in _GIF_SIGS:
+                        info = parse_gif_header(b)
+                        info.pop("gct_size")
+                        rec.update(container="gif", valid=True, **info)
                     elif b[:4] == b"RIFF":
                         info = parse_wav_header(b)
                         rec.update(container="wav", valid=True, **info)
@@ -373,6 +577,40 @@ def make_png(width: int, height: int, seed: int = 0) -> bytes:
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
+    )
+
+
+def make_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """A complete, valid GIF89a built with the real `_lzw_encode` above
+    — deterministic test media whose pixel data is GENUINELY LZW-
+    compressed (growing code widths, dictionary buildup), so only a
+    real decoder reproduces the index stream. Pixel index formula:
+    (x*31 + y*17 + seed) % 256 (same closed form as make_png); palette
+    entry i = (i, (i*7) % 256, (i*13) % 256)."""
+    import struct
+
+    indices = bytes(
+        (x * 31 + y * 17 + seed) % 256
+        for y in range(height)
+        for x in range(width)
+    )
+    gct = b"".join(
+        bytes((i, (i * 7) % 256, (i * 13) % 256)) for i in range(256)
+    )
+    lzw = _lzw_encode(indices, 8)
+    sub_blocks = b"".join(
+        bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256
+        + gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([8])  # LZW min code size
+        + sub_blocks
+        + b"\x00"  # block terminator
+        + b"\x3b"  # trailer
     )
 
 

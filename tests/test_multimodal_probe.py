@@ -188,3 +188,51 @@ def test_image_features_are_pixel_derived():
     )
     assert png2 != png
     assert _decode_image(png, None) == _decode_image(png2, None)
+
+
+def test_gif_lzw_roundtrip_and_decode():
+    """REAL GIF codec: _lzw_encode/_lzw_decode round-trip (incl. KwKwK
+    and >4096-entry table reset) and end-to-end pixel decode against
+    the closed-form generator formula."""
+    from omniparser_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif_pixels,
+        make_gif,
+        parse_gif_header,
+    )
+
+    for data in (b"abab" * 200, bytes(range(256)) * 200, b"", b"\x07" * 9999):
+        assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+    g = make_gif(33, 17, seed=5)
+    info = parse_gif_header(g)
+    assert (info["width"], info["height"], info["bit_depth"]) == (33, 17, 8)
+    w, h, idx, pal = decode_gif_pixels(g)
+    assert (w, h) == (33, 17)
+    assert idx == bytes(
+        (x * 31 + y * 17 + 5) % 256 for y in range(17) for x in range(33)
+    )
+    assert pal[200] == (200, (200 * 7) % 256, (200 * 13) % 256)
+
+
+def test_probe_gif_and_truncated_gif(spark):
+    from omniparser_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        make_gif,
+        probe_media,
+    )
+
+    good = make_gif(12, 9, seed=1)
+    rows = [
+        (0, "image", bytearray(good), ("image/gif", 12, 9, 0)),
+        (1, "image", bytearray(good[:20]), ("image/gif", 0, 0, 0)),
+    ]
+    out = {
+        r.media_id: r
+        for r in probe_media(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert out[0].container == "gif" and out[0].valid
+    assert (out[0].width, out[0].height) == (12, 9)
+    assert not out[1].valid and "truncated" in out[1].error
