@@ -151,6 +151,17 @@ def main() -> None:
     finally:
         shutil.rmtree(pairs_dir, ignore_errors=True)
 
+    # ---- EDI worst case: UPS-210-shaped deep hierarchy (round-3 ask) ----
+    # The reference's slowest E2E is EDI UPS 210: 6.0 ms/op for a
+    # 1,322-segment file (~4.5 us/segment, single-threaded, BASELINE.md).
+    # Generate a comparable corpus — ST transactions each carrying two
+    # N1 name loops and three LX charge loops (~25 segments/txn, same
+    # loop depth as the 210 sample) — and drive it through the exact
+    # hierarchy path (edi_tree -> posexplode -> TWO assemble_parent_child
+    # passes: transactions under ST, charge loops under LX), so the
+    # stack machine's scaling is measured, not inferred.
+    edi_stats = _bench_edi_deep(spark, sf, timings)
+
     out = {
         "metric": "change-events/sec applied e2e (normalize+LWW+MERGE)",
         "value": round(events_per_sec, 1),
@@ -159,8 +170,135 @@ def main() -> None:
         "sf": sf,
         "cdc_events": n_events,
         "cpus": cpus,
+        "edi_deep": edi_stats,
     }
     print(json.dumps(out))
+
+
+def _bench_edi_deep(spark, sf: float, timings: dict[str, float]) -> dict:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from omniparser_spark.operators.assembly import assemble_parent_child
+    from omniparser_spark.sources.edi import edi_tree
+
+    n_txn = max(int(40_000 * sf), 400)
+    txn = spark.range(n_txn).select(F.col("id").alias("txn_id"))
+    tid = F.col("txn_id")
+
+    def n1_loop(role, name):
+        # N1 name loop: N1/N2/N3/N4 — name carries delimiters that the
+        # encoder must release ('?'-escape) and the decoder restore
+        esc = name
+        for ch in ["?", "~", "*", "^", ":"]:
+            esc = F.replace(esc, F.lit(ch), F.lit("?" + ch))
+        return F.concat(
+            F.lit(f"N1*{role}*"), esc,
+            F.lit("~N2*DEPT "), (tid % 7).cast("string"),
+            F.lit("~N3*435 SOUTH ST*SUITE "), (tid % 90).cast("string"),
+            F.lit("~N4*MORRISTOWN*NJ*07960*US~"),
+        )
+
+    lx = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(3)),
+            lambda k: F.concat(
+                F.lit("LX*"), k.cast("string"),
+                F.lit("~N9*CN*1Z"), (tid * 10 + k).cast("string"),
+                F.lit("~L0*"), k.cast("string"),
+                F.lit("*******1*PCS~L1*"), k.cast("string"),
+                F.lit("***"), ((tid * 31 + k * 97) % 20000).cast("string"),
+                F.lit("****FRT~L1*"), k.cast("string"),
+                F.lit("***"), ((tid * 13 + k * 7) % 3000).cast("string"),
+                F.lit("****FUE~"),
+            ),
+        ),
+    )
+    block = F.concat(
+        F.lit("ST*210*"), tid.cast("string"),
+        F.lit("~B3**INV"), tid.cast("string"),
+        F.lit("**PP**20080726~C3*USD~ITD*01~N9*18*"), tid.cast("string"),
+        F.lit("~"),
+        n1_loop("BT", F.concat(F.lit("BILL x*y?z "), tid.cast("string"))),
+        n1_loop("SH", F.concat(F.lit("SHIP "), tid.cast("string"))),
+        lx,
+        F.lit("L3*****"), (tid % 9999).cast("string"),
+        F.lit("~SE*25*"), tid.cast("string"), F.lit("~"),
+    )
+    docs = (
+        txn.select((tid % 64).alias("file_id"), tid, block.alias("block"))
+        .groupBy("file_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("txn_id", "block"))),
+                    lambda s: s.getField("block"),
+                ),
+            ).alias("payload")
+        )
+    )
+    docs = docs.persist()
+    docs.count()  # corpus generation is not the timed path
+    try:
+        t0 = time.time()
+        lines = docs.select(
+            "file_id", F.posexplode(edi_tree(F.col("payload")))
+        ).select(
+            "file_id",
+            F.col("pos").alias("line_no"),
+            F.col("col.seg_name").alias("seg_name"),
+            F.col("col.elements").alias("elements"),
+        )
+        lines = lines.persist()
+        n_segments = lines.count()
+        # level 1: transactions under ST (with per-type occurs checks)
+        txns, _q1 = assemble_parent_child(
+            lines,
+            F.col("seg_name") == "ST",
+            type_col="seg_name",
+            occurs_by_type={"N1": (2, 2), "LX": (3, 3), "SE": (1, 1)},
+        )
+        got_txns = txns.count()
+        assert got_txns == n_txn, (got_txns, n_txn)
+        # level 2: charge loops under LX, scoped inside each transaction
+        # (file_id, parent ST seq) — the nested-loop extraction
+        in_txn = lines.withColumn(
+            "_txn",
+            F.sum((F.col("seg_name") == "ST").cast("int")).over(
+                Window.partitionBy("file_id")
+                .orderBy("line_no")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).withColumn(
+            "file_id", F.concat_ws("#", "file_id", "_txn")
+        ).drop("_txn")
+        loops, _q2 = assemble_parent_child(
+            in_txn.filter(
+                F.col("seg_name").isin("LX", "N9", "L0", "L1")
+            ),
+            F.col("seg_name") == "LX",
+            type_col="seg_name",
+            occurs_by_type={"L1": (0, 2)},
+        )
+        got_loops = loops.count()
+        secs = time.time() - t0
+        # header N9 segments precede the first LX and assemble as one
+        # orphan group per transaction; the 3 true LX loops must all
+        # survive the occurs checks
+        assert got_loops >= 3 * n_txn, (got_loops, n_txn)
+    finally:
+        lines.unpersist()
+        docs.unpersist()
+    timings["edi_deep_hierarchy"] = round(secs, 3)
+    return {
+        "transactions": n_txn,
+        "segments": int(n_segments),
+        "secs": round(secs, 3),
+        "segments_per_sec": round(n_segments / secs, 1),
+        "reference_ups210_us_per_segment": 4.55,  # 6.013 ms / 1322 segs
+    }
 
 
 if __name__ == "__main__":
