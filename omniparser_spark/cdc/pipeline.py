@@ -533,6 +533,16 @@ class CdcPipeline:
                 "batch_id": 0,
                 "max_offset_applied": as_of_offset,
             },
+            # default-stamp path: every row gets _last_offset =
+            # as_of_offset, so that IS each bucket's max. The hidden-col
+            # migration path carries arbitrary per-row offsets — no
+            # cheap bound there, leave stats unknown (read_changes then
+            # scans those buckets, which is merely un-pruned, not wrong)
+            bucket_stats_updates=(
+                {b: as_of_offset for b in range(n_buckets)}
+                if "_last_offset" not in snapshot_df.columns
+                else None
+            ),
         )
         record = {
             "batch_id": 0,

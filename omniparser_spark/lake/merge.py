@@ -309,6 +309,14 @@ def merge_into(
             ),
         },
         stage=stage,
+        # changelog pruning stats: every rewritten bucket's max
+        # _last_offset is bounded by the batch's max offset — declared
+        # for free, no extra scan (untouched buckets carry theirs)
+        bucket_stats_updates=(
+            {b: int(max_offset) for b in touched}
+            if max_offset is not None and touched is not None
+            else None
+        ),
     )
     stats_row = obs.get if obs is not None else None
     return {

@@ -66,6 +66,14 @@ class Snapshot:
     bucket_dirs: dict[str, str]  # bucket id (as str) -> dir relative to table root
     summary: dict[str, Any] = field(default_factory=dict)
     parent_version: int | None = None
+    # bucket id (as str) -> UPPER BOUND on the bucket's max _last_offset
+    # (Iceberg manifest column-stats parity, for ONE load-bearing stat).
+    # Used by read_changes to skip buckets untouched since an offset;
+    # a missing entry means "unknown — must read". Upper-bound-only
+    # semantics keep maintenance free: the merge stamps touched buckets
+    # with the batch's max offset (no extra scan), untouched buckets
+    # carry their stat by reference with the data dir.
+    bucket_stats: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -75,6 +83,7 @@ class Snapshot:
                 "bucket_dirs": self.bucket_dirs,
                 "summary": self.summary,
                 "parent_version": self.parent_version,
+                "bucket_stats": self.bucket_stats,
             },
             indent=1,
             sort_keys=True,
@@ -89,6 +98,7 @@ class Snapshot:
             bucket_dirs=d["bucket_dirs"],
             summary=d.get("summary", {}),
             parent_version=d.get("parent_version"),
+            bucket_stats=d.get("bucket_stats", {}),
         )
 
 
@@ -378,6 +388,7 @@ class LakeTable:
         summary_updates: dict[str, Any],
         new_schema: T.StructType | None = None,
         stage: bool = False,
+        bucket_stats_updates: dict[int, int] | None = None,
     ) -> Snapshot:
         """Write `df` as the new content of `touched_buckets` (None = all),
         carrying over untouched buckets by reference, then commit.
@@ -439,12 +450,38 @@ class LakeTable:
         )
         summary = dict(prev.summary)
         summary.update(summary_updates)
+
+        # Per-bucket max-_last_offset stats. Invariants:
+        # - an UNTOUCHED bucket keeps its dir by reference, so its stat
+        #   carries verbatim;
+        # - a rewritten/new bucket dir keeps a stat ONLY if the caller
+        #   declares one (`bucket_stats_updates`) — any commit that can
+        #   raise a bucket's max _last_offset (merge, bootstrap) MUST
+        #   declare; rewrite-only commits (erase) may re-declare the
+        #   parent's value (still an upper bound), others drop to
+        #   "unknown" (read_changes then reads the bucket — safe);
+        # - a full rewrite (touched_buckets=None, e.g. rescale: the
+        #   bucket DOMAIN changes) never carries parent stats.
+        bucket_stats: dict[str, int] = {}
+        if touched_buckets is not None:
+            for b, d in prev.bucket_dirs.items():
+                if (
+                    bucket_dirs.get(b) == d
+                    and b in prev.bucket_stats
+                ):
+                    bucket_stats[b] = prev.bucket_stats[b]
+        if bucket_stats_updates:
+            for bk, v in bucket_stats_updates.items():
+                if str(bk) in bucket_dirs:
+                    bucket_stats[str(bk)] = int(v)
+
         snap = Snapshot(
             version=version,
             schema_json=schema_json,
             bucket_dirs=bucket_dirs,
             summary=summary,
             parent_version=prev.version,
+            bucket_stats=bucket_stats,
         )
         # Any commit at this version number — staged or not — would
         # overwrite a pending staged snapshot's metadata file (both
@@ -600,11 +637,16 @@ class LakeTable:
         change row, because the table row it failed to displace carries
         the earlier winner's offset.
 
-        Scale shape: a parquet scan of the current snapshot (prunable to
-        `buckets`) with the `_last_offset` range predicate pushed to the
-        scan — cost O(table-or-pruned-buckets read), nothing rewritten.
-        Offset ranges per batch/version come from checkpoint records or
-        snapshot summaries (`max_offset_applied`); see
+        Scale shape: the snapshot's per-bucket max-_last_offset stats
+        (maintained for free at commit time — Iceberg manifest-stats
+        parity) prune the scan to buckets that COULD hold a change in
+        the range, so an incremental "what changed since offset X" read
+        costs O(buckets touched since X), not O(table); within the kept
+        buckets the `_last_offset` range predicate pushes to the
+        parquet scan. Buckets without a stat (pre-stats snapshots, full
+        rewrites) are conservatively read. Offset ranges per
+        batch/version come from checkpoint records or snapshot
+        summaries (`max_offset_applied`); see
         `changes_between_versions`.
 
         `version`: read the changelog AS OF that snapshot — required
@@ -612,7 +654,19 @@ class LakeTable:
         changed in the window and again afterwards carries the LATER
         offset in the current snapshot and would otherwise be missed).
         """
-        df = self.read(buckets=buckets, include_hidden=True, version=version)
+        snap = self.current() if version is None else self.snapshot_at(version)
+        can_hold = [
+            int(b)
+            for b in snap.bucket_dirs
+            if b not in snap.bucket_stats
+            or int(snap.bucket_stats[b]) >= offset_start
+        ]
+        pruned = (
+            can_hold
+            if buckets is None
+            else sorted(set(can_hold) & set(int(b) for b in buckets))
+        )
+        df = self.read(buckets=pruned, include_hidden=True, version=version)
         cond = F.col("_last_offset") >= offset_start
         if offset_end is not None:
             cond = cond & (F.col("_last_offset") <= offset_end)
@@ -828,7 +882,20 @@ class LakeTable:
             .withColumn("_bucket", bucket_expr(key_col, n_buckets))
             .repartition(max(len(buckets), 1), "_bucket")
         )
-        snap = self.commit(kept, touched_buckets=buckets, summary_updates={})
+        pre = self.current()
+        snap = self.commit(
+            kept,
+            touched_buckets=buckets,
+            summary_updates={},
+            # erasure only REMOVES rows: the parent's per-bucket max
+            # _last_offset stays a valid upper bound — re-declare it so
+            # changelog pruning keeps working across erasures
+            bucket_stats_updates={
+                int(b): pre.bucket_stats[str(b)]
+                for b in buckets
+                if str(b) in pre.bucket_stats
+            },
+        )
         return {
             "snapshot_version": snap.version,
             "rows_erased": erased,

@@ -594,3 +594,72 @@ def test_expiry_collects_aged_out_stage(spark, tmp_path):
     t.expire_snapshots(keep_last=1, stage_grace_seconds=0.0)
     with pytest.raises(Exception):
         t.read(version=staged_v).collect()
+
+
+def test_changelog_stats_prune_untouched_buckets(spark, tmp_path):
+    """Per-bucket max-_last_offset stats (manifest-stats parity): an
+    incremental read_changes(since X) must scan ONLY buckets touched
+    since X — the property that makes 'what changed since the last
+    sync' O(delta), not O(table), at 100 TB — while returning exactly
+    the same rows as an unpruned scan."""
+    t = _make(spark, tmp_path)  # batch 0: offsets 0-2, batch 1: 3-5
+    snap = t.current()
+    # stats exist for every bucket that holds data
+    assert set(snap.bucket_stats) == set(snap.bucket_dirs)
+    # batch 1 touched only conv a and b buckets; a bucket whose stat
+    # predates offset 3 must not be scanned
+    ch = t.read_changes(3, 5)
+    rows = {(r.conv_id, r.turn_idx): r._change_type for r in ch.collect()}
+    assert rows == {("a", 1): "upsert", ("b", 1): "delete"}
+    scanned_dirs = {f.rsplit("/", 2)[-2] for f in ch.inputFiles()}
+    expected = {
+        f"_bucket={b}"
+        for b, stat in snap.bucket_stats.items()
+        if stat >= 3
+    }
+    assert scanned_dirs <= expected
+    # a since-frontier read past every stat scans NOTHING
+    assert t.read_changes(6).inputFiles() == []
+    assert t.read_changes(6).count() == 0
+
+
+def test_changelog_stats_carry_and_update_across_commits(spark, tmp_path):
+    """Untouched buckets carry their stat by reference; rewritten
+    buckets take the new batch's max offset; erasure re-declares the
+    parent bound; rescale (bucket domain change) drops all stats and
+    reads stay correct (just unpruned)."""
+    from pyspark.sql import functions as SF
+
+    t = _make(spark, tmp_path)
+    s1 = dict(t.current().bucket_stats)
+    # batch 2 touches only conv 'a' (offsets 6-7)
+    merge_into(
+        t,
+        _batch(spark, [("a", 3, "a3-v1", 3, 6, "I")]),
+        batch_id=2,
+        max_offset=7,
+    )
+    s2 = t.current().bucket_stats
+    from omniparser_spark.lake.table import bucket_expr
+
+    ab = (
+        spark.range(1)
+        .select(bucket_expr(SF.lit("a"), 4).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert s2[str(ab)] == 7
+    for b, v in s1.items():
+        if b != str(ab):
+            assert s2[b] == v  # carried verbatim
+    # erase: conv a's bucket becomes empty -> its dir AND stat vanish
+    # (a stat never outlives its bucket dir); other stats carry
+    t.erase_where(SF.col("conv_id") == "a")
+    s3 = t.current().bucket_stats
+    cur_dirs = t.current().bucket_dirs
+    assert str(ab) not in cur_dirs and str(ab) not in s3
+    assert set(s3) == set(cur_dirs)
+    # rescale: domain changes, stats dropped, reads still correct
+    t.rescale_buckets(8)
+    assert t.current().bucket_stats == {}
+    ch = {(r.conv_id, r.turn_idx) for r in t.read_changes(3).collect()}
+    assert ch == {("b", 1)}  # conv a erased; b/1 tombstone remains
