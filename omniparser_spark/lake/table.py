@@ -193,6 +193,59 @@ class LakeTable:
         ) as f:
             return Snapshot.from_json(f.read())
 
+    # ---------- tags (Iceberg tag refs: named, retained snapshots) ----------
+
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self._meta_dir, "refs.json")
+
+    def tags(self) -> dict[str, int]:
+        """name -> pinned snapshot version."""
+        if not os.path.exists(self._refs_path):
+            return {}
+        with open(self._refs_path) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self._meta_dir)
+        with os.fdopen(fd, "w") as f:
+            json.dump(tags, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._refs_path)
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under a name (Iceberg `ALTER TABLE ... CREATE
+        TAG`): the tagged snapshot — metadata AND every data directory
+        it references — survives `expire_snapshots` until the tag is
+        dropped, and reads resolve it by name (`read(tag=...)`).
+
+        The training-data use case this exists for: tag the exact table
+        version a training run consumed ("run-2024-06-01") so the
+        dataset is reproducible byte-for-byte months later, while the
+        live table keeps merging and expiring underneath.
+
+        Re-tagging an existing name to a different version raises
+        (drop it first — accidental retarget silently changes what a
+        past run means). Returns the pinned version.
+        """
+        v = int(version) if version is not None else self.current().version
+        self.snapshot_at(v)  # must exist (raises if expired/never was)
+        tags = self.tags()
+        if name in tags and tags[name] != v:
+            raise ValueError(
+                f"tag {name!r} already pins v{tags[name]}; drop it before "
+                f"re-tagging to v{v}"
+            )
+        tags[name] = v
+        self._write_tags(tags)
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(name)
+        del tags[name]
+        self._write_tags(tags)
+
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.current().schema_json)
 
@@ -350,6 +403,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_hidden: bool = False,
         version: int | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read the current snapshot, optionally pruned to some buckets.
 
@@ -357,11 +411,17 @@ class LakeTable:
         `VERSION AS OF`): snapshots are immutable — a COW commit never
         rewrites a previous snapshot's files, only stops referencing
         them — so any un-expired version reads exactly as committed.
+        `tag` resolves a named ref created by :meth:`create_tag`
+        (mutually exclusive with `version`).
 
         The snapshot's schema is applied to every file; files predating
         an added column surface NULL for it (additive evolution without
         rewrite).
         """
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass either version or tag, not both")
+            version = self.tags()[tag]
         snap = self.current() if version is None else self.snapshot_at(version)
         schema = T.StructType.fromJson(snap.schema_json)
         dirs = [
@@ -528,6 +588,11 @@ class LakeTable:
         live pipeline that also stages merges (CdcPipeline runs expiry
         periodically on its own).
 
+        TAGGED snapshots (:meth:`create_tag`) are retained indefinitely
+        — metadata and every bucket directory they reference — exactly
+        Iceberg's tag-retention contract; dropping the tag releases
+        them to the next expiry.
+
         Single-writer: safe to run between commits (readers in this
         engine resolve the snapshot at read time on the same driver).
         """
@@ -535,9 +600,11 @@ class LakeTable:
         import time as _time
 
         snaps = self.history()  # newest first
-        keep, drop = snaps[:keep_last], snaps[keep_last:]
-        if not drop:
-            return 0
+        keep = snaps[:keep_last]
+        # NOTE: no "nothing on the chain to drop" early return — expiry
+        # must also collect OFF-chain metadata (aged-out stages, a
+        # dropped tag's snapshot), which the scan below finds even when
+        # the kept chain is already minimal.
 
         # collect pending stages still inside the grace period
         import re as _re
@@ -580,13 +647,23 @@ class LakeTable:
         # after a crash also collects orphans the crashed run left
         # behind (idempotent GC, same shape as Iceberg's
         # remove_orphan_files).
+        # tagged snapshots: load them (if still present) and retain
+        tagged: list[Snapshot] = []
+        for _name, v in self.tags().items():
+            try:
+                tagged.append(self.snapshot_at(v))
+            except FileNotFoundError:
+                pass  # tag points at an already-expired snapshot
+
         import re
 
         kept_versions = {s.version for s in keep} | {
             s.version for s in pending
-        }
+        } | {s.version for s in tagged}
         referenced = {
-            d for s in keep + pending for d in s.bucket_dirs.values()
+            d
+            for s in keep + pending + tagged
+            for d in s.bucket_dirs.values()
         }
         kept_roots = {os.path.dirname(d) for d in referenced}
         removed = 0
@@ -736,6 +813,20 @@ class LakeTable:
                 if not os.path.isdir(os.path.join(self.path, d)):
                     errors.append(
                         f"snapshot v{s.version} references missing dir {d}"
+                    )
+        for name, v in self.tags().items():
+            try:
+                ts = self.snapshot_at(v)
+            except FileNotFoundError:
+                errors.append(
+                    f"tag {name!r} points at missing snapshot v{v}"
+                )
+                continue
+            for d in ts.bucket_dirs.values():
+                referenced.add(d)
+                if not os.path.isdir(os.path.join(self.path, d)):
+                    errors.append(
+                        f"tag {name!r} (v{v}) references missing dir {d}"
                     )
         kept_roots = {os.path.dirname(d) for d in referenced}
         data_root = os.path.join(self.path, "data")

@@ -326,7 +326,10 @@ def test_expire_crash_safety(spark, feed_df, tmp_path):
     )
     assert rec["fenced"] is False
     assert p.read_table().count() > 0
-    # expiry is idempotent: a second run right after is a no-op
+    # scan-based GC: an explicit expiry collects whatever debris the
+    # simulated crash left (the removed parent's now-orphaned data
+    # dirs), and a SECOND run right after is a no-op — idempotent
+    p.table.expire_snapshots(keep_last=2)
     assert p.table.expire_snapshots(keep_last=2) == 0
 
 

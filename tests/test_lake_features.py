@@ -663,3 +663,43 @@ def test_changelog_stats_carry_and_update_across_commits(spark, tmp_path):
     assert t.current().bucket_stats == {}
     ch = {(r.conv_id, r.turn_idx) for r in t.read_changes(3).collect()}
     assert ch == {("b", 1)}  # conv a erased; b/1 tombstone remains
+
+
+def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
+    """Iceberg tag parity: a tagged snapshot — metadata AND data —
+    survives expire_snapshots while the live table merges on; reads
+    resolve the tag by name; dropping the tag releases it."""
+    import pytest
+
+    t = _make(spark, tmp_path)  # ends at some version with 2 batches
+    v_tagged = t.current().version
+    t.create_tag("train-run-1")
+    # keep merging + expiring underneath
+    for i in range(3):
+        merge_into(
+            t,
+            _batch(spark, [("a", 1, f"a1-v{3 + i}", 3 + i, 6 + i, "U")]),
+            batch_id=2 + i,
+            max_offset=6 + i,
+        )
+        t.expire_snapshots(keep_last=1)
+    # the tagged version is older than every kept snapshot, yet reads
+    # back byte-identical
+    tagged = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in t.read(tag="train-run-1").collect()
+    }
+    assert tagged == {("a", 1): "a1-v2", ("a", 2): "a2-v1"}
+    assert t.tags() == {"train-run-1": v_tagged}
+    # fsck sees a consistent table (tag refs validated)
+    rep = t.fsck(check_rows=False)
+    assert rep["ok"], rep
+    # retarget without drop is refused; drop + expire collects it
+    with pytest.raises(ValueError, match="drop it"):
+        t.create_tag("train-run-1", version=t.current().version)
+    t.drop_tag("train-run-1")
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        t.snapshot_at(v_tagged)
+    with pytest.raises(KeyError):
+        t.read(tag="train-run-1")
