@@ -3367,6 +3367,41 @@ def _sample_stratified(spark, sf_dir):
 
 
 @_q(
+    "sample_epoch_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('3:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           (hv % 8)::INT AS epoch_part,
+           row_number() OVER (
+             PARTITION BY hv % 8
+             ORDER BY hv ASC, doc_id::VARCHAR ASC)::INT AS epoch_rank
+    FROM h
+    """,
+)
+def _sample_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training shuffle (operators/sampling.py
+    epoch_shuffle): every doc gets (epoch_part, epoch_rank) — a
+    reproducible pseudorandom permutation keyed by (epoch, doc_id).
+    rand() is neither reproducible nor retry-stable and a global
+    orderBy(rand) is a total sort at 100 TB; instead part =
+    md5(epoch:key) mod n_parts (one hash shuffle) and rank = per-part
+    row_number over the same hash, so each part sorts ~rows/n_parts
+    independently.  Reading parts 0..n-1 in rank order IS the epoch-3
+    shuffle; changing `epoch` re-permutes everything."""
+    from omniparser_spark.operators.sampling import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    return epoch_shuffle(d, epoch=3, key_col="doc_id", n_parts=8).select(
+        "doc_id", "epoch_part", "epoch_rank"
+    )
+
+
+@_q(
     "streaming_continuous_rollup",
     """
     SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
@@ -4151,6 +4186,7 @@ _DRIVER_PRIORITY: list[str] = [
     # -- new this round
     "pack_split_oversize",
     "multimodal_gif_features",
+    "sample_epoch_shuffle",
     # -- latest driver row is r2 (rotated out of the r3 window); all
     #    were r2-green, refreshed here
     "agg_pricing_summary",

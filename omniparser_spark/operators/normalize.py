@@ -57,7 +57,12 @@ def normalize_flagged(raw: DataFrame) -> DataFrame:
     """
     decoded = decode_payload(raw)
 
-    payload_ts = F.to_timestamp(F.col("turn.ts"), RFC3339_FMT)
+    # try_to_timestamp, NOT to_timestamp: under Spark 4 ANSI mode a
+    # single unparseable payload timestamp would otherwise throw and
+    # abort the whole batch — the documented policy is *continuable*
+    # (NULL payload ts falls back to the envelope ts; if that is NULL
+    # too the row quarantines via the `_ok & ts.isNotNull()` gate).
+    payload_ts = F.try_to_timestamp(F.col("turn.ts"), F.lit(RFC3339_FMT))
     canon = decoded.select(
         F.col("offset"),
         F.col("op"),

@@ -75,3 +75,49 @@ def stratified_sample_k(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    key_col: str = "doc_id",
+    n_parts: int = 64,
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle for training export:
+    every row gets (`epoch_part`, `epoch_rank`) — a pseudorandom
+    permutation keyed by (epoch, key) with no global sort.
+
+    The training loop's requirement is a DIFFERENT, REPRODUCIBLE order
+    each epoch. rand() gives neither (partition- and retry-dependent);
+    a global orderBy gives a single total sort at 100 TB. Instead:
+    part = hash(epoch, key) mod n_parts (one shuffle), rank = per-part
+    row_number over the same hash (each part sorts independently —
+    bounded at ~rows/n_parts). Writing part files in rank order IS the
+    shuffled epoch; `n_parts` is the output-file / parallelism knob.
+    Reading part 0..n-1 in rank order visits every row exactly once in
+    an order that changes with `epoch` and reproduces exactly on rerun.
+
+    The hash is md5-based (not xxhash64) so the DuckDB oracle can
+    replay the identical permutation."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(int(epoch)), F.col(key_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    part = F.pmod(h, F.lit(int(n_parts))).cast("int")
+    out = df.withColumn("_h", h).withColumn("epoch_part", part)
+    w = Window.partitionBy("epoch_part").orderBy(
+        F.col("_h").asc(), F.col(key_col).cast("string").asc()
+    )
+    return (
+        out.withColumn("epoch_rank", F.row_number().over(w))
+        .drop("_h")
+    )

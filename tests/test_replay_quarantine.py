@@ -109,3 +109,44 @@ def test_replay_quarantine_recovers_after_decoder_fix(spark, tmp_path):
         } == {0, 3, 6, 9}  # ...state unchanged (no-op winners)
     finally:
         _DECODERS.pop("fixme", None)
+
+
+def test_unparseable_payload_ts_is_continuable(spark, tmp_path):
+    """Spark 4 ANSI regression: a malformed RFC3339 ts inside VALID
+    JSON must degrade (fall back to envelope ts, or quarantine when
+    that is NULL too) — never abort the batch with
+    CANNOT_PARSE_TIMESTAMP."""
+    ts = datetime.datetime(2024, 7, 1, 12, 0, 0)
+    rows = [
+        # good payload ts
+        (0, "U", "json",
+         '{"conv_id":"c1","turn_idx":0,"role":"user",'
+         '"text":"a","ts":"2024-07-01T12:00:00Z"}', ts, 0),
+        # malformed payload ts (no zone offset) + envelope ts -> survives
+        (1, "U", "json",
+         '{"conv_id":"c1","turn_idx":1,"role":"user",'
+         '"text":"b","ts":"2024-07-01T12:00:00"}', ts, 0),
+        # malformed payload ts AND NULL envelope ts -> quarantined
+        (2, "U", "json",
+         '{"conv_id":"c1","turn_idx":2,"role":"user",'
+         '"text":"c","ts":"garbage"}', None, 0),
+    ]
+    feed = spark.createDataFrame(
+        rows,
+        "offset long, op string, format string, payload string, "
+        "ts timestamp, source_part int",
+    )
+    pipe = CdcPipeline(
+        spark,
+        str(tmp_path / "table"),
+        str(tmp_path / "ckpt"),
+        n_buckets=2,
+        n_source_parts=1,
+        quarantine_path=str(tmp_path / "dead"),
+    )
+    rec = pipe.apply_batch(feed, batch_id=0, offset_start=0, offset_end=3)
+    assert rec["quarantined"] == 1
+    t = pipe.read_table()
+    assert t.count() == 2
+    fallback = t.filter(F.col("turn_idx") == 1).collect()[0]
+    assert fallback["ts"] == ts  # envelope ts won the coalesce

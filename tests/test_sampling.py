@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from omniparser_spark.operators.sampling import (
+    epoch_shuffle,
     sample_fraction,
     stratified_sample_k,
 )
@@ -58,3 +59,28 @@ def test_stratified_k_exact_and_deterministic(spark):
     assert {r.doc_id for r in out.collect()} == {
         r.doc_id for r in again.collect()
     }
+
+
+def test_epoch_shuffle_is_a_permutation_and_reproducible(spark):
+    out = epoch_shuffle(_docs(spark, 1000, 8), epoch=1, n_parts=16)
+    rows = {(r.epoch_part, r.epoch_rank) for r in out.collect()}
+    assert len(rows) == 1000  # (part, rank) pairs are unique
+    parts = {p for p, _ in rows}
+    assert parts <= set(range(16))
+    for p in parts:  # ranks within a part are contiguous from 1
+        ranks = sorted(rk for q, rk in rows if q == p)
+        assert ranks == list(range(1, len(ranks) + 1))
+    # identical on rerun with different input partitioning
+    again = epoch_shuffle(_docs(spark, 1000, 3), epoch=1, n_parts=16)
+    assert {(r.doc_id, r.epoch_part, r.epoch_rank) for r in out.collect()} == {
+        (r.doc_id, r.epoch_part, r.epoch_rank) for r in again.collect()
+    }
+
+
+def test_epoch_shuffle_changes_with_epoch(spark):
+    e1 = epoch_shuffle(_docs(spark, 500, 4), epoch=1, n_parts=8)
+    e2 = epoch_shuffle(_docs(spark, 500, 4), epoch=2, n_parts=8)
+    o1 = {r.doc_id: (r.epoch_part, r.epoch_rank) for r in e1.collect()}
+    o2 = {r.doc_id: (r.epoch_part, r.epoch_rank) for r in e2.collect()}
+    moved = sum(1 for k in o1 if o1[k] != o2[k])
+    assert moved > 400  # epochs genuinely re-permute
