@@ -3402,6 +3402,59 @@ def _sample_epoch_shuffle(spark, sf_dir):
 
 
 @_q(
+    "select_token_budget",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text)::DOUBLE AS n,
+             length(regexp_replace(text, '[^\p{L}]', '', 'g'))::DOUBLE
+               AS n_alpha,
+             length(regexp_replace(text, '[\p{L}\p{Nd}\s]', '', 'g'))::DOUBLE
+               AS n_punct,
+             (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tokens::INT AS n_tokens,
+             round(least(n_tokens / 20.0, 1.0)
+                   * (CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END)
+                   * (1.0 - CASE WHEN n > 0
+                                 THEN least(n_punct / n * 4.0, 1.0)
+                                 ELSE 1.0 END), 6) AS q
+      FROM m
+    ),
+    c AS (
+      SELECT doc_id, q, n_tokens,
+             sum(n_tokens::BIGINT) OVER (
+               ORDER BY q DESC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+      FROM s
+    )
+    SELECT doc_id, q, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 5000
+    """,
+)
+def _select_token_budget(spark, sf_dir):
+    """'Take the best 5000 tokens' (operators/selection.py): greedy
+    prefix over (quality DESC, doc_id ASC) order whose inclusive token
+    total stays <= budget — computed WITHOUT a global sort via a
+    quality-histogram threshold (one n_bins-row aggregate to the
+    driver, then per-bin windows in parallel).  Integer sums make the
+    distributed result bit-identical to the oracle's single total-order
+    cumsum."""
+    from omniparser_spark.functions.text import quality_score, token_count
+    from omniparser_spark.operators.selection import select_token_budget
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        token_count(F.col("text")).cast("int").alias("n_tokens"),
+    )
+    return select_token_budget(d, budget=5000, n_bins=200)
+
+
+@_q(
     "streaming_continuous_rollup",
     """
     SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
@@ -4187,6 +4240,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pack_split_oversize",
     "multimodal_gif_features",
     "sample_epoch_shuffle",
+    "select_token_budget",
     # -- latest driver row is r2 (rotated out of the r3 window); all
     #    were r2-green, refreshed here
     "agg_pricing_summary",
