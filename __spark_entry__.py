@@ -2714,6 +2714,76 @@ def _stream_windowed_rollup(spark, sf_dir):
 
 
 @_q(
+    "streaming_dedup_watermark",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+    """,
+)
+def _stream_dedup_watermark(spark, sf_dir):
+    """Watermarked streaming dedup (streaming/windows.py
+    dedup_within_watermark): the events table with every 3rd event
+    redelivered (at-least-once transport), staged time-ordered across 6
+    files and consumed 2-files-per-epoch — so redeliveries land in
+    LATER micro-batches than their originals and only cross-epoch
+    key state (dropDuplicatesWithinWatermark) can drop them; per-batch
+    dropDuplicates would not.  The deduped stream must equal the
+    original distinct events."""
+    from omniparser_spark.streaming.windows import (
+        dedup_within_watermark,
+        run_bounded,
+        stage_stream_dir,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    # the original feed arrives as 6 time-ordered files; the
+    # redelivered copies (every 3rd event, byte-identical) are appended
+    # as EXTRA files with strictly later mtimes, so every duplicate
+    # lands in a later micro-batch than its original and only the
+    # cross-epoch state store can drop it
+    import glob
+    import os
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_sdedup_")
+    stage_stream_dir(ev, f"{tmp}/src", n_files=6, order_by="event_id")
+    dups = ev.filter(F.col("event_id") % 3 == 0)
+    dups.coalesce(2).write.mode("overwrite").parquet(f"{tmp}/redeliver")
+    t = 2_000_000_000  # after every stage_stream_dir mtime
+    for i, f in enumerate(
+        sorted(glob.glob(f"{tmp}/redeliver/part-*.parquet"))
+    ):
+        dest = f"{tmp}/src/redelivered-{i:05d}.parquet"
+        shutil.copy(f, dest)
+        os.utime(dest, (t + i * 100, t + i * 100))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{tmp}/src")
+    )
+    out = dedup_within_watermark(
+        stream, key_cols=("event_id",), ts_col="ts", watermark="40 days"
+    )
+    res = run_bounded(out, "append", checkpoint_dir=f"{tmp}/ckpt")
+    return res.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+@_q(
     "streaming_sessionize_state",
     """
     WITH e AS (
@@ -4241,6 +4311,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_gif_features",
     "sample_epoch_shuffle",
     "select_token_budget",
+    "streaming_dedup_watermark",
     # -- latest driver row is r2 (rotated out of the r3 window); all
     #    were r2-green, refreshed here
     "agg_pricing_summary",

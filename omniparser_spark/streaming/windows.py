@@ -347,6 +347,37 @@ def run_continuous_rollup(
     return table
 
 
+def dedup_within_watermark(
+    stream: DataFrame,
+    key_cols: Iterable[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once -> effectively-once event dedup for a streaming
+    feed: drop redeliveries of the same key arriving within the
+    watermark delay (``dropDuplicatesWithinWatermark``).
+
+    This is the transport-dedup stage in front of the CDC apply — a
+    binlog/Kafka tail redelivers byte-identical envelopes on retry, and
+    removing them here keeps redeliveries out of the shuffle + merge
+    entirely (the apply's offset fence would also neutralize them, but
+    only after paying to process the batch).
+
+    Scale shape: state is one row per key seen within the watermark
+    horizon, hash-partitioned by key, EVICTED as event time passes the
+    watermark — bounded by (arrival rate x watermark), not by feed
+    length.  Duplicates are dropped across micro-batch boundaries, not
+    just within one batch, because the state store carries keys between
+    epochs; that is the property batch `dropDuplicates` per-batch
+    cannot give.  The kept row is the first arrival; with identical
+    redelivered payloads (the transport contract) the output is
+    deterministic regardless of epoch slicing.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def run_bounded(
     out: DataFrame,
     output_mode: str,

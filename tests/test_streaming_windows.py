@@ -287,3 +287,84 @@ def test_continuous_rollup_resumes_across_runs(spark, tmp_path):
         ("2024-03-01 00:00:00", "a"): (3, 7.0),
         ("2024-03-02 00:00:00", "b"): (1, 5.0),
     }
+
+
+def test_dedup_within_watermark_drops_cross_epoch_redelivery(spark, tmp_path):
+    from omniparser_spark.streaming.windows import dedup_within_watermark
+
+    # epoch 1: events 1,2.  epoch 2: redelivery of event 1 (identical
+    # row) + new event 3.  epoch 3: redelivery of 2 and 3.  Per-batch
+    # dropDuplicates would keep every redelivery (each lands alone in
+    # its batch); only the cross-epoch state store drops them.
+    def fr(ids):
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime(
+                    [f"2024-03-01 12:{i:02d}:00" for i in ids]
+                ),
+                "value": [float(i) for i in ids],
+            }
+        )
+
+    _write_epoch_files(
+        tmp_path / "src", [fr([1, 2]), fr([1, 3]), fr([2, 3])]
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    out = dedup_within_watermark(
+        stream, key_cols=("event_id",), ts_col="ts", watermark="1 day"
+    )
+    rows = run_bounded(
+        out, "append", checkpoint_dir=str(tmp_path / "ckpt")
+    ).collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]
+
+
+def test_dedup_within_watermark_evicts_expired_keys(spark, tmp_path):
+    from omniparser_spark.streaming.windows import dedup_within_watermark
+
+    # watermark 1 hour.  epoch 1: event 1 at 12:00.  epoch 2: event 2
+    # at 15:00 -> advances the watermark hours past event 1's horizon.
+    # Both the watermark and state eviction are applied with one-batch
+    # lag (eviction runs at end-of-batch against the PREVIOUS batch's
+    # watermark), so epoch 3 is a filler event during whose batch key
+    # 1's dedup state is actually EVICTED.  epoch 4: event 1
+    # redelivered at 15:01 — outside the dedup horizon, so it is
+    # (correctly, per the within-watermark contract) emitted again.
+    # This pins the state-eviction bound: state is (rate x watermark),
+    # not feed length, which is what makes the operator runnable
+    # forever.
+    def fr(ids, times):
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime(times),
+                "value": [float(i) for i in ids],
+            }
+        )
+
+    _write_epoch_files(
+        tmp_path / "src",
+        [
+            fr([1], ["2024-03-01 12:00:00"]),
+            fr([2], ["2024-03-01 15:00:00"]),
+            fr([4], ["2024-03-01 15:00:30"]),
+            fr([1], ["2024-03-01 15:01:00"]),
+        ],
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    out = dedup_within_watermark(
+        stream, key_cols=("event_id",), ts_col="ts", watermark="1 hour"
+    )
+    rows = run_bounded(
+        out, "append", checkpoint_dir=str(tmp_path / "ckpt")
+    ).collect()
+    assert sorted(r.event_id for r in rows) == [1, 1, 2, 4]
