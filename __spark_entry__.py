@@ -4288,6 +4288,87 @@ def _multimodal_gif(spark, sf_dir):
     )
 
 
+@_q(
+    "multimodal_bmp_features",
+    """
+    WITH params AS (
+      SELECT i AS media_id, 5 + i % 12 AS w, 4 + (i * 3) % 7 AS h
+      FROM generate_series(0, 49) t(i)
+    ),
+    pix AS (
+      SELECT p.media_id, p.w, p.h,
+             ((x.v * 31 + y.v * 17 + p.media_id) % 256) // 16 AS b
+      FROM params p
+      JOIN generate_series(0, 16) x(v) ON x.v < p.w
+      JOIN generate_series(0, 10) y(v) ON y.v < p.h
+    ),
+    buckets AS (SELECT v AS b FROM generate_series(0, 15) t(v)),
+    counts AS (SELECT media_id, b, count(*) AS c FROM pix GROUP BY 1, 2),
+    dense AS (
+      SELECT p.media_id, p.w, p.h, bu.b, coalesce(c.c, 0) AS c
+      FROM params p CROSS JOIN buckets bu
+      LEFT JOIN counts c ON c.media_id = p.media_id AND c.b = bu.b
+    )
+    SELECT media_id, w::INT AS width, h::INT AS height,
+           max(CASE WHEN b = 0 THEN c END)::BIGINT AS b0,
+           max(CASE WHEN b = 1 THEN c END)::BIGINT AS b1,
+           max(CASE WHEN b = 2 THEN c END)::BIGINT AS b2,
+           max(CASE WHEN b = 3 THEN c END)::BIGINT AS b3,
+           max(CASE WHEN b = 4 THEN c END)::BIGINT AS b4,
+           max(CASE WHEN b = 5 THEN c END)::BIGINT AS b5,
+           max(CASE WHEN b = 6 THEN c END)::BIGINT AS b6,
+           max(CASE WHEN b = 7 THEN c END)::BIGINT AS b7,
+           max(CASE WHEN b = 8 THEN c END)::BIGINT AS b8,
+           max(CASE WHEN b = 9 THEN c END)::BIGINT AS b9,
+           max(CASE WHEN b = 10 THEN c END)::BIGINT AS b10,
+           max(CASE WHEN b = 11 THEN c END)::BIGINT AS b11,
+           max(CASE WHEN b = 12 THEN c END)::BIGINT AS b12,
+           max(CASE WHEN b = 13 THEN c END)::BIGINT AS b13,
+           max(CASE WHEN b = 14 THEN c END)::BIGINT AS b14,
+           max(CASE WHEN b = 15 THEN c END)::BIGINT AS b15
+    FROM dense GROUP BY media_id, w, h
+    """,
+)
+def _multimodal_bmp(spark, sf_dir):
+    """REAL BMP decode end-to-end (operators/multimodal.py
+    decode_bmp_pixels): 24-bit BI_RGB blobs written by make_bmp with
+    genuine bottom-up row order, 4-byte stride padding, and BGR channel
+    order — the widths (5..16) deliberately include non-multiple-of-4
+    strides so a decoder that ignores padding shears every row.  The
+    per-image red-channel histogram must equal the oracle's closed-form
+    pixel formula ((x*31 + y*17 + seed) % 256), shared with the
+    PNG/GIF queries.  Buckets emitted as 16 scalar columns b0..b15
+    (driver canonicalizer cannot sort arrays); counts reconstructed
+    exactly from the float32 features (n <= 16*10 = 160)."""
+    from omniparser_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        make_bmp,
+    )
+
+    rows = []
+    for i in range(50):
+        w, h = 5 + i % 12, 4 + (i * 3) % 7
+        rows.append(
+            (i, "image", bytearray(make_bmp(w, h, seed=i)),
+             ("image/bmp", w, h, 0))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media)
+    width = (5 + F.col("media_id") % 12).cast("int")
+    height = (4 + (F.col("media_id") * 3) % 7).cast("int")
+    total = (width * height).cast("double")
+    return feats.select(
+        "media_id",
+        width.alias("width"),
+        height.alias("height"),
+        *[
+            F.round(F.col("features")[i] * total).cast("long").alias(f"b{i}")
+            for i in range(16)
+        ],
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4312,6 +4393,7 @@ _DRIVER_PRIORITY: list[str] = [
     "sample_epoch_shuffle",
     "select_token_budget",
     "streaming_dedup_watermark",
+    "multimodal_bmp_features",
     # -- latest driver row is r2 (rotated out of the r3 window); all
     #    were r2-green, refreshed here
     "agg_pricing_summary",

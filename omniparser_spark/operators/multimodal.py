@@ -301,6 +301,58 @@ def decode_gif_pixels(blob: bytes) -> tuple[int, int, bytes, list[tuple]]:
     raise ValueError("GIF contains no image descriptor")
 
 
+def parse_bmp_header(blob: bytes) -> dict:
+    """BMP file header + BITMAPINFOHEADER: width/height/bit-depth,
+    top-down flag (negative height), compression tag, pixel offset."""
+    import struct
+
+    if len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    (data_offset,) = struct.unpack("<I", blob[10:14])
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack(
+        "<IiiHHI", blob[14:34]
+    )
+    if hdr_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP not supported")
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    return {
+        "width": w,
+        "height": abs(h),
+        "bit_depth": bpp,
+        "top_down": h < 0,
+        "compression": comp,
+        "data_offset": data_offset,
+    }
+
+
+def decode_bmp_pixels(blob: bytes) -> tuple[int, int, bytes]:
+    """REAL BMP pixel decode, pure stdlib: 24-bit uncompressed BI_RGB.
+    Handles the two things naive readers get wrong — rows are stored
+    BOTTOM-UP (unless height is negative) and padded to 4-byte
+    boundaries, and channels are BGR order.  Returns (width, height,
+    RGB bytes row-major top-down)."""
+    info = parse_bmp_header(blob)
+    if info["compression"] != 0:
+        raise NotImplementedError("compressed BMP not supported")
+    if info["bit_depth"] != 24:
+        raise NotImplementedError("only 24-bit BMP supported")
+    w, h = info["width"], info["height"]
+    stride = (w * 3 + 3) & ~3
+    start = info["data_offset"]
+    if start + stride * h > len(blob):
+        raise ValueError("BMP pixel data truncated")
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        src_row = y if info["top_down"] else h - 1 - y
+        row = blob[start + src_row * stride : start + src_row * stride + w * 3]
+        for x in range(w):
+            b, g, r = row[3 * x : 3 * x + 3]
+            o = (y * w + x) * 3
+            out[o], out[o + 1], out[o + 2] = r, g, b
+    return w, h, bytes(out)
+
+
 def decode_wav_samples(blob: bytes) -> tuple[int, int, list[int]]:
     """REAL 16-bit PCM WAV decode, pure stdlib: (sample_rate, channels,
     interleaved samples as signed ints)."""
@@ -361,6 +413,15 @@ def _decode_image(blob: bytes, meta) -> list[float]:
         hist = [0] * FEATURE_DIM
         for idx in indices:
             hist[palette[idx][0] * FEATURE_DIM // 256] += 1
+        total = max(sum(hist), 1)
+        return [h / total for h in hist]
+    if blob[:2] == b"BM":
+        # REAL 24-bit decode (bottom-up rows, 4-byte padding, BGR) ->
+        # red-channel histogram, same bucket convention as PNG/GIF
+        _w, _h, rgb = decode_bmp_pixels(blob)
+        hist = [0] * FEATURE_DIM
+        for i in range(0, len(rgb), 3):
+            hist[rgb[i] * FEATURE_DIM // 256] += 1
         total = max(sum(hist), 1)
         return [h / total for h in hist]
     return _byte_histogram(blob)
@@ -537,6 +598,13 @@ def probe_media(media: DataFrame) -> DataFrame:
                         info = parse_gif_header(b)
                         info.pop("gct_size")
                         rec.update(container="gif", valid=True, **info)
+                    elif b[:2] == b"BM":
+                        info = parse_bmp_header(b)
+                        rec.update(
+                            container="bmp", valid=True,
+                            width=info["width"], height=info["height"],
+                            bit_depth=info["bit_depth"],
+                        )
                     elif b[:4] == b"RIFF":
                         info = parse_wav_header(b)
                         rec.update(container="wav", valid=True, **info)
@@ -612,6 +680,36 @@ def make_gif(width: int, height: int, seed: int = 0) -> bytes:
         + b"\x00"  # block terminator
         + b"\x3b"  # trailer
     )
+
+
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """A complete, valid 24-bit BI_RGB BMP built with stdlib struct —
+    rows written BOTTOM-UP with real 4-byte padding (so only a decoder
+    that honors both reproduces the image).  Pixel (x, y):
+    R = (x*31 + y*17 + seed) % 256 (the shared closed form),
+    G = (x*5 + seed) % 256, B = (y*11 + seed) % 256."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(width):
+            r = (x * 31 + y * 17 + seed) % 256
+            g = (x * 5 + seed) % 256
+            b = (y * 11 + seed) % 256
+            row += bytes((b, g, r))  # BGR on disk
+        rows.append(bytes(row) + pad)
+    pixel_data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+        len(pixel_data), 2835, 2835, 0, 0,
+    )
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40
+    )
+    return file_header + info + pixel_data
 
 
 def make_wav(

@@ -236,3 +236,58 @@ def test_probe_gif_and_truncated_gif(spark):
     assert out[0].container == "gif" and out[0].valid
     assert (out[0].width, out[0].height) == (12, 9)
     assert not out[1].valid and "truncated" in out[1].error
+
+
+def test_bmp_roundtrip_padding_and_topdown():
+    import struct
+
+    from omniparser_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        make_bmp,
+        parse_bmp_header,
+    )
+
+    for w, h, seed in [(5, 3, 0), (13, 4, 42), (1, 1, 9), (16, 7, 3)]:
+        blob = make_bmp(w, h, seed)
+        info = parse_bmp_header(blob)
+        assert (info["width"], info["height"], info["bit_depth"]) == (
+            w, h, 24,
+        )
+        W, H, rgb = decode_bmp_pixels(blob)
+        assert (W, H) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                o = (y * w + x) * 3
+                assert tuple(rgb[o : o + 3]) == (
+                    (x * 31 + y * 17 + seed) % 256,
+                    (x * 5 + seed) % 256,
+                    (y * 11 + seed) % 256,
+                )
+
+    # top-down variant (negative height, rows in natural order) must
+    # decode to the same image as the bottom-up original
+    w, h, seed = 6, 4, 5
+    up = make_bmp(w, h, seed)
+    stride = (w * 3 + 3) & ~3
+    px = up[54:]
+    rows = [px[i * stride : (i + 1) * stride] for i in range(h)]
+    td = (
+        up[:14]
+        + struct.pack("<Iii", 40, w, -h)
+        + up[26:54]
+        + b"".join(reversed(rows))
+    )
+    assert decode_bmp_pixels(td) == decode_bmp_pixels(up)
+
+
+def test_probe_media_sniffs_bmp(spark):
+    from omniparser_spark.operators.multimodal import make_bmp
+
+    media = spark.createDataFrame(
+        [(1, make_bmp(12, 5, seed=2)), (2, b"BMtruncated")],
+        "media_id long, blob binary",
+    )
+    got = {r.media_id: r for r in probe_media(media).collect()}
+    assert (got[1].container, got[1].width, got[1].height,
+            got[1].bit_depth, got[1].valid) == ("bmp", 12, 5, 24, True)
+    assert got[2].valid is False and got[2].error
