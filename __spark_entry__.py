@@ -4369,6 +4369,102 @@ def _multimodal_bmp(spark, sf_dir):
     )
 
 
+def _kmeans_oracle_sql(k: int = 8, dim: int = 64, scale: int = 1000) -> str:
+    """Unrolled 2-iteration Lloyd replay as pure SQL: quantize -> md5
+    init -> assign (cross join + per-doc argmin) -> exact BIGINT
+    centroid update -> reassign.  Distances list every per-dim term in
+    the same left-associated order as the Spark expression, so the
+    doubles agree bit-for-bit."""
+    qcols = ",\n             ".join(
+        f"floor(embedding[{d + 1}]::DOUBLE * {scale})::BIGINT AS e{d}"
+        for d in range(dim)
+    )
+    icols = ", ".join(f"e{d} AS c{d}" for d in range(dim))
+    # score = |c|^2 - 2 x.c (same argmin as squared distance; the
+    # per-row |x|^2 shift cancels).  Association order matches the
+    # Spark expression exactly: |c|^2 left-assoc over d, then one
+    # subtraction per dim — for the double-valued second iteration the
+    # doubles only agree bit-for-bit if the order agrees.  |c|^2 lives
+    # in its own CTE column: a single 2*dim-deep expression chain blows
+    # DuckDB's 128-deep binder recursion limit.
+    c2_0 = " + ".join(f"c{d} * c{d}" for d in range(dim))
+    dist0 = "i.cnorm2" + "".join(
+        f" - q.e{d} * (2 * i.c{d})" for d in range(dim)
+    )
+    sums = ", ".join(f"sum(q.e{d})::BIGINT AS s{d}" for d in range(dim))
+    c1cols = ", ".join(
+        f"CASE WHEN m.n > 0 THEN m.s{d}::DOUBLE / m.n "
+        f"ELSE i.c{d}::DOUBLE END AS c{d}"
+        for d in range(dim)
+    )
+    c2_1 = " + ".join(f"c{d} * c{d}" for d in range(dim))
+    dist1 = "c.cnorm2" + "".join(
+        f" - q.e{d} * (2 * c.c{d})" for d in range(dim)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id, {qcols}
+      FROM embeddings
+    ),
+    ini0 AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+               AS cl,
+             {icols}
+      FROM (SELECT * FROM q ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k})
+    ),
+    ini AS (SELECT *, {c2_0} AS cnorm2 FROM ini0),
+    d0 AS (
+      SELECT q.vec_id, i.cl, {dist0} AS dist
+      FROM q CROSS JOIN ini i
+    ),
+    a0 AS (
+      SELECT vec_id, cl, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn
+      FROM d0
+    ),
+    m0 AS (
+      SELECT a.cl, count(*) AS n, {sums}
+      FROM a0 a JOIN q ON q.vec_id = a.vec_id
+      WHERE a.rn = 1 GROUP BY a.cl
+    ),
+    c10 AS (
+      SELECT i.cl, {c1cols}
+      FROM ini i LEFT JOIN m0 m ON m.cl = i.cl
+    ),
+    c1 AS (SELECT *, {c2_1} AS cnorm2 FROM c10),
+    d1 AS (
+      SELECT q.vec_id, c.cl, {dist1} AS dist
+      FROM q CROSS JOIN c1 c
+    ),
+    a1 AS (
+      SELECT vec_id, cl, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn
+      FROM d1
+    )
+    SELECT vec_id, cl::INT AS cluster FROM a1 WHERE rn = 1
+    """
+
+
+@_q("kmeans_embedding_clusters", _kmeans_oracle_sql())
+def _kmeans_clusters(spark, sf_dir):
+    """Deterministic Lloyd k-means over the embeddings table
+    (operators/clustering.py kmeans_lloyd): 2 full iterations, k=8,
+    md5-drawn init — the semantic-clustering primitive for corpus
+    curation (cluster-balanced sampling, SemDeDup-style prototype
+    dedup).  Vectors are quantized to an integer grid so centroid
+    updates are exact BIGINT sums over counts; assignment distances
+    are evaluated in a fixed per-dim order — the distributed result is
+    bit-identical to the oracle's sequential SQL replay.  Assignment
+    is a narrow map with centroids baked into the expression (no join,
+    no shuffle); updates collect k x (dim+1) scalars."""
+    from omniparser_spark.operators.clustering import kmeans_lloyd
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(
+        e, k=8, iters=2, dim=64, id_col="vec_id", vec_col="embedding"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4394,6 +4490,7 @@ _DRIVER_PRIORITY: list[str] = [
     "select_token_budget",
     "streaming_dedup_watermark",
     "multimodal_bmp_features",
+    "kmeans_embedding_clusters",
     # -- latest driver row is r2 (rotated out of the r3 window); all
     #    were r2-green, refreshed here
     "agg_pricing_summary",

@@ -114,6 +114,8 @@ def main() -> None:
         "profile_numeric_stats",
         "decode_edi_hierarchy",
         "pack_sequences_greedy",
+        "select_token_budget",
+        "sample_epoch_shuffle",
         # dedup_cluster_assign intentionally NOT benched: its iterative
         # rounds are driver-latency-bound (localCheckpoint per round),
         # so wall time tracks host scheduling noise more than engine

@@ -149,3 +149,111 @@ def keep_canonical(
         .agg(F.max_by(payload, order).alias("_w"))
         .select(cluster_col, *[F.col(f"_w.{c}").alias(c) for c in cols])
     )
+
+
+def kmeans_lloyd(
+    vecs: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Lloyd k-means over an embedding column, engineered so the
+    distributed result is BIT-IDENTICAL to a sequential replay — the
+    semantic-clustering primitive for corpus curation (cluster-balanced
+    sampling, SemDeDup-style prototype dedup, topic bucketing).
+
+    Returns (id, cluster) after `iters` full assignment+update rounds.
+
+    Determinism engineering (the hard part of cross-engine ML):
+    - vectors are quantized ONCE to an integer grid
+      (``floor(v * scale)``): centroid updates are exact BIGINT sums
+      divided by exact counts, so every engine computes the same IEEE
+      doubles — no float accumulation-order divergence;
+    - init centroids are the k rows with the smallest md5(id) (a
+      deterministic pseudorandom draw, same device as the sampling
+      operators) — no seed-dependent RNG;
+    - assignment evaluates squared distances with a FIXED per-dim
+      summation order and breaks argmin ties toward the lower cluster
+      index.
+
+    Scale shape: the assignment pass is a narrow map with the k
+    centroids baked into the expression (no join, no shuffle); the
+    update pass is one map-side-combinable aggregate collecting
+    k x (dim+1) scalars to the driver — the same driver-state bound as
+    the IVF coarse quantizer.  Cost per iteration is one scan; `iters`
+    is explicit (fixed-round, like `exact_rounds` propagation) so the
+    job's cost is known a priori rather than convergence-dependent.
+    """
+    q = vecs.select(
+        F.col(id_col).alias("_id"),
+        *[
+            # cast float32 -> double BEFORE scaling: engines disagree on
+            # float*int promotion, but double math is IEEE-identical
+            F.floor(F.col(vec_col)[d].cast("double") * scale)
+            .cast("long")
+            .alias(f"_e{d}")
+            for d in range(dim)
+        ],
+    ).persist()
+
+    init = (
+        q.withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    if len(init) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(init)}")
+    cents: list[list] = [[r[f"_e{d}"] for d in range(dim)] for r in init]
+
+    def _assign(frame: DataFrame) -> DataFrame:
+        # score_j = |c_j|^2 - 2 x.c_j  (= dist_j - |x|^2): same argmin
+        # as squared distance, but each dim contributes ONE x*lit term
+        # instead of a duplicated (x - c) subtree — halves the codegen
+        # size of the k x dim expression.  |c|^2 is driver-computed in
+        # exact arithmetic (python ints for integer centroids, the same
+        # left-assoc double sum as the oracle for updated ones).
+        dists = []
+        for c in cents:
+            c2 = 0
+            for v in c:
+                c2 = c2 + v * v  # left-assoc, matches the oracle's order
+            terms = F.lit(c2)
+            for d in range(dim):
+                terms = terms - F.col(f"_e{d}") * F.lit(2 * c[d])
+            dists.append(terms)
+        # array argmin, NOT a when-chain fold: when(d_j < best, ...)
+        # duplicates the running best twice per level -> 2^k copies of
+        # the 64-term distance subtrees (measured: 25 MiB task binary,
+        # ~2 min of codegen).  In the array each distance appears once;
+        # array_position takes the FIRST index of the min, which is the
+        # lower-cluster tie-break the oracle's (dist, cl) order uses.
+        arr = F.array(*dists)
+        cluster = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        return frame.withColumn("cluster", cluster)
+
+    for _ in range(iters - 1):
+        a = _assign(q)
+        stats = {
+            r["cluster"]: r
+            for r in a.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(f"_e{d}").alias(f"s{d}") for d in range(dim)],
+            )
+            .collect()
+        }
+        cents = [
+            [
+                float(stats[j][f"s{d}"]) / stats[j]["n"]
+                if j in stats
+                else float(cents[j][d])
+                for d in range(dim)
+            ]
+            for j in range(k)
+        ]
+
+    return _assign(q).select(F.col("_id").alias(id_col), "cluster")

@@ -81,3 +81,24 @@ def test_exact_rounds_matches_converged_on_shallow_graph(spark):
     # under-iterating is allowed (bench hook): runs without raising
     partial = connected_components(pairs, exact_rounds=1).collect()
     assert len(partial) == len(conv)
+
+
+def test_kmeans_deterministic_and_partition_independent(spark):
+    from pyspark.sql import functions as F
+
+    from omniparser_spark.operators.clustering import kmeans_lloyd
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = kmeans_lloyd(e.repartition(2), k=4, iters=2, dim=64).collect()
+    b = kmeans_lloyd(e.repartition(13), k=4, iters=2, dim=64).collect()
+    am = {r.vec_id: r.cluster for r in a}
+    bm = {r.vec_id: r.cluster for r in b}
+    assert am == bm  # same result under any partitioning
+    assert set(am.values()) <= set(range(4))
+    assert len(am) == e.count()
+    # 2 iterations should actually move assignments vs the init round
+    one = {
+        r.vec_id: r.cluster
+        for r in kmeans_lloyd(e, k=4, iters=1, dim=64).collect()
+    }
+    assert one != am
