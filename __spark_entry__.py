@@ -4445,6 +4445,50 @@ def _kmeans_oracle_sql(k: int = 8, dim: int = 64, scale: int = 1000) -> str:
     """
 
 
+def _cluster_balanced_oracle_sql(per_cluster: int = 20) -> str:
+    """k-means assignment CTEs + the stratified-top-k hash rank, with
+    the CLUSTER as the stratum."""
+    base = _kmeans_oracle_sql()
+    final = "SELECT vec_id, cl::INT AS cluster FROM a1 WHERE rn = 1"
+    assert base.rstrip().endswith(final.rstrip())
+    head = base.rsplit(final, 1)[0]
+    return f"""{head.rstrip()},
+    asg AS ({final}),
+    u AS (
+      SELECT vec_id, cluster,
+             ('0x' || substr(md5(vec_id::VARCHAR), 1, 6))::BIGINT
+               / 16777216.0 AS uval
+      FROM asg
+    ),
+    rk AS (
+      SELECT vec_id, cluster, row_number() OVER (
+        PARTITION BY cluster ORDER BY uval ASC, vec_id ASC) AS rk
+      FROM u
+    )
+    SELECT vec_id, cluster FROM rk WHERE rk <= {per_cluster}
+    """
+
+
+@_q("sample_cluster_balanced", _cluster_balanced_oracle_sql())
+def _sample_cluster_balanced(spark, sf_dir):
+    """Diversity-preserving corpus subset: k-means semantic clusters
+    (kmeans_lloyd) x exact-k-per-cluster deterministic sampling
+    (stratified_sample_k) — the cluster-balanced selection recipe that
+    keeps a capped, uniform draw from EVERY semantic region instead of
+    letting the head clusters dominate.  Pure composition of two
+    already-oracle-checked operators; the oracle chains their SQL."""
+    from omniparser_spark.operators.clustering import kmeans_lloyd
+    from omniparser_spark.operators.sampling import stratified_sample_k
+
+    e = _t(spark, sf_dir, "embeddings")
+    asg = kmeans_lloyd(
+        e, k=8, iters=2, dim=64, id_col="vec_id", vec_col="embedding"
+    )
+    return stratified_sample_k(
+        asg, k=20, key_col="vec_id", strata_col="cluster"
+    )
+
+
 @_q("kmeans_embedding_clusters", _kmeans_oracle_sql())
 def _kmeans_clusters(spark, sf_dir):
     """Deterministic Lloyd k-means over the embeddings table
@@ -4491,6 +4535,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_dedup_watermark",
     "multimodal_bmp_features",
     "kmeans_embedding_clusters",
+    "sample_cluster_balanced",
     # -- latest driver row is r2 (rotated out of the r3 window); all
     #    were r2-green, refreshed here
     "agg_pricing_summary",
