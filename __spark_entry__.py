@@ -3525,6 +3525,72 @@ def _select_token_budget(spark, sf_dir):
 
 
 @_q(
+    "sample_balanced_sources",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    q AS (SELECT min(n) AS k FROM c),
+    u AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+               / 16777216.0 AS uval
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, row_number() OVER (
+        PARTITION BY lang ORDER BY uval ASC, doc_id ASC) AS rk
+      FROM u
+    )
+    SELECT doc_id, lang FROM r, q WHERE rk <= k
+    """,
+)
+def _sample_balanced_sources(spark, sf_dir):
+    """UniMax-style source balancing (operators/sampling.py
+    balanced_sample_sources): exactly min-stratum-count rows from
+    EVERY language — the head strata (en: 218 docs at sf0.01) are
+    capped to the tail stratum's size (fr: 64) by a data-derived quota (one count aggregate to the driver),
+    drawn with the deterministic smallest-hash rule.  Exact balance,
+    not balance-in-expectation."""
+    from omniparser_spark.operators.sampling import balanced_sample_sources
+
+    d = _t(spark, sf_dir, "documents")
+    return balanced_sample_sources(
+        d, key_col="doc_id", strata_col="lang"
+    ).select("doc_id", "lang")
+
+
+@_q(
+    "export_range_shards",
+    """
+    WITH h AS (SELECT n_chars AS v, count(*) AS n FROM documents GROUP BY 1),
+    c AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum FROM h),
+    t AS (SELECT sum(n) AS total FROM h),
+    b AS (
+      SELECT i.i, min(c.v) AS bv
+      FROM generate_series(1, 7) i(i), t, c
+      WHERE c.cum >= (i.i * t.total + 7) // 8
+      GROUP BY i.i
+    )
+    SELECT d.doc_id, d.n_chars,
+           (SELECT count(*) FROM b WHERE d.n_chars > b.bv)::INT AS shard
+    FROM documents d
+    """,
+)
+def _export_range_shards(spark, sf_dir):
+    """Deterministic range sharding for training export
+    (operators/sampling.py range_shard_by_value): contiguous
+    near-equal-count n_chars ranges -> shard ids, via one value-
+    histogram aggregate + driver-derived boundaries
+    (b_i = smallest v with cum_count >= ceil(i*N/8)) + a narrow-map
+    shard expression.  The reproducible substitute for
+    repartitionByRange, whose reservoir-sampled boundaries change run
+    to run."""
+    from omniparser_spark.operators.sampling import range_shard_by_value
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return range_shard_by_value(d, "n_chars", 8)
+
+
+@_q(
     "streaming_continuous_rollup",
     """
     SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
@@ -4536,6 +4602,8 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_bmp_features",
     "kmeans_embedding_clusters",
     "sample_cluster_balanced",
+    "sample_balanced_sources",
+    "export_range_shards",
     # -- latest driver row is r2 (rotated out of the r3 window); all
     #    were r2-green, refreshed here
     "agg_pricing_summary",

@@ -121,3 +121,80 @@ def epoch_shuffle(
         out.withColumn("epoch_rank", F.row_number().over(w))
         .drop("_h")
     )
+
+
+def balanced_sample_sources(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    cap: int | None = None,
+) -> DataFrame:
+    """Source-balanced subset: exactly min(cap, smallest-stratum size)
+    rows from EVERY stratum — the UniMax-style guard against head
+    sources drowning tail sources in a training mixture.
+
+    The per-stratum quota is DATA-DERIVED (one map-side-combinable
+    count aggregate, |strata| rows to the driver) and the draw within
+    each stratum is the deterministic smallest-hash rule of
+    :func:`stratified_sample_k` — so the result is reproducible on any
+    cluster and exactly balanced, not balanced-in-expectation like
+    probabilistic downweighting."""
+    counts = [r["n"] for r in df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n")).collect()]
+    if not counts:
+        return df
+    k = min(counts)
+    if cap is not None:
+        k = min(k, cap)
+    return stratified_sample_k(df, k=k, key_col=key_col,
+                               strata_col=strata_col)
+
+
+def range_shard_by_value(
+    df: DataFrame,
+    value_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic range sharding: every row gets a `shard` in
+    [0, n_shards) such that shards form contiguous, near-equal-count
+    ranges of `value_col` — the reproducible substitute for
+    ``repartitionByRange``, whose boundaries come from reservoir
+    SAMPLING and change run to run (unacceptable for a training-data
+    export that must be re-creatable byte-for-byte).
+
+    Two passes, no global sort: (1) one value-histogram aggregate
+    (map-side combinable; requires a bounded-cardinality value domain
+    — lengths, scores, dates; NOT free text) collects (value, count)
+    to the driver; (2) the driver derives boundary values
+    b_i = smallest v with cumulative_count(v) >= ceil(i*N/n_shards),
+    and the shard index is the pure column expression
+    sum_i [value > b_i] — a narrow map (the boundary value itself
+    belongs to the lower shard).  Ties share a value and land in one
+    shard, so a skewed value degrades shard balance — and a value
+    heavy enough to span several quotas repeats as a boundary,
+    leaving the skipped shard indices empty — but never breaks
+    correctness or determinism."""
+    hist = sorted(
+        (r["v"], r["n"])
+        for r in df.groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = sum(n for _, n in hist)
+    boundaries = []
+    cum, i = 0, 1
+    it = iter(hist)
+    v, n = next(it, (None, 0))
+    while i < n_shards and v is not None:
+        target = -(-i * total // n_shards)  # ceil(i*N/n)
+        while v is not None and cum + n < target:
+            cum += n
+            v, n = next(it, (None, 0))
+        if v is None:
+            break
+        boundaries.append(v)
+        i += 1
+    shard = F.lit(0)
+    for b in boundaries:
+        shard = shard + (F.col(value_col) > F.lit(b)).cast("int")
+    return df.withColumn("shard", shard.cast("int"))

@@ -84,3 +84,70 @@ def test_epoch_shuffle_changes_with_epoch(spark):
     o2 = {r.doc_id: (r.epoch_part, r.epoch_rank) for r in e2.collect()}
     moved = sum(1 for k in o1 if o1[k] != o2[k])
     assert moved > 400  # epochs genuinely re-permute
+
+
+def test_balanced_sample_sources_exact_quota(spark):
+    from omniparser_spark.operators.sampling import balanced_sample_sources
+
+    # strata sizes 100 / 300 / 600 -> quota = 100 each
+    d = spark.range(0, 1000, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, "tail")
+        .when(F.col("id") < 400, "mid")
+        .otherwise("head")
+        .alias("source"),
+    )
+    out = balanced_sample_sources(d, key_col="doc_id", strata_col="source")
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {"tail": 100, "mid": 100, "head": 100}
+    capped = balanced_sample_sources(
+        d, key_col="doc_id", strata_col="source", cap=40
+    )
+    assert capped.count() == 120
+
+
+def test_range_shard_by_value_balanced_and_deterministic(spark):
+    from omniparser_spark.operators.sampling import range_shard_by_value
+
+    d = spark.range(0, 2000, 1, 8).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 37 % 211).alias("v")
+    )
+    a = range_shard_by_value(d, "v", 8)
+    sizes = {r["shard"]: r["n"] for r in a.groupBy("shard")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) <= set(range(8))
+    assert sum(sizes.values()) == 2000
+    assert max(sizes.values()) <= 2 * (2000 // 8)  # near-balanced
+    # contiguous ranges: max(v) of shard i < min(v) of shard i+1
+    stats = {
+        r["shard"]: (r["lo"], r["hi"])
+        for r in a.groupBy("shard")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    ordered = sorted(stats)
+    for s1, s2 in zip(ordered, ordered[1:]):
+        assert stats[s1][1] < stats[s2][0]
+    # deterministic under repartitioning (the repartitionByRange
+    # failure mode this operator exists to avoid)
+    b = range_shard_by_value(d.repartition(3), "v", 8)
+    assert {(r.doc_id, r.shard) for r in a.collect()} == {
+        (r.doc_id, r.shard) for r in b.collect()
+    }
+
+
+def test_range_shard_heavy_value_gets_own_shard(spark):
+    from omniparser_spark.operators.sampling import range_shard_by_value
+
+    # one value holds half the mass: it must not straddle shards
+    d = spark.range(0, 1000, 1, 4).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, F.lit(7)).otherwise(F.col("id")).alias("v"),
+    )
+    out = range_shard_by_value(d, "v", 4)
+    shards_of_7 = out.filter(F.col("v") == 7).select("shard").distinct()
+    assert shards_of_7.count() == 1
