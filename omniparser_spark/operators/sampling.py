@@ -176,7 +176,8 @@ def range_shard_by_value(
     correctness or determinism."""
     hist = sorted(
         (r["v"], r["n"])
-        for r in df.groupBy(F.col(value_col).alias("v"))
+        for r in df.filter(F.col(value_col).isNotNull())  # unrankable
+        .groupBy(F.col(value_col).alias("v"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )

@@ -57,7 +57,9 @@ def select_token_budget(
     binc = F.least(
         F.floor(q * n_bins).cast("int"), F.lit(n_bins - 1)
     )  # q == 1.0 lands in the top bin, not one past it
-    d = df.withColumn("_bin", binc)
+    # a NULL quality cannot be ranked: excluded, not crashed on (a null
+    # bin would otherwise break the driver-side bin sort)
+    d = df.filter(q.isNotNull()).withColumn("_bin", binc)
 
     # pass 1: n_bins rows to the driver (the ONLY collect)
     stats = {
