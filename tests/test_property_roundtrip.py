@@ -300,3 +300,79 @@ def test_packing_is_prefix_stable_under_append(spark):
         for r in pack_sequences(d2, budget=12, n_shards=4).collect()
     }
     assert all(p2[i] == p1[i] for i in p1)
+
+
+# ---- training-export operator properties (round 4) --------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10**6),                   # doc_id
+            st.integers(0, 1000),                    # quality in mills
+            st.integers(0, 50),                      # n_tokens
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(0, 400),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_select_token_budget_equals_global_sort(spark, rows, budget):
+    from pyspark.sql import Window
+
+    from omniparser_spark.operators.selection import select_token_budget
+
+    df = spark.createDataFrame(
+        [(i, q / 1000.0, t) for i, q, t in rows],
+        "doc_id long, q double, n_tokens int",
+    ).repartition(3)
+    got = {
+        (r.doc_id, r.cum_tokens)
+        for r in select_token_budget(df, budget, n_bins=7).collect()
+    }
+    w = Window.orderBy(F.col("q").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r.doc_id, r.cum_tokens)
+        for r in df.withColumn(
+            "cum_tokens", F.sum(F.col("n_tokens").cast("long")).over(w)
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .collect()
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 30), min_size=1, max_size=80),
+    n_shards=st.integers(1, 6),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_range_shard_total_order_property(spark, vals, n_shards):
+    from omniparser_spark.operators.sampling import range_shard_by_value
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, v int"
+    ).repartition(2)
+    out = range_shard_by_value(df, "v", n_shards).collect()
+    assert len(out) == len(vals)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.v)
+    shards = sorted(by_shard)
+    # shard ids in range; ranges contiguous and ordered; equal values
+    # never straddle shards
+    assert shards[0] >= 0 and shards[-1] < n_shards
+    for s1, s2 in zip(shards, shards[1:]):
+        assert max(by_shard[s1]) < min(by_shard[s2])
