@@ -2784,6 +2784,73 @@ def _stream_dedup_watermark(spark, sf_dir):
 
 
 @_q(
+    "streaming_interval_join",
+    """
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+           a.user_id,
+           epoch_us(a.ts) AS view_ts_us, epoch_us(b.ts) AS purchase_ts_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+    """,
+)
+def _stream_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (streaming/windows.py
+    interval_join_streams): view events and purchase events arrive as
+    two separate file streams consumed in epochs; every (view,
+    purchase-within-2h) attribution pair must match the batch range
+    join.  The time bound in the join condition is what lets Spark
+    evict buffered state — the wrapper's contract — while the
+    wide-watermark bounded replay keeps the emitted set
+    deterministic."""
+    from omniparser_spark.streaming.windows import (
+        interval_join_streams,
+        run_bounded,
+        stage_stream_dir,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_sjoin_")
+    stage_stream_dir(
+        ev.filter(F.col("event_type") == "view"),
+        f"{tmp}/views", n_files=4, order_by="ts",
+    )
+    stage_stream_dir(
+        ev.filter(F.col("event_type") == "purchase"),
+        f"{tmp}/purch", n_files=4, order_by="ts",
+    )
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    views = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{tmp}/views")
+    )
+    purch = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{tmp}/purch")
+    )
+    out = interval_join_streams(
+        views, purch, key_col="user_id", ts_col="ts",
+        upper_minutes=120, watermark="40 days",
+    )
+    res = run_bounded(out, "append", checkpoint_dir=f"{tmp}/ckpt")
+    return res.select(
+        F.col("event_id").alias("view_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("view_ts_us"),
+        F.unix_micros("ts_r").alias("purchase_ts_us"),
+    )
+
+
+@_q(
     "streaming_sessionize_state",
     """
     WITH e AS (
@@ -4604,6 +4671,7 @@ _DRIVER_PRIORITY: list[str] = [
     "sample_cluster_balanced",
     "sample_balanced_sources",
     "export_range_shards",
+    "streaming_interval_join",
     # -- latest driver row is r2 (rotated out of the r3 window); all
     #    were r2-green, refreshed here
     "agg_pricing_summary",

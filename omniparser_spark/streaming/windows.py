@@ -378,6 +378,45 @@ def dedup_within_watermark(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    upper_minutes: int = 120,
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair every left event
+    with the right events of the same key arriving within
+    [left.ts, left.ts + upper_minutes] — attribution / funnel joins
+    (view -> purchase) computed incrementally on two live feeds.
+
+    Both sides carry watermarks and the join condition carries the
+    time bound, which is what lets Spark EVICT buffered rows once the
+    watermark passes their match horizon: state is
+    (rate x (watermark + upper bound)) per side, not feed length.
+    Without the time bound a stream-stream join buffers both feeds
+    forever — the unbounded-state trap this wrapper exists to avoid.
+    The right side's columns are suffixed `_r`.
+    """
+    lw = left.withWatermark(ts_col, watermark).alias("l")
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, f"{c}_r")
+    rw = r.withWatermark(f"{ts_col}_r", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}_r"))
+        & (F.col(f"r.{ts_col}_r") >= F.col(f"l.{ts_col}"))
+        & (
+            F.col(f"r.{ts_col}_r")
+            <= F.col(f"l.{ts_col}")
+            + F.expr(f"INTERVAL {int(upper_minutes)} MINUTES")
+        )
+    )
+    return lw.join(rw, cond, how)
+
+
 def run_bounded(
     out: DataFrame,
     output_mode: str,

@@ -368,3 +368,50 @@ def test_dedup_within_watermark_evicts_expired_keys(spark, tmp_path):
         out, "append", checkpoint_dir=str(tmp_path / "ckpt")
     ).collect()
     assert sorted(r.event_id for r in rows) == [1, 1, 2, 4]
+
+
+def test_interval_join_matches_across_epochs(spark, tmp_path):
+    from omniparser_spark.streaming.windows import interval_join_streams
+
+    # the view arrives in epoch 1, its purchase in epoch 2: only
+    # buffered join state can produce the pair; a per-batch join would
+    # miss it.  The epoch-3 purchase is past the 1h bound -> no pair.
+    def fr(ids, times):
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime(times),
+                "user_id": [1] * len(ids),
+            }
+        )
+
+    _write_epoch_files(
+        tmp_path / "views", [fr([10], ["2024-03-01 12:00:00"])]
+    )
+    _write_epoch_files(
+        tmp_path / "purch",
+        [
+            fr([], []),
+            fr([20], ["2024-03-01 12:30:00"]),
+            fr([21], ["2024-03-01 14:30:00"]),
+        ],
+    )
+    schema = "event_id long, ts timestamp, user_id long"
+    views = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "views"))
+    )
+    purch = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "purch"))
+    )
+    out = interval_join_streams(
+        views, purch, key_col="user_id", ts_col="ts",
+        upper_minutes=60, watermark="1 day",
+    )
+    rows = run_bounded(
+        out, "append", checkpoint_dir=str(tmp_path / "ckpt")
+    ).collect()
+    assert [(r.event_id, r.event_id_r) for r in rows] == [(10, 20)]
