@@ -3638,7 +3638,9 @@ def _sample_balanced_sources(spark, sf_dir):
       GROUP BY i.i
     )
     SELECT d.doc_id, d.n_chars,
-           (SELECT count(*) FROM b WHERE d.n_chars > b.bv)::INT AS shard
+           CASE WHEN d.n_chars IS NULL THEN NULL
+                ELSE (SELECT count(*) FROM b WHERE d.n_chars > b.bv)::INT
+           END AS shard
     FROM documents d
     """,
 )

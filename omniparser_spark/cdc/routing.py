@@ -122,6 +122,7 @@ class RoutedPipeline:
             start = min(
                 pipe.checkpoints.next_offset() for pipe in self.pipes.values()
             )
+            stalls = 0
             while start < total_events:
                 end = min(start + batch_size - 1, total_events - 1)
                 rng = (F.col("offset") >= start) & (F.col("offset") <= end)
@@ -174,7 +175,35 @@ class RoutedPipeline:
                         )
                 finally:
                     canon.unpersist()
-                start = end + 1
+                # advance to the LAGGING frontier, not end + 1: a
+                # destination whose id-fence repair CLAMPED its
+                # checkpoint (crash between table commit and checkpoint,
+                # then feed growth — apply_batch clamps offset_end to
+                # the table's applied frontier) still owes the clamped
+                # tail.  end+1 would skip that tail for it forever
+                # (later batches push its frontier past the gap); the
+                # min-frontier resume re-drives the gap under its next
+                # batch id, while destinations already past it fence or
+                # re-apply idempotently.  Mirrors CdcPipeline._drive's
+                # offset = rec["offset_end"] + 1.
+                nxt = min(
+                    p.checkpoints.next_offset() for p in self.pipes.values()
+                )
+                # offset-fenced destinations never rewind (no commit),
+                # so nxt >= start; a repair round may hold nxt == start
+                # once (its commit bumps next_batch_id past the table's,
+                # so the following round applies) — more than
+                # len(pipes) non-advancing rounds means a real wedge.
+                if nxt <= start:
+                    stalls += 1
+                    if stalls > len(self.pipes):
+                        raise RuntimeError(
+                            f"routed run_feed stalled at offset {start}: "
+                            "no destination frontier is advancing"
+                        )
+                else:
+                    stalls = 0
+                start = max(start, nxt)
         finally:
             self.spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
         return results

@@ -1089,6 +1089,11 @@ class LakeTable:
             bucket_dirs=prev.bucket_dirs,
             summary=dict(prev.summary),
             parent_version=prev.version,
+            # metadata-only commit: data files are untouched, so the
+            # per-bucket max-offset stats carry over verbatim (dropping
+            # them silently disables changelog bucket pruning for every
+            # table that ever evolves its schema)
+            bucket_stats=dict(prev.bucket_stats),
         )
         self._write_snapshot(snap, expected_parent=prev.version)
 
@@ -1140,5 +1145,10 @@ class LakeTable:
             bucket_dirs=prev.bucket_dirs,
             summary=dict(prev.summary),
             parent_version=prev.version,
+            # metadata-only commit: data files are untouched, so the
+            # per-bucket max-offset stats carry over verbatim (dropping
+            # them silently disables changelog bucket pruning for every
+            # table that ever evolves its schema)
+            bucket_stats=dict(prev.bucket_stats),
         )
         self._write_snapshot(snap, expected_parent=prev.version)

@@ -235,25 +235,32 @@ def kmeans_lloyd(
         cluster = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
         return frame.withColumn("cluster", cluster)
 
-    for _ in range(iters - 1):
-        a = _assign(q)
-        stats = {
-            r["cluster"]: r
-            for r in a.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(f"_e{d}").alias(f"s{d}") for d in range(dim)],
-            )
-            .collect()
-        }
-        cents = [
-            [
-                float(stats[j][f"s{d}"]) / stats[j]["n"]
-                if j in stats
-                else float(cents[j][d])
-                for d in range(dim)
+    try:
+        for _ in range(iters - 1):
+            a = _assign(q)
+            stats = {
+                r["cluster"]: r
+                for r in a.groupBy("cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(f"_e{d}").alias(f"s{d}") for d in range(dim)],
+                )
+                .collect()
+            }
+            cents = [
+                [
+                    float(stats[j][f"s{d}"]) / stats[j]["n"]
+                    if j in stats
+                    else float(cents[j][d])
+                    for d in range(dim)
+                ]
+                for j in range(k)
             ]
-            for j in range(k)
-        ]
+    finally:
+        # the cache only serves the driver-side init + update jobs
+        # above; the returned (lazy) assignment recomputes the cheap
+        # quantization scan rather than pinning a cached frame in
+        # executor storage for the session's lifetime
+        q.unpersist()
 
     return _assign(q).select(F.col("_id").alias(id_col), "cluster")

@@ -155,9 +155,11 @@ def range_shard_by_value(
     value_col: str,
     n_shards: int,
 ) -> DataFrame:
-    """Deterministic range sharding: every row gets a `shard` in
-    [0, n_shards) such that shards form contiguous, near-equal-count
-    ranges of `value_col` — the reproducible substitute for
+    """Deterministic range sharding: every non-NULL-valued row gets a
+    `shard` in [0, n_shards) such that shards form contiguous,
+    near-equal-count ranges of `value_col` (a NULL value cannot be
+    range-ordered: it passes through with a NULL shard for the caller
+    to route) — the reproducible substitute for
     ``repartitionByRange``, whose boundaries come from reservoir
     SAMPLING and change run to run (unacceptable for a training-data
     export that must be re-creatable byte-for-byte).

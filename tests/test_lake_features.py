@@ -703,3 +703,25 @@ def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
         t.snapshot_at(v_tagged)
     with pytest.raises(KeyError):
         t.read(tag="train-run-1")
+
+
+def test_schema_evolution_preserves_bucket_stats(spark, tmp_path):
+    """Review finding (r4): the metadata-only evolve commits rebuilt
+    the Snapshot without bucket_stats, silently wiping every per-bucket
+    max-offset stat — changelog pruning stayed disabled forever on any
+    table that ever evolved its schema."""
+    import pyspark.sql.types as T
+
+    t = _make(spark, tmp_path)
+    before = dict(t.current().bucket_stats)
+    assert before  # _make commits data with stats
+
+    t.evolve_schema_additive(
+        T.StructType([T.StructField("extra", T.StringType(), True)])
+    )
+    assert t.current().bucket_stats == before
+
+    t.evolve_schema_widen({"turn_idx": T.LongType()})
+    assert t.current().bucket_stats == before
+    # and the pruned incremental read still works post-evolution
+    assert t.read_changes(6).inputFiles() == []

@@ -261,3 +261,55 @@ def test_routed_grown_feed_resume_applies_new_events(spark, tmp_path):
         assert _sorted_rows(grown.read(name)) == _sorted_rows(
             fresh.read(name)
         ), name
+
+
+def test_routed_crash_plus_growth_redrives_clamped_tail(spark, tmp_path):
+    """Review finding (r4): a destination that crashed between table
+    commit and checkpoint, followed by feed growth, gets an id-fence
+    repair record CLAMPED to its applied frontier — but the shared
+    batch grid advanced start = end + 1, skipping the clamped tail for
+    that destination forever (later batches push its frontier past the
+    gap).  The grid now advances to the LAGGING destination frontier,
+    re-driving the gap under its next batch id while destinations
+    already past it fence or re-apply idempotently."""
+    from omniparser_spark.lake.merge import merge_into
+    from omniparser_spark.operators.dedup import lww_dedup
+    from omniparser_spark.operators.normalize import normalize_changes
+
+    spec = FeedSpec(n_events=1600, n_convs=30, seed=23)
+    feed = materialize_feed(spark, spec, str(tmp_path / "crashfeed"))
+    routes = {
+        "even": lambda: F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0,
+        "odd": lambda: F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1,
+    }
+    rp = RoutedPipeline(
+        spark, str(tmp_path / "crashy"), routes=routes,
+        n_buckets=4, n_source_parts=spec.n_source_parts,
+    )
+    # clean run over the first 1000 events: batches 0 and 1 everywhere
+    rp.run_feed(feed, 1000, batch_size=500)
+
+    # simulate: destination "even" merges batch 2 = [1000, 1199] into
+    # its TABLE but crashes before the checkpoint write
+    sl = feed.filter((F.col("offset") >= 1000) & (F.col("offset") <= 1199))
+    good, _ = normalize_changes(sl)
+    merge_into(
+        rp.pipes["even"].table,
+        lww_dedup(good.filter(routes["even"]())),
+        batch_id=2,
+    )
+
+    # the feed has grown to 1600; resume with the same grid parameters.
+    # "even" id-fences its re-driven batch and clamps to offset 1199 —
+    # the fix must re-drive (1199, ...] for it instead of skipping.
+    rp.run_feed(feed, 1600, batch_size=500)
+
+    fresh = RoutedPipeline(
+        spark, str(tmp_path / "fresh2"), routes=routes,
+        n_buckets=4, n_source_parts=spec.n_source_parts,
+    )
+    fresh.run_feed(feed, 1600, batch_size=500)
+    for name in routes:
+        assert _sorted_rows(rp.read(name)) == _sorted_rows(
+            fresh.read(name)
+        ), name
