@@ -1366,6 +1366,75 @@ def _cdc_replay(spark, sf_dir):
 
 
 @_q(
+    "cdc_incremental_view",
+    f"""
+    WITH feed AS (
+{_CDC_FEED_SQL}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, src_offset DESC) AS rn
+      FROM feed
+    ),
+    final AS (
+      SELECT conv_id, text FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT conv_id,
+           count(*)::BIGINT AS n_rows,
+           sum(length(text))::BIGINT AS chars
+    FROM final GROUP BY conv_id
+    """,
+)
+def _cdc_incremental_view(spark, sf_dir):
+    """Incremental materialized-view maintenance (lake/views.py): the
+    CDC replay applies half the feed, the per-conv (n_rows, chars)
+    rollup view bootstraps from the LIVE table (its sync-frontier
+    snapshot pinned with a retention tag — the pipeline's periodic
+    expiry must not collect the snapshot pre-image reads need), the
+    replay finishes, and the view advances to head from changelog
+    deltas alone (read_changes_with_preimage: new = old + f(post) -
+    f(pre), changed keys only — O(delta), not O(table)).  The synced
+    view must equal the oracle's full aggregate over the final LWW
+    state; the view's own fenced MERGE makes maintenance exactly-once
+    and resumable."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.lake.views import (
+        create_rollup_view,
+        sync_rollup_view,
+    )
+    from omniparser_spark.sources.changefeed import FeedSpec, encode_payload
+
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev)
+    feed = encode_payload(fields, FeedSpec(n_events=1, evolution_frac=0.0)).select(
+        "offset", "op", "format", "payload", "ts", "source_part"
+    )
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_ivm_")
+    feed.write.mode("overwrite").parquet(f"{tmp}/feed")
+    feed_scan = spark.read.parquet(f"{tmp}/feed")
+    total = feed_scan.agg(F.max("offset")).collect()[0][0] + 1
+    pipe = CdcPipeline(
+        spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8, n_source_parts=8,
+    )
+    batch_size = (total + 3) // 4
+    # first half of the feed, then bootstrap the view mid-stream
+    pipe.run_feed(feed_scan, 2 * batch_size, batch_size=batch_size)
+    metrics = {"chars": lambda g: F.length(g("text"))}
+    view = create_rollup_view(
+        spark, f"{tmp}/view", pipe.table,
+        group_col="conv_id", metrics=metrics,
+    )
+    # rest of the replay (resumes from the checkpoint frontier); the
+    # bootstrap snapshot survives expiry because the view tagged it
+    pipe.run_feed(feed_scan, total, batch_size=batch_size)
+    sync_rollup_view(
+        pipe.table, view, group_col="conv_id", metrics=metrics
+    )
+    return view.read().select("conv_id", "n_rows", "chars")
+
+
+@_q(
     "quarantine_deadletter",
     """
     SELECT event_id AS offset,
@@ -4674,6 +4743,7 @@ _DRIVER_PRIORITY: list[str] = [
     "sample_balanced_sources",
     "export_range_shards",
     "streaming_interval_join",
+    "cdc_incremental_view",
     # -- latest driver row is r2 (rotated out of the r3 window); all
     #    were r2-green, refreshed here
     "agg_pricing_summary",

@@ -1,0 +1,230 @@
+"""Incremental materialized-view maintenance from the change-data feed.
+
+A downstream rollup (per-conversation turn counts, token totals,
+monitoring aggregates) over a CDC-maintained table should not be
+recomputed from the full table on every sync — at 100 TB that is an
+O(table) scan for an O(delta) question.  The lake already exposes
+exactly the primitive IVM needs: :meth:`LakeTable.
+read_changes_with_preimage` (Delta ``update_preimage`` parity) gives
+every changed key's post-image AND its pre-image as of the view's last
+sync, so the view update is
+
+    new_agg(g) = old_agg(g) + f(post) - f(pre)
+
+computed over ONLY the changed keys.  The view itself is a LakeTable
+keyed by the group column, updated through the same fenced MERGE as
+the main apply path — so view maintenance inherits exactly-once
+semantics (a re-delivered maintenance batch fences to a no-op) and the
+view stores its own sync frontier (`max_offset_applied` = the source
+version it reflects).
+
+Supported aggregates: additively maintainable ones (count, sum of any
+expression of the row).  min/max are NOT (a delete can require a
+rescan); refuse them rather than silently corrupt.
+
+Scale shape: the delta is one pruned changelog scan (per-bucket
+max-offset stats skip cold buckets) + a map-side-combinable aggregate
+over changed keys; the apply joins the delta against only the view's
+matching groups and MERGEs the touched view buckets.  Nothing is
+O(source table).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omniparser_spark.lake.merge import merge_into
+from omniparser_spark.lake.table import LakeTable
+
+# metrics are expressed once and evaluated against BOTH images: the
+# callable receives a getter mapping a source column name to a Column
+# (post rows read F.col(name); pre images read the _pre struct field)
+MetricFn = Callable[[Callable[[str], Column]], Column]
+
+
+def rollup_delta(
+    table: LakeTable,
+    from_version: int,
+    group_col: str = "conv_id",
+    metrics: Mapping[str, MetricFn] | None = None,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Per-group aggregate DELTAS between two snapshot versions:
+    (group, d_n, d_<metric>...) over only the keys that changed.
+
+    `group_col` must be one of the table's merge keys (a row's group
+    can then never change between pre and post image — the property
+    that keeps this a single grouped pass)."""
+    keys = list(table.summary().get("merge_keys") or ())
+    if group_col not in keys:
+        raise ValueError(
+            f"group_col {group_col!r} must be a merge key {keys} — a "
+            "non-key group can differ between pre and post image"
+        )
+    ch = table.read_changes_with_preimage(from_version, to_version)
+    live_post = F.col("_change_type") != "delete"
+    has_pre = F.col("_pre").isNotNull()
+
+    def post_get(c: str) -> Column:
+        return F.col(c)
+
+    def pre_get(c: str) -> Column:
+        return F.col("_pre")[c]
+
+    aggs = [
+        F.sum(
+            F.when(live_post, 1).otherwise(0)
+            - F.when(has_pre, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("d_n")
+    ]
+    for name, fn in (metrics or {}).items():
+        aggs.append(
+            F.sum(
+                F.when(live_post, fn(post_get)).otherwise(F.lit(0))
+                - F.when(has_pre, fn(pre_get)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias(f"d_{name}")
+        )
+    return ch.groupBy(group_col).agg(*aggs)
+
+
+def _view_row_ts() -> Column:
+    # LWW order inside the view's MERGE is (ts, offset); maintenance
+    # batches are totally ordered by their source version (the offset),
+    # so the ts component is a constant
+    return F.lit("2000-01-01 00:00:00").cast("timestamp")
+
+
+def _view_tag(path: str) -> str:
+    import os
+
+    return f"ivm_{os.path.basename(path.rstrip('/'))}"
+
+
+def create_rollup_view(
+    spark: SparkSession,
+    path: str,
+    table: LakeTable,
+    group_col: str = "conv_id",
+    metrics: Mapping[str, MetricFn] | None = None,
+    version: int | None = None,
+    n_buckets: int = 4,
+) -> LakeTable:
+    """Bootstrap the view: ONE full aggregate of the source as of
+    `version` (default: current), stored as a LakeTable keyed by the
+    group.  After this, :func:`sync_rollup_view` keeps it current from
+    deltas alone.
+
+    The source snapshot at the view's sync frontier is pinned with a
+    TAG (`ivm_<view name>`): pre-image reads need that snapshot, and
+    the pipeline's periodic snapshot expiry would otherwise collect it
+    out from under the view — the tag is the view's retention contract
+    with the source, advanced on every successful sync."""
+    src_version = table.current().version if version is None else version
+    metric_names = list((metrics or {}).keys())
+    group_type = {
+        f.name: f.dataType.simpleString() for f in table.schema().fields
+    }[group_col]
+    fields = ", ".join(
+        [f"{group_col} {group_type}", "n_rows long"]
+        + [f"{m} long" for m in metric_names]
+        + ["ts timestamp"]
+    )
+    view = LakeTable.create(
+        spark, path, fields, key_col=group_col,
+        n_buckets=n_buckets, merge_keys=(group_col,),
+    )
+    base = table.read(version=src_version)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
+        F.sum(fn(lambda c: F.col(c))).cast("long").alias(m)
+        for m, fn in (metrics or {}).items()
+    ]
+    rows = (
+        base.groupBy(group_col)
+        .agg(*aggs)
+        .select(
+            group_col,
+            "n_rows",
+            *metric_names,
+            _view_row_ts().alias("ts"),
+            F.lit(src_version).cast("long").alias("offset"),
+            F.lit("U").alias("op"),
+        )
+    )
+    merge_into(
+        view, rows, batch_id=0, keys=(group_col,), max_offset=src_version
+    )
+    table.create_tag(_view_tag(path), src_version)
+    return view
+
+
+def sync_rollup_view(
+    table: LakeTable,
+    view: LakeTable,
+    group_col: str = "conv_id",
+    metrics: Mapping[str, MetricFn] | None = None,
+    to_version: int | None = None,
+) -> dict:
+    """Advance the view to the source's `to_version` (default: head)
+    from changelog deltas only.  Idempotent and resumable: the view's
+    own summary records the source version it reflects
+    (`max_offset_applied`) and the maintenance batch id — re-running a
+    completed sync fences to a no-op, exactly like the main apply."""
+    vsum = view.summary()
+    from_version = int(vsum["max_offset_applied"])
+    src_head = table.current().version
+    to_v = src_head if to_version is None else to_version
+    if to_v <= from_version:
+        return {"fenced": True, "from_version": from_version,
+                "to_version": to_v, "groups_touched": 0}
+
+    metric_names = list((metrics or {}).keys())
+    delta = rollup_delta(
+        table, from_version, group_col=group_col,
+        metrics=metrics, to_version=to_v,
+    )
+    old = view.read().select(
+        group_col, "n_rows", *metric_names
+    )
+    joined = delta.join(old, on=group_col, how="left")
+    new_n = F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_n")
+    new_cols = [new_n.alias("n_rows")] + [
+        (F.coalesce(F.col(m), F.lit(0)) + F.col(f"d_{m}")).alias(m)
+        for m in metric_names
+    ]
+    rows = joined.select(
+        group_col,
+        *new_cols,
+        _view_row_ts().alias("ts"),
+        F.lit(to_v).cast("long").alias("offset"),
+        # a group whose live-row count reaches zero leaves the view
+        F.when(new_n <= 0, "D").otherwise("U").alias("op"),
+    )
+    rec = merge_into(
+        view,
+        rows,
+        batch_id=int(vsum.get("batch_id", -1)) + 1,
+        keys=(group_col,),
+        max_offset=to_v,
+    )
+    if rec is not None:
+        # advance the retention tag to the new frontier: the old
+        # frontier snapshot may now be expired, the new one must not be
+        tag = _view_tag(view.path)
+        try:
+            table.drop_tag(tag)
+        except KeyError:
+            pass  # bootstrap predates tagging, or tag managed manually
+        table.create_tag(tag, to_v)
+    return {
+        "fenced": rec is None,
+        "from_version": from_version,
+        "to_version": to_v,
+        "groups_touched": rec.get("rows_written", 0) if rec else 0,
+    }

@@ -725,3 +725,71 @@ def test_schema_evolution_preserves_bucket_stats(spark, tmp_path):
     assert t.current().bucket_stats == before
     # and the pruned incremental read still works post-evolution
     assert t.read_changes(6).inputFiles() == []
+
+
+def test_incremental_rollup_view_matches_full_recompute(spark, tmp_path):
+    """lake/views.py: bootstrap a per-conv (n_rows, chars) rollup at v1,
+    sync it to head from changelog deltas only, and it must equal a
+    full recompute — updates, deletes, LWW losers, and net-zero groups
+    included.  A second sync fences to a no-op."""
+    from pyspark.sql import functions as SF
+
+    from omniparser_spark.lake.views import (
+        create_rollup_view,
+        sync_rollup_view,
+    )
+
+    t = _make(spark, tmp_path)
+    metrics = {"chars": lambda g: SF.length(g("text"))}
+
+    view = create_rollup_view(
+        spark, str(tmp_path / "view"), t,
+        group_col="conv_id", metrics=metrics, version=1,
+    )
+    boot = {
+        r.conv_id: (r.n_rows, r.chars) for r in view.read().collect()
+    }
+    assert boot == {"a": (2, 10), "b": (1, 5)}
+
+    rec = sync_rollup_view(t, view, group_col="conv_id", metrics=metrics)
+    assert not rec["fenced"] and rec["to_version"] == t.current().version
+
+    got = {r.conv_id: (r.n_rows, r.chars) for r in view.read().collect()}
+    full = {
+        r.conv_id: (r.n, r.chars)
+        for r in t.read()
+        .groupBy("conv_id")
+        .agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.sum(SF.length("text")).alias("chars"),
+        )
+        .collect()
+    }
+    assert got == full  # b deleted entirely -> absent from both
+
+    rec2 = sync_rollup_view(t, view, group_col="conv_id", metrics=metrics)
+    assert rec2["fenced"]
+
+    # the retention tag pins the view's sync frontier on the SOURCE so
+    # snapshot expiry cannot collect the pre-image snapshot; it must
+    # have advanced from the bootstrap version to the synced head
+    assert t.tags().get("ivm_view") == t.current().version
+
+    # further source changes keep syncing incrementally: delete a/2
+    merge_into(
+        t,
+        _batch(spark, [("a", 2, None, 5, 6, "D")]),
+        batch_id=2,
+        max_offset=6,
+    )
+    sync_rollup_view(t, view, group_col="conv_id", metrics=metrics)
+    got3 = {r.conv_id: (r.n_rows, r.chars) for r in view.read().collect()}
+    assert got3 == {"a": (1, 5)}
+
+    # non-merge-key group column is refused, not silently wrong
+    import pytest as _pytest
+
+    from omniparser_spark.lake.views import rollup_delta
+
+    with _pytest.raises(ValueError):
+        rollup_delta(t, 1, group_col="text")
