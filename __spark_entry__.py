@@ -4673,6 +4673,56 @@ def _cluster_balanced_oracle_sql(per_cluster: int = 20) -> str:
     """
 
 
+def _semantic_dedup_oracle_sql(
+    dim: int = 64, tau2_num: int = 4, tau2_den: int = 25
+) -> str:
+    """k-means CTEs + exact-integer within-cluster cosine threshold:
+    drop a row iff a lower-id same-cluster row has
+    dot > 0 AND dot^2 * tau2_den > tau2_num * |a|^2 * |b|^2."""
+    base = _kmeans_oracle_sql()
+    final = "SELECT vec_id, cl::INT AS cluster FROM a1 WHERE rn = 1"
+    head = base.rsplit(final, 1)[0]
+    n2 = " + ".join(f"e{d} * e{d}" for d in range(dim))
+    dot = " + ".join(f"a.e{d} * b.e{d}" for d in range(dim))
+    return f"""{head.rstrip()},
+    asg AS ({final}),
+    z AS (
+      SELECT q.*, asg.cluster, {n2} AS n2
+      FROM q JOIN asg USING (vec_id)
+    ),
+    dp AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, a.n2 AS na2, b.n2 AS nb2,
+             {dot} AS dot
+      FROM z a JOIN z b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    drops AS (
+      SELECT DISTINCT ib FROM dp
+      WHERE dot > 0 AND dot * dot * {tau2_den} > {tau2_num} * na2 * nb2
+    )
+    SELECT z.vec_id, z.cluster,
+           (drops.ib IS NULL) AS kept
+    FROM z LEFT JOIN drops ON z.vec_id = drops.ib
+    """
+
+
+@_q("semantic_dedup_embeddings", _semantic_dedup_oracle_sql())
+def _semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/clustering.py
+    semantic_dedup): k-means clusters + within-cluster pairwise cosine
+    at tau=0.4, drop rule = 'a lower-id similar neighbor exists'.  The
+    threshold test runs entirely in exact integer arithmetic on the
+    quantized grid (dot^2 * 25 > 4 * |a|^2 * |b|^2), so distributed
+    Spark and sequential DuckDB agree bit-for-bit.  Pairwise work is
+    confined to each cluster — k is the quadratic-cost knob."""
+    from omniparser_spark.operators.clustering import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, k=8, iters=2, dim=64, id_col="vec_id", vec_col="embedding"
+    )
+
+
 @_q("sample_cluster_balanced", _cluster_balanced_oracle_sql())
 def _sample_cluster_balanced(spark, sf_dir):
     """Diversity-preserving corpus subset: k-means semantic clusters
@@ -4744,6 +4794,7 @@ _DRIVER_PRIORITY: list[str] = [
     "export_range_shards",
     "streaming_interval_join",
     "cdc_incremental_view",
+    "semantic_dedup_embeddings",
     # -- latest driver row is r2 (rotated out of the r3 window); all
     #    were r2-green, refreshed here
     "agg_pricing_summary",

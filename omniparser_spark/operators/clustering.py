@@ -264,3 +264,91 @@ def kmeans_lloyd(
         q.unpersist()
 
     return _assign(q).select(F.col("_id").alias(id_col), "cluster")
+
+
+def semantic_dedup(
+    vecs: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    tau2_num: int = 4,
+    tau2_den: int = 25,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embeddings
+    with :func:`kmeans_lloyd`, then within each cluster DROP every row
+    that has a lower-id neighbor with cosine similarity above
+    sqrt(tau2_num / tau2_den) (default 0.4).  Returns
+    (id, cluster, kept) — callers filter `kept` to materialize the
+    deduplicated corpus, or keep the flag for audit.
+
+    The threshold test is EXACT integer arithmetic on the quantized
+    grid: cos(a,b) > tau  <=>  dot > 0 AND dot^2 * tau2_den >
+    tau2_num * |a|^2 * |b|^2 — no float comparisons, so the
+    distributed result is bit-identical to a sequential replay.
+
+    Scale shape: pairwise comparison happens ONLY within a cluster
+    (one equi-join shuffle on the cluster id).  Within-cluster cost is
+    quadratic — that is SemDeDup's documented trade, and `k` is the
+    knob: clusters of ~n/k rows bound each join partition; raise k
+    until the per-cluster quadratic fits (the paper runs k in the tens
+    of thousands at web scale).  The keep rule (no lower-id similar
+    neighbor) is deliberately non-transitive: one pass, no iteration,
+    deterministic under any partitioning."""
+    asg = kmeans_lloyd(
+        vecs, k=k, iters=iters, dim=dim, id_col=id_col,
+        vec_col=vec_col, scale=scale,
+    )
+    q = vecs.select(
+        F.col(id_col),
+        *[
+            F.floor(F.col(vec_col)[d].cast("double") * scale)
+            .cast("long")
+            .alias(f"_e{d}")
+            for d in range(dim)
+        ],
+    )
+    norm2 = None
+    for d in range(dim):
+        t = F.col(f"_e{d}") * F.col(f"_e{d}")
+        norm2 = t if norm2 is None else norm2 + t
+    z = q.withColumn("_n2", norm2).join(asg, id_col)
+
+    a, b = z.alias("a"), z.alias("b")
+    dot = None
+    for d in range(dim):
+        t = F.col(f"a._e{d}") * F.col(f"b._e{d}")
+        dot = t if dot is None else dot + t
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"b.{id_col}").alias("_drop_id"),
+        dot.alias("_dot"),
+        F.col("a._n2").alias("_na2"),
+        F.col("b._n2").alias("_nb2"),
+    )
+    drops = (
+        pairs.filter(
+            (F.col("_dot") > 0)
+            & (
+                F.col("_dot") * F.col("_dot") * tau2_den
+                > tau2_num * F.col("_na2") * F.col("_nb2")
+            )
+        )
+        .select(F.col("_drop_id").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        z.select(id_col, "cluster")
+        .join(drops, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -102,3 +102,30 @@ def test_kmeans_deterministic_and_partition_independent(spark):
         for r in kmeans_lloyd(e, k=4, iters=1, dim=64).collect()
     }
     assert one != am
+
+
+def test_semantic_dedup_drops_near_identical(spark):
+    from pyspark.sql import functions as F
+
+    from omniparser_spark.operators.clustering import semantic_dedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant an exact duplicate of vec 0 under a fresh high id: it MUST
+    # be dropped (cos = 1 with its twin, same cluster by construction)
+    twin = e.filter(F.col("vec_id") == 0).select(
+        F.lit(10_000).alias("vec_id"), "embedding", "label"
+    )
+    out = semantic_dedup(
+        e.unionByName(twin), k=4, iters=2, dim=64
+    )
+    rows = {r.vec_id: (r.cluster, r.kept) for r in out.collect()}
+    assert rows[10_000][1] is False  # the twin is dropped
+    assert rows[0][1] is True  # the lower-id original is kept
+    assert rows[10_000][0] == rows[0][0]  # same cluster
+    kept = sum(1 for _, k in rows.values() if k)
+    assert 0 < kept < len(rows)
+    # deterministic under repartitioning
+    again = semantic_dedup(
+        e.unionByName(twin).repartition(7), k=4, iters=2, dim=64
+    )
+    assert rows == {r.vec_id: (r.cluster, r.kept) for r in again.collect()}
