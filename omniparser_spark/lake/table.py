@@ -225,7 +225,8 @@ class LakeTable:
 
         Re-tagging an existing name to a different version raises
         (drop it first — accidental retarget silently changes what a
-        past run means). Returns the pinned version.
+        past run means); deliberate movers use :meth:`retarget_tag`.
+        Returns the pinned version.
         """
         v = int(version) if version is not None else self.current().version
         self.snapshot_at(v)  # must exist (raises if expired/never was)
@@ -235,6 +236,21 @@ class LakeTable:
                 f"tag {name!r} already pins v{tags[name]}; drop it before "
                 f"re-tagging to v{v}"
             )
+        tags[name] = v
+        self._write_tags(tags)
+        return v
+
+    def retarget_tag(self, name: str, version: int) -> int:
+        """Atomically move (or create) a tag to `version` — ONE tags
+        write, so there is no crash window in which neither the old nor
+        the new snapshot is pinned (a drop-then-create sequence that
+        dies in between leaves the new frontier collectible by
+        expiry).  For deliberate movers like the incremental-view sync
+        frontier; one-shot reproducibility pins should keep using
+        :meth:`create_tag`, whose refusal to move is the safety."""
+        v = int(version)
+        self.snapshot_at(v)
+        tags = self.tags()
         tags[name] = v
         self._write_tags(tags)
         return v
@@ -1028,6 +1044,21 @@ class LakeTable:
             c for c in post.columns
             if not c.startswith("_") and c not in keys
         ]
+        # additive schema evolution between the two versions: a column
+        # born after from_version has no pre-image — NULL-fill it at
+        # the post schema's type so the _pre struct always matches the
+        # post columns (otherwise the select below fails to resolve)
+        post_types = dict(post.dtypes)
+        pre_types = dict(pre.dtypes)
+        for c in data_cols:
+            if c not in pre.columns:
+                pre = pre.withColumn(
+                    c, F.lit(None).cast(post_types[c])
+                )
+            elif pre_types[c] != post_types[c]:
+                # type-widening evolution: surface the pre-image at the
+                # post (wide) type so _pre's struct fields line up
+                pre = pre.withColumn(c, F.col(c).cast(post_types[c]))
         pre_live = pre.filter(
             ~F.coalesce(F.col("_deleted"), F.lit(False))
         ).select(*keys, F.struct(*data_cols).alias("_pre"))

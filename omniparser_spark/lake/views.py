@@ -83,10 +83,19 @@ def rollup_delta(
         .alias("d_n")
     ]
     for name, fn in (metrics or {}).items():
+        # coalesce each side to 0 BEFORE differencing: a NULL metric
+        # value (e.g. text set to NULL by an update) must contribute 0,
+        # exactly as the bootstrap's F.sum (which skips NULLs) treats
+        # it — otherwise NULL - old_value = NULL silently drops the
+        # row's delta and the view diverges from a full recompute
         aggs.append(
             F.sum(
-                F.when(live_post, fn(post_get)).otherwise(F.lit(0))
-                - F.when(has_pre, fn(pre_get)).otherwise(F.lit(0))
+                F.when(
+                    live_post, F.coalesce(fn(post_get), F.lit(0))
+                ).otherwise(F.lit(0))
+                - F.when(
+                    has_pre, F.coalesce(fn(pre_get), F.lit(0))
+                ).otherwise(F.lit(0))
             )
             .cast("long")
             .alias(f"d_{name}")
@@ -102,9 +111,17 @@ def _view_row_ts() -> Column:
 
 
 def _view_tag(path: str) -> str:
+    # basename for readability + an abspath hash for uniqueness: two
+    # views whose paths share a final segment must not share (and
+    # mutually unpin) one retention tag
+    import hashlib
     import os
 
-    return f"ivm_{os.path.basename(path.rstrip('/'))}"
+    p = os.path.abspath(path.rstrip("/"))
+    return (
+        f"ivm_{os.path.basename(p)}_"
+        f"{hashlib.md5(p.encode()).hexdigest()[:8]}"
+    )
 
 
 def create_rollup_view(
@@ -126,6 +143,13 @@ def create_rollup_view(
     the pipeline's periodic snapshot expiry would otherwise collect it
     out from under the view — the tag is the view's retention contract
     with the source, advanced on every successful sync."""
+    keys = list(table.summary().get("merge_keys") or ())
+    if group_col not in keys:
+        # fail at CREATE time, not at the first sync — a late failure
+        # strands an on-disk view table and a retention tag
+        raise ValueError(
+            f"group_col {group_col!r} must be a merge key {keys}"
+        )
     src_version = table.current().version if version is None else version
     metric_names = list((metrics or {}).keys())
     group_type = {
@@ -214,14 +238,11 @@ def sync_rollup_view(
         max_offset=to_v,
     )
     if rec is not None:
-        # advance the retention tag to the new frontier: the old
-        # frontier snapshot may now be expired, the new one must not be
-        tag = _view_tag(view.path)
-        try:
-            table.drop_tag(tag)
-        except KeyError:
-            pass  # bootstrap predates tagging, or tag managed manually
-        table.create_tag(tag, to_v)
+        # advance the retention tag to the new frontier in ONE atomic
+        # tags write (drop-then-create leaves a crash window in which
+        # neither snapshot is pinned and expiry can collect the view's
+        # new frontier)
+        table.retarget_tag(_view_tag(view.path), to_v)
     return {
         "fenced": rec is None,
         "from_version": from_version,

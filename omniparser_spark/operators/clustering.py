@@ -151,6 +151,33 @@ def keep_canonical(
     )
 
 
+def _quantize(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    scale: int,
+    out_id: str | None = None,
+) -> DataFrame:
+    """Shared integer-grid quantization (``floor(v * scale)`` per dim
+    as columns `_e0.._e{dim-1}`).  kmeans_lloyd and semantic_dedup MUST
+    use the identical expression — the dedup's norms/dots only line up
+    with the cluster assignment (and with the unrolled SQL oracles)
+    because both sit on the same grid.  float32 -> double happens
+    BEFORE scaling: engines disagree on float*int promotion, but
+    double math is IEEE-identical."""
+    idc = F.col(id_col)
+    return vecs.select(
+        idc.alias(out_id) if out_id else idc,
+        *[
+            F.floor(F.col(vec_col)[d].cast("double") * scale)
+            .cast("long")
+            .alias(f"_e{d}")
+            for d in range(dim)
+        ],
+    )
+
+
 def kmeans_lloyd(
     vecs: DataFrame,
     k: int = 8,
@@ -187,27 +214,8 @@ def kmeans_lloyd(
     is explicit (fixed-round, like `exact_rounds` propagation) so the
     job's cost is known a priori rather than convergence-dependent.
     """
-    q = vecs.select(
-        F.col(id_col).alias("_id"),
-        *[
-            # cast float32 -> double BEFORE scaling: engines disagree on
-            # float*int promotion, but double math is IEEE-identical
-            F.floor(F.col(vec_col)[d].cast("double") * scale)
-            .cast("long")
-            .alias(f"_e{d}")
-            for d in range(dim)
-        ],
-    ).persist()
-
-    init = (
-        q.withColumn("_h", F.md5(F.col("_id").cast("string")))
-        .orderBy("_h", "_id")
-        .limit(k)
-        .collect()
-    )
-    if len(init) < k:
-        raise ValueError(f"need at least k={k} vectors, got {len(init)}")
-    cents: list[list] = [[r[f"_e{d}"] for d in range(dim)] for r in init]
+    q = _quantize(vecs, id_col, vec_col, dim, scale, out_id="_id")
+    q = q.persist()
 
     def _assign(frame: DataFrame) -> DataFrame:
         # score_j = |c_j|^2 - 2 x.c_j  (= dist_j - |x|^2): same argmin
@@ -236,6 +244,17 @@ def kmeans_lloyd(
         return frame.withColumn("cluster", cluster)
 
     try:
+        init = (
+            q.withColumn("_h", F.md5(F.col("_id").cast("string")))
+            .orderBy("_h", "_id")
+            .limit(k)
+            .collect()
+        )
+        if len(init) < k:
+            raise ValueError(
+                f"need at least k={k} vectors, got {len(init)}"
+            )
+        cents = [[r[f"_e{d}"] for d in range(dim)] for r in init]
         for _ in range(iters - 1):
             a = _assign(q)
             stats = {
@@ -301,15 +320,26 @@ def semantic_dedup(
         vecs, k=k, iters=iters, dim=dim, id_col=id_col,
         vec_col=vec_col, scale=scale,
     )
-    q = vecs.select(
-        F.col(id_col),
-        *[
-            F.floor(F.col(vec_col)[d].cast("double") * scale)
-            .cast("long")
-            .alias(f"_e{d}")
-            for d in range(dim)
-        ],
-    )
+    q = _quantize(vecs, id_col, vec_col, dim, scale)
+    # overflow guard: the threshold comparison computes
+    # dot^2 * tau2_den and tau2_num * |a|^2 * |b|^2 in BIGINT.  With a
+    # max absolute component A, both are bounded by
+    # max(tau2_den, tau2_num) * (dim * A^2)^2; past 2^63 Spark (ANSI
+    # off) silently wraps while the SQL oracle errors — a data-
+    # dependent divergence from the bit-identical contract.  One cheap
+    # aggregate checks the bound and fails loudly; callers lower
+    # `scale` for large-norm embeddings.
+    max_abs = q.agg(
+        F.max(F.greatest(*[F.abs(F.col(f"_e{d}")) for d in range(dim)]))
+    ).collect()[0][0]
+    if max_abs:
+        bound = max(tau2_den, tau2_num) * (dim * int(max_abs) ** 2) ** 2
+        if bound >= 2**63:
+            raise ValueError(
+                f"semantic_dedup integer threshold would overflow: max "
+                f"|component| {max_abs} at scale={scale} (bound "
+                f"{bound:.2e} >= 2^63) — lower `scale`"
+            )
     norm2 = None
     for d in range(dim):
         t = F.col(f"_e{d}") * F.col(f"_e{d}")

@@ -200,4 +200,9 @@ def range_shard_by_value(
     shard = F.lit(0)
     for b in boundaries:
         shard = shard + (F.col(value_col) > F.lit(b)).cast("int")
-    return df.withColumn("shard", shard.cast("int"))
+    # the when-wrap, not NULL propagation through the sum, carries the
+    # NULL contract: with an empty boundary list (n_shards=1, or an
+    # all-NULL column) the sum is the constant 0 and would otherwise
+    # assign NULL-valued rows to shard 0
+    shard = F.when(F.col(value_col).isNotNull(), shard.cast("int"))
+    return df.withColumn("shard", shard)

@@ -773,7 +773,9 @@ def test_incremental_rollup_view_matches_full_recompute(spark, tmp_path):
     # the retention tag pins the view's sync frontier on the SOURCE so
     # snapshot expiry cannot collect the pre-image snapshot; it must
     # have advanced from the bootstrap version to the synced head
-    assert t.tags().get("ivm_view") == t.current().version
+    from omniparser_spark.lake.views import _view_tag
+
+    assert t.tags().get(_view_tag(view.path)) == t.current().version
 
     # further source changes keep syncing incrementally: delete a/2
     merge_into(
@@ -793,3 +795,66 @@ def test_incremental_rollup_view_matches_full_recompute(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         rollup_delta(t, 1, group_col="text")
+
+
+def test_incremental_view_null_metric_and_evolution(spark, tmp_path):
+    """Review findings (r4): (a) a metric turning NULL must contribute
+    a 0-vs-old delta, not a NULL that silently drops the row's update;
+    (b) the view must sync across an additive schema evolution on the
+    source (pre-images NULL-fill columns born after the frontier);
+    (c) two views sharing a path basename must not share a retention
+    tag."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as SF
+
+    from omniparser_spark.lake.views import (
+        _view_tag,
+        create_rollup_view,
+        sync_rollup_view,
+    )
+
+    t = _make(spark, tmp_path)
+    metrics = {"chars": lambda g: SF.length(g("text"))}
+    view = create_rollup_view(
+        spark, str(tmp_path / "v1" / "view"), t,
+        group_col="conv_id", metrics=metrics,
+    )
+
+    # (a) update a/1's text to NULL: chars for conv a must DROP by 5
+    before = {r.conv_id: r.chars for r in view.read().collect()}
+    merge_into(
+        t, _batch(spark, [("a", 1, None, 6, 7, "U")]),
+        batch_id=2, max_offset=7,
+    )
+    # (b) additive evolution AFTER the view's frontier, then another
+    # change touching the new column
+    t.evolve_schema_additive(
+        T.StructType([T.StructField("extra", T.StringType(), True)])
+    )
+    sync_rollup_view(t, view, group_col="conv_id", metrics=metrics)
+    after = {r.conv_id: r.chars for r in view.read().collect()}
+    assert after["a"] == before["a"] - 5
+    # full recompute: sum(length(text)) skips the NULL text, exactly
+    # the view's NULL-contributes-0 semantics
+    full = {
+        r.conv_id: (r.chars or 0)
+        for r in t.read().groupBy("conv_id")
+        .agg(SF.sum(SF.length("text")).alias("chars")).collect()
+    }
+    assert after == full
+
+    # (c) same-basename second view on the same source: distinct tag
+    view2 = create_rollup_view(
+        spark, str(tmp_path / "v2" / "view"), t,
+        group_col="conv_id", metrics=metrics,
+    )
+    assert _view_tag(view.path) != _view_tag(view2.path)
+    assert len([n for n in t.tags() if n.startswith("ivm_view")]) == 2
+
+    # create-time merge-key validation (not first-sync)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        create_rollup_view(
+            spark, str(tmp_path / "bad"), t, group_col="text",
+        )
