@@ -80,6 +80,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="lake consistency check (metadata refs, orphans, "
                          "bucket-hash + merge-key integrity), print the "
                          "report, exit non-zero on errors")
+    ap.add_argument("--create-view", default=None, metavar="PATH",
+                    help="bootstrap a per-conversation rollup view "
+                         "(n_rows + chars over the transcript schema) at "
+                         "PATH from --table's current state, then exit")
+    ap.add_argument("--sync-view", default=None, metavar="PATH",
+                    help="advance the rollup view at PATH to --table's "
+                         "head from changelog deltas only (O(delta), "
+                         "exactly-once), print the sync record, exit")
     args = ap.parse_args(argv)
 
     erasure = args.erase_where is not None or args.erase_keys is not None
@@ -88,6 +96,8 @@ def main(argv: list[str] | None = None) -> int:
         or args.changelog_since is not None
         or erasure
         or args.fsck
+        or args.create_view is not None
+        or args.sync_view is not None
     )
     if not maintenance and not args.feed:
         ap.error("--feed is required for apply/streaming runs")
@@ -179,6 +189,36 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.replay_quarantine:
         rec = pipe.replay_quarantine()
+        print(json.dumps(rec, default=str))
+        return 0
+    if args.create_view is not None or args.sync_view is not None:
+        # transcript-schema rollup: per-conv live-turn count + char sum
+        # (the additively maintainable aggregates views.py supports)
+        from omniparser_spark.lake.views import (
+            create_rollup_view,
+            sync_rollup_view,
+        )
+
+        metrics = {"chars": lambda g: F.length(g("text"))}
+        if args.create_view is not None:
+            view = create_rollup_view(
+                spark, args.create_view, pipe.table,
+                group_col="conv_id", metrics=metrics,
+            )
+            print(json.dumps({
+                "view": args.create_view,
+                "groups": view.read().count(),
+                "source_version": int(view.summary()["max_offset_applied"]),
+            }))
+            return 0
+        if not LakeTable.exists(args.sync_view):
+            print(f"error: no view table at {args.sync_view}",
+                  file=sys.stderr)
+            return 2
+        view = LakeTable.load(spark, args.sync_view)
+        rec = sync_rollup_view(
+            pipe.table, view, group_col="conv_id", metrics=metrics
+        )
         print(json.dumps(rec, default=str))
         return 0
     if args.fsck:

@@ -858,3 +858,43 @@ def test_incremental_view_null_metric_and_evolution(spark, tmp_path):
         create_rollup_view(
             spark, str(tmp_path / "bad"), t, group_col="text",
         )
+
+
+def test_view_cli_create_and_sync(spark, tmp_path, capsys):
+    import json as _json
+
+    from omniparser_spark.__main__ import main
+
+    t = _make(spark, tmp_path)
+    vpath = str(tmp_path / "cliview")
+    assert main([
+        "--table", str(tmp_path / "t"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--create-view", vpath,
+    ]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["groups"] == 1  # conv a only (b fully deleted)
+
+    # change the source, then CLI-sync the view
+    merge_into(
+        t, _batch(spark, [("c", 1, "c1", 3, 6, "I")]),
+        batch_id=2, max_offset=6,
+    )
+    assert main([
+        "--table", str(tmp_path / "t"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--sync-view", vpath,
+    ]) == 0
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["fenced"] is False
+    view = LakeTable.load(spark, vpath)
+    assert {r.conv_id: r.n_rows for r in view.read().collect()} == {
+        "a": 2, "c": 1,
+    }
+
+    # missing view path fails fast, never creates an empty table
+    assert main([
+        "--table", str(tmp_path / "t"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--sync-view", str(tmp_path / "nope"),
+    ]) == 2
