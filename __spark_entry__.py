@@ -4220,6 +4220,162 @@ def _decontaminate(spark, sf_dir):
     )
 
 
+@_q(
+    "corpus_curation_funnel",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+      FROM documents
+    ),
+    canon AS (
+      SELECT md5(ntext) AS ch, min(doc_id) AS keep_id
+      FROM norm GROUP BY md5(ntext)
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(lower(trim(text)),
+               '[^\\p{{L}}\\p{{Nd}}]+')) AS ws
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+             len(list_filter(ws, x -> list_contains({_LANGID_STOPWORDS_SQL['de']}, x))) AS n_de,
+             len(list_filter(ws, x -> list_contains({_LANGID_STOPWORDS_SQL['en']}, x))) AS n_en,
+             len(list_filter(ws, x -> list_contains({_LANGID_STOPWORDS_SQL['es']}, x))) AS n_es,
+             len(list_filter(ws, x -> list_contains({_LANGID_STOPWORDS_SQL['fr']}, x))) AS n_fr
+      FROM w
+    ),
+    lang AS (
+      SELECT doc_id,
+             CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+                  WHEN n_de = greatest(n_de, n_en, n_es, n_fr) THEN 'de'
+                  WHEN n_en = greatest(n_de, n_en, n_es, n_fr) THEN 'en'
+                  WHEN n_es = greatest(n_de, n_en, n_es, n_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_id
+      FROM sc
+    ),
+    m AS (
+      SELECT doc_id,
+             length(text)::DOUBLE AS n,
+             length(regexp_replace(text, '[^\\p{{L}}]', '', 'g'))::DOUBLE
+               AS n_alpha,
+             length(regexp_replace(text, '[\\p{{L}}\\p{{Nd}}\\s]', '', 'g'))::DOUBLE
+               AS n_punct,
+             (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END)::DOUBLE AS n_tokens
+      FROM documents
+    ),
+    qual AS (
+      SELECT doc_id,
+             round(least(n_tokens / 20.0, 1.0)
+                   * (CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END)
+                   * (1.0 - CASE WHEN n > 0
+                                 THEN least(n_punct / n * 4.0, 1.0)
+                                 ELSE 1.0 END), 6) AS q
+      FROM m
+    ),
+    base AS (
+      SELECT doc_id, regexp_split_to_array(ntext, ' ') AS ws2
+      FROM norm WHERE length(ntext) > 0
+    ),
+    rep AS (
+      SELECT doc_id,
+             round(1 - len(list_distinct(ws2)) / len(ws2)::DOUBLE, 6)
+               AS dupf
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(ws2) >= 3 THEN
+          list_transform(range(1, len(ws2) - 1),
+            i -> ws2[i] || ' ' || ws2[i+1] || ' ' || ws2[i+2])
+        ELSE [array_to_string(ws2, ' ')] END) AS g
+      FROM base
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    hits AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN ev USING (g))
+    SELECT d.doc_id,
+           (d.doc_id = c.keep_id) AS is_canonical,
+           (lang.lang_id = 'en') AS is_en,
+           (qual.q >= 0.82) AS q_ok,
+           (coalesce(rep.dupf, 0) <= 0.5) AS rep_ok,
+           (h.doc_id IS NULL) AS clean,
+           ((d.doc_id = c.keep_id) AND lang.lang_id = 'en'
+            AND qual.q >= 0.82 AND coalesce(rep.dupf, 0) <= 0.5
+            AND h.doc_id IS NULL) AS keep
+    FROM documents d
+    JOIN norm nn ON nn.doc_id = d.doc_id
+    JOIN canon c ON c.ch = md5(nn.ntext)
+    JOIN lang ON lang.doc_id = d.doc_id
+    JOIN qual ON qual.doc_id = d.doc_id
+    LEFT JOIN rep ON rep.doc_id = d.doc_id
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+)
+def _corpus_curation_funnel(spark, sf_dir):
+    """The end-to-end pretraining-corpus curation funnel, composed
+    ENTIRELY from already-oracle-checked engine operators: exact-dedup
+    canonical keep (dedup_exact), language filter (detect_language ==
+    'en'), quality gate (quality_score >= 0.82), Gopher repetition gate
+    (dup_word_frac <= 0.5), and eval-set decontamination (3-gram,
+    every-50th-doc eval split).  Emits every stage's flag plus the
+    final `keep` so the oracle pins each filter AND their conjunction —
+    the 'materialize the training corpus' query a user of this engine
+    actually runs.  Every stage is a scan-bound column expression or
+    one map-side-combinable aggregate; the only joins are the broadcast
+    decontamination semi-join and the canonical-hash group join."""
+    from omniparser_spark.functions.text import (
+        detect_language,
+        quality_score,
+        repetition_profile,
+    )
+    from omniparser_spark.operators.dedup_text import (
+        decontaminate,
+        dedup_exact,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    kept = dedup_exact(d).select("doc_id").withColumn(
+        "_canon", F.lit(True)
+    )
+    rep = repetition_profile(d).select("doc_id", "dup_word_frac")
+    _clean, contaminated = decontaminate(
+        d, d.filter(F.col("doc_id") % 50 == 0), n=3
+    )
+    cont = contaminated.select("doc_id").withColumn("_cont", F.lit(True))
+
+    out = (
+        d.select(
+            "doc_id",
+            (detect_language(F.col("text")) == "en").alias("is_en"),
+            (quality_score(F.col("text")) >= 0.82).alias("q_ok"),
+        )
+        .join(kept, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_canon"), F.lit(False)).alias("is_canonical"),
+            "is_en",
+            "q_ok",
+            (F.coalesce(F.col("dup_word_frac"), F.lit(0.0)) <= 0.5).alias(
+                "rep_ok"
+            ),
+            F.col("_cont").isNull().alias("clean"),
+        )
+    )
+    keep = (
+        F.col("is_canonical")
+        & F.col("is_en")
+        & F.col("q_ok")
+        & F.col("rep_ok")
+        & F.col("clean")
+    )
+    return out.withColumn("keep", keep)
+
+
 @_q("cdc_wap_final_state", _CDC_FINAL_STATE_SQL)
 def _cdc_wap(spark, sf_dir):
     """Write-audit-publish replay (lake/table.py publish, merge stage):
@@ -4795,6 +4951,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_interval_join",
     "cdc_incremental_view",
     "semantic_dedup_embeddings",
+    "corpus_curation_funnel",
     # -- latest driver row is r2 (rotated out of the r3 window); all
     #    were r2-green, refreshed here
     "agg_pricing_summary",
