@@ -206,3 +206,31 @@ def range_shard_by_value(
     # assign NULL-valued rows to shard 0
     shard = F.when(F.col(value_col).isNotNull(), shard.cast("int"))
     return df.withColumn("shard", shard)
+
+
+def export_epoch(
+    df: DataFrame,
+    path: str,
+    epoch: int,
+    key_col: str = "doc_id",
+    n_parts: int = 64,
+) -> str:
+    """Materialize one training epoch as rank-ordered parquet files:
+    `part=P/` directories whose rows are laid out in `epoch_rank`
+    order, so a reader that walks part 0..n-1 sequentially visits the
+    whole corpus exactly once in the epoch's deterministic
+    pseudorandom order (:func:`epoch_shuffle`) — the write side of the
+    reproducible-epoch contract.
+
+    One hash shuffle (repartition by epoch_part) + an in-task sort
+    bounded at ~rows/n_parts; no global sort.  Re-running the export
+    for the same (corpus, epoch) produces byte-identical row order."""
+    out = epoch_shuffle(df, epoch, key_col=key_col, n_parts=n_parts)
+    (
+        out.repartition(n_parts, F.col("epoch_part"))
+        .sortWithinPartitions("epoch_rank")
+        .write.mode("overwrite")
+        .partitionBy("epoch_part")
+        .parquet(path)
+    )
+    return path

@@ -151,3 +151,37 @@ def test_range_shard_heavy_value_gets_own_shard(spark):
     out = range_shard_by_value(d, "v", 4)
     shards_of_7 = out.filter(F.col("v") == 7).select("shard").distinct()
     assert shards_of_7.count() == 1
+
+
+def test_export_epoch_files_read_back_in_shuffle_order(spark, tmp_path):
+    from omniparser_spark.operators.sampling import (
+        epoch_shuffle,
+        export_epoch,
+    )
+
+    d = _docs(spark, 600, 8)
+    path = str(tmp_path / "epoch3")
+    export_epoch(d, path, epoch=3, key_col="doc_id", n_parts=8)
+
+    # reading parts in order, rows in file order, reproduces the
+    # epoch_shuffle permutation exactly
+    expect = {
+        (r.epoch_part, r.epoch_rank): r.doc_id
+        for r in epoch_shuffle(d, 3, n_parts=8).collect()
+    }
+    import glob
+
+    seen = {}
+    total = 0
+    for pdir in sorted(glob.glob(f"{path}/epoch_part=*")):
+        part = int(pdir.rsplit("=", 1)[1])
+        pdf = (
+            spark.read.parquet(pdir).toPandas()
+        )  # single in-order file read per part
+        ranks = list(pdf["epoch_rank"])
+        assert ranks == sorted(ranks)  # laid out in rank order on disk
+        for rk, did in zip(pdf["epoch_rank"], pdf["doc_id"]):
+            seen[(part, int(rk))] = int(did)
+        total += len(pdf)
+    assert total == 600
+    assert seen == expect
