@@ -4919,88 +4919,249 @@ def _kmeans_clusters(spark, sf_dir):
     )
 
 
+_NESTED_ORACLE = """
+WITH li AS (
+  -- the synthetic lineitem carries duplicate (orderkey, linenumber)
+  -- pairs; collapse deterministically so line numbers are unique
+  SELECT l_orderkey, l_linenumber,
+         min(l_partkey) AS l_partkey, min(l_suppkey) AS l_suppkey
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+),
+lines AS (
+  SELECT o_orderkey % 40 AS file_id, o_orderkey * 40 AS line_no,
+         'H' AS t, o_orderkey::VARCHAR AS val FROM orders
+  UNION ALL
+  SELECT o_orderkey % 40, o_orderkey * 40 + 1, 'M', o_orderstatus
+  FROM orders
+  UNION ALL
+  SELECT l_orderkey % 40, l_orderkey * 40 + 4 * l_linenumber + 4, 'L',
+         l_linenumber::VARCHAR FROM li
+  UNION ALL
+  SELECT l_orderkey % 40, l_orderkey * 40 + 4 * l_linenumber + 5, 'C',
+         (l_partkey % 10)::VARCHAR FROM li
+  UNION ALL
+  SELECT l_orderkey % 40, l_orderkey * 40 + 4 * l_linenumber + 6, 'C',
+         (l_suppkey % 5)::VARCHAR FROM li
+  UNION ALL
+  SELECT o_orderkey % 40, o_orderkey * 40 + 36, 'T', 'T' FROM orders
+),
+t1 AS (
+  SELECT *,
+    sum(CASE WHEN t = 'H' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY file_id ORDER BY line_no) AS oseq,
+    sum(CASE WHEN t = 'L' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY file_id ORDER BY line_no) AS iseq,
+    max(CASE WHEN t = 'L' THEN line_no END)
+      OVER (PARTITION BY file_id ORDER BY line_no) AS open_ln,
+    max(CASE WHEN t NOT IN ('L', 'C') THEN line_no END)
+      OVER (PARTITION BY file_id ORDER BY line_no) AS close_ln
+  FROM lines
+),
+t2 AS (
+  SELECT *,
+    max(CASE WHEN t = 'H' THEN iseq END)
+      OVER (PARTITION BY file_id ORDER BY line_no) AS i_at_o
+  FROM t1
+),
+t3 AS (
+  SELECT *,
+    CASE WHEN t IN ('L', 'C') AND t <> 'H' AND open_ln IS NOT NULL
+              AND (close_ln IS NULL OR open_ln > close_ln)
+         THEN iseq - coalesce(i_at_o, 0) ELSE 0 END AS igrp
+  FROM t2
+),
+inner_g AS (
+  SELECT file_id, oseq, igrp,
+         max(CASE WHEN t = 'L' THEN val END) AS lval,
+         coalesce(string_agg(CASE WHEN t = 'C' THEN val END, '|'
+                             ORDER BY line_no), '') AS kids,
+         min(line_no) AS first_ln
+  FROM t3 WHERE igrp > 0
+  GROUP BY file_id, oseq, igrp
+),
+loops AS (
+  SELECT file_id, oseq,
+         string_agg(lval || ':' || kids, ';' ORDER BY first_ln) AS loops,
+         count(*) AS n_inner
+  FROM inner_g GROUP BY file_id, oseq
+),
+outer_g AS (
+  SELECT file_id, oseq,
+         max(CASE WHEN t = 'H' THEN val END) AS okey,
+         count(CASE WHEN t <> 'H' AND igrp = 0 THEN 1 END) AS n_direct,
+         coalesce(string_agg(CASE WHEN t <> 'H' AND igrp = 0 THEN val END,
+                             ',' ORDER BY line_no), '') AS direct_vals
+  FROM t3 GROUP BY file_id, oseq
+)
+SELECT g.file_id, g.oseq::BIGINT AS record_seq, g.okey,
+       g.n_direct::BIGINT AS n_direct,
+       coalesce(l.n_inner, 0)::BIGINT AS n_inner,
+       g.direct_vals, coalesce(l.loops, '') AS loops
+FROM outer_g g LEFT JOIN loops l USING (file_id, oseq)
+"""
+
+
+@_q("assembly_nested_loops", _NESTED_ORACLE)
+def _assembly_nested_loops(spark, sf_dir):
+    """Two-level hierarchical assembly in ONE sort pass
+    (operators/assembly.py assemble_nested): order headers (H) carry
+    direct children (M meta + T trailer) and nested L loops each
+    holding two C segments — the reference's nested segment-group
+    extraction (fileformat/flatfile/hierarchyReader.go:50-272, EDI
+    seg_group nesting) without composing two assemble_parent_child
+    passes. The member predicate pops the loop stack when a
+    non-member (T) arrives, so trailing outer segments attach to the
+    OUTER record — the r5 fix over naive prefix-sum grouping. One
+    Exchange + one Sort in the whole plan (both group-bys reuse the
+    window's file partitioning); occurs validation runs at both
+    levels."""
+    from omniparser_spark.operators.assembly import assemble_nested
+
+    o = _t(spark, sf_dir, "orders")
+    # collapse the synthetic data's duplicate (orderkey, linenumber)
+    # pairs deterministically — line numbers must be unique for the
+    # stream to have a well-defined order
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.min("l_partkey").alias("l_partkey"),
+            F.min("l_suppkey").alias("l_suppkey"),
+        )
+    )
+    k = F.col("o_orderkey")
+    lk = F.col("l_orderkey")
+    h = o.select(
+        (k % 40).alias("file_id"), (k * 40).alias("line_no"),
+        F.lit("H").alias("t"), k.cast("string").alias("val"),
+    )
+    m = o.select(
+        (k % 40).alias("file_id"), (k * 40 + 1).alias("line_no"),
+        F.lit("M").alias("t"), F.col("o_orderstatus").alias("val"),
+    )
+    lmark = li.select(
+        (lk % 40).alias("file_id"),
+        (lk * 40 + 4 * F.col("l_linenumber") + 4).alias("line_no"),
+        F.lit("L").alias("t"),
+        F.col("l_linenumber").cast("string").alias("val"),
+    )
+    c1 = li.select(
+        (lk % 40).alias("file_id"),
+        (lk * 40 + 4 * F.col("l_linenumber") + 5).alias("line_no"),
+        F.lit("C").alias("t"),
+        (F.col("l_partkey") % 10).cast("string").alias("val"),
+    )
+    c2 = li.select(
+        (lk % 40).alias("file_id"),
+        (lk * 40 + 4 * F.col("l_linenumber") + 6).alias("line_no"),
+        F.lit("C").alias("t"),
+        (F.col("l_suppkey") % 5).cast("string").alias("val"),
+    )
+    tr = o.select(
+        (k % 40).alias("file_id"), (k * 40 + 36).alias("line_no"),
+        F.lit("T").alias("t"), F.lit("T").alias("val"),
+    )
+    lines = h.unionByName(m).unionByName(lmark).unionByName(c1) \
+        .unionByName(c2).unionByName(tr)
+    recs, _quar = assemble_nested(
+        lines,
+        F.col("t") == "H",
+        F.col("t") == "L",
+        type_col="t",
+        outer_occurs_by_type={"M": (1, 1), "T": (1, 1)},
+        inner_occurs_by_type={"C": (2, 2)},
+        is_inner_member=F.col("t").isin("L", "C"),
+    )
+    return recs.select(
+        "file_id",
+        "record_seq",
+        F.col("parent.val").alias("okey"),
+        F.col("n_direct").cast("long").alias("n_direct"),
+        F.col("n_inner").cast("long").alias("n_inner"),
+        F.array_join(
+            F.transform("direct_children", lambda c: c.getField("val")), ","
+        ).alias("direct_vals"),
+        F.array_join(
+            F.transform(
+                "inner_groups",
+                lambda g: F.concat(
+                    g.getField("parent").getField("val"),
+                    F.lit(":"),
+                    F.array_join(
+                        F.transform(
+                            g.getField("children"),
+                            lambda c: c.getField("val"),
+                        ),
+                        "|",
+                    ),
+                ),
+            ),
+            ";",
+        ).alias("loops"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
 # The driver verifies the FIRST 50 entries of queries() in iteration order
 # (CORRECTNESS_r02 covered exactly positions 1-50 of registration order, so
-# round-2's additions at 51-75 never got a driver row).  Emit an explicit
-# priority order instead of raw registration order. Round-4 rotation: first
-# the three r3-red queries (driver-contract shapes fixed this round), then
-# the round's new query, then every query whose latest driver row is the
-# now-stale r2 run, then load-bearing anchors filling the 50-slot window;
-# everything after slot 50 was driver-verified green in r3.
-_DRIVER_PRIORITY: list[str] = [
-    # -- r3 FAIL (shape defects fixed in round 4: HUGEINT-vs-long cast,
-    #    array-typed output columns flattened to b0..b15)
-    "multimodal_pixel_features",
-    "multimodal_audio_features",
-    "pack_texts_materialized",
-    # -- new this round
-    "pack_split_oversize",
-    "multimodal_gif_features",
-    "sample_epoch_shuffle",
-    "select_token_budget",
-    "streaming_dedup_watermark",
-    "multimodal_bmp_features",
-    "kmeans_embedding_clusters",
-    "sample_cluster_balanced",
-    "sample_balanced_sources",
-    "export_range_shards",
-    "streaming_interval_join",
-    "cdc_incremental_view",
-    "semantic_dedup_embeddings",
-    "corpus_curation_funnel",
-    # -- latest driver row is r2 (rotated out of the r3 window); all
-    #    were r2-green, refreshed here
-    "agg_pricing_summary",
-    "array_reshape",
-    "assembly_payload",
-    "assembly_rows_envelope",
-    "cardinality_guard",
-    "cast_matrix",
-    "cosine_topk_bruteforce",
-    "decode_ediish_roundtrip",
-    "decode_json_nested",
-    "dedup_exact_groups",
-    "embedding_near_dups_lsh",
-    "filter_predicate",
-    "func_datetime_suite",
-    "func_string_suite",
-    "func_tz_convert",
-    "func_uuidv3",
-    "ivf_topk_ann",
-    "join_broadcast_enrich",
-    "minhash_lsh_candidates",
-    "minhash_signature",
-    "ngram_jaccard_capped",
-    "ngram_jaccard_pairs",
-    "object_reshape",
-    "project_dynamic",
-    "sessionize_events",
-    "simhash_near_dups",
-    "simhash_signature",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_count",
-    "topk_per_group",
-    "trim_and_prune",
-    # -- load-bearing anchors (r3-green) filling the window
-    "cdc_replay_final_state",
-    "cdc_streaming_apply",
-    "quarantine_deadletter",
-    "lww_dedup",
-    "lww_dedup_salted",
-    "lww_dedup_window",
-    "spec_transform",
-    "decode_csv_roundtrip",
-    "decode_json_payload",
-    "decode_edi_hierarchy",
-    "decontaminate_ngrams",
-]
+# round-2's additions at 51-75 never got a driver row).  Rounds 2-4 rotated a
+# hand-written priority list; round 4's list was stranded when the driver's
+# CORRECTNESS_r04.json landed AFTER the last commit (48 newly-stale queries
+# outside the window).  Derive the order from the CORRECTNESS_r*.json
+# artifacts at import time instead, so a late-landing artifact re-sorts the
+# window automatically:
+#   1. latest driver row RED (broken contract shapes — fix-verify first),
+#   2. never driver-verified (new queries this round),
+#   3. stale green rows, oldest round first (freshness rotation),
+#   4. fresh green rows (verified against the newest artifact),
+# registration order breaking ties within each tier (stable across runs).
+
+
+def _derive_driver_priority(registered: list[str]) -> list[str]:
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, tuple[int, bool]] = {}
+    rounds: list[tuple[int, dict]] = []
+    for fname in os.listdir(repo):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(repo, fname)) as fh:
+                rounds.append((int(m.group(1)), json.load(fh)))
+        except (OSError, ValueError):
+            continue  # unreadable artifact: ignore, never crash the entry
+    for rnd, rows in sorted(rounds):
+        for name, row in rows.items():
+            green = bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            )
+            latest[name] = (rnd, green)
+    newest = max((rnd for rnd, _ in rounds), default=0)
+
+    def tier(name: str) -> tuple[int, int]:
+        if name not in latest:
+            return (1, 0)
+        rnd, green = latest[name]
+        if not green:
+            return (0, rnd)
+        if rnd < newest:
+            return (2, rnd)  # oldest stale-green first
+        return (3, rnd)
+
+    order = {n: i for i, n in enumerate(registered)}
+    return sorted(registered, key=lambda n: (*tier(n), order[n]))
+
+
+_DRIVER_PRIORITY: list[str] = _derive_driver_priority(list(_QUERIES))
 
 
 def _ordered(reg: dict) -> dict:

@@ -275,3 +275,221 @@ def assemble_delimited_payload(
     header = F.element_at(F.filter(parsed, is_hdr), 1)
     details = F.filter(parsed, lambda fs: fs.getItem(0) != parent_prefix)
     return df.withColumn("header", header).withColumn("details", details)
+
+
+def assemble_nested(
+    lines: DataFrame,
+    is_outer: Column,
+    is_inner: Column,
+    file_col: str = "file_id",
+    order_col: str = "line_no",
+    type_col: str | None = None,
+    outer_occurs_by_type: dict[str, tuple[int, int | None]] | None = None,
+    inner_occurs_by_type: dict[str, tuple[int, int | None]] | None = None,
+    is_inner_member: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level hierarchical assembly in ONE sort pass.
+
+    The reference's stack machine handles arbitrarily nested record
+    groups (``fileformat/flatfile/hierarchyReader.go:50-272``; EDI
+    segment groups ``fileformat/edi/seg.go``) — e.g. the UPS 210
+    sample's ST transaction loop containing LX charge loops.  Composing
+    two :func:`assemble_parent_child` passes expresses that, but costs
+    two full shuffles + three sorts of the line stream.  This operator
+    is the plan you'd actually want at scale: **one exchange on
+    file_col, one sort on order_col**, under which three running sums
+    evaluate the whole two-level stack state per row:
+
+    - ``_oseq``  = outer markers seen so far  (which outer group),
+    - ``_iseq``  = inner markers seen so far  (global within file),
+    - ``_i_at_o`` = ``_iseq`` value on the current outer marker row,
+
+    so ``_iseq - _i_at_o`` is the inner-group ordinal *within* the
+    outer group (0 = the outer record's own direct children).  Both
+    group-bys key on prefixes of (file, _oseq, inner ordinal) and
+    therefore reuse the window's hash partitioning — Catalyst inserts
+    no further exchange (verified via .explain: a single Exchange node
+    in the whole plan).
+
+    Returns ``(outer_records, quarantine)``:
+
+    - ``outer_records``: one row per outer group — ``parent`` (struct
+      of the outer marker line), ``direct_children`` (array<struct>,
+      lines before the first inner marker), ``inner_groups``
+      (array<struct<parent, children, n_children>> in stream order),
+      ``n_direct``, ``n_inner``.
+    - ``quarantine``: orphan lines before the first outer marker, and
+      groups violating the per-type occurs bounds at either level
+      (``outer_occurs_by_type`` checks direct children counts per
+      outer group; ``inner_occurs_by_type`` checks children counts per
+      inner group), mirroring ``ErrFewerThanMinOccurs`` /
+      ``ErrUnexpectedData``.
+    """
+    if (outer_occurs_by_type or inner_occurs_by_type) and not type_col:
+        raise ValueError("occurs_by_type requires type_col")
+    payload_cols = [c for c in lines.columns if c not in (file_col, order_col)]
+    w = (
+        Window.partitionBy(file_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = (
+        lines.withColumn("_is_o", is_outer)
+        .withColumn("_is_i", is_inner)
+        .withColumn("_oseq", F.sum(F.col("_is_o").cast("int")).over(w))
+        .withColumn("_iseq", F.sum(F.col("_is_i").cast("int")).over(w))
+        .withColumn(
+            "_i_at_o",
+            F.max(F.when(F.col("_is_o"), F.col("_iseq"))).over(w),
+        )
+        .withColumn(
+            "_is_m",
+            F.lit(True) if is_inner_member is None else is_inner_member,
+        )
+        # stack pop: an inner group stays open only until the next row
+        # that is an outer marker or NOT an inner member (the reference
+        # pops the loop when a segment outside the group's child set
+        # arrives, hierarchyReader.go matching) — so trailing outer
+        # segments (e.g. X12 L3/SE after the last LX loop) attach to
+        # the OUTER record, not the last inner group. With the default
+        # all-true member predicate only outer markers close, which is
+        # the plain "everything after an inner marker is loop content"
+        # reading.
+        .withColumn(
+            "_open", F.max(F.when(F.col("_is_i"), F.col(order_col))).over(w)
+        )
+        .withColumn(
+            "_close",
+            F.max(
+                F.when(F.col("_is_o") | ~F.col("_is_m"), F.col(order_col))
+            ).over(w),
+        )
+        .withColumn(
+            "_in_i",
+            F.col("_is_m")
+            & ~F.col("_is_o")
+            & F.col("_open").isNotNull()
+            & (F.col("_close").isNull() | (F.col("_open") > F.col("_close"))),
+        )
+        .withColumn(
+            "_igrp",
+            F.when(
+                F.col("_in_i"),
+                F.col("_iseq") - F.coalesce(F.col("_i_at_o"), F.lit(0)),
+            ).otherwise(F.lit(0)),
+        )
+    )
+
+    packed = F.struct(*[F.col(c) for c in payload_cols])
+
+    # finest level first: one bucket per (outer group, inner ordinal);
+    # ordinal 0 carries the outer marker row + its direct children
+    fine = tagged.groupBy(file_col, "_oseq", "_igrp").agg(
+        F.max_by(
+            packed, F.when(F.col("_is_o") | F.col("_is_i"), F.col(order_col))
+        ).alias("g_parent"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    ~F.col("_is_o") & ~F.col("_is_i"),
+                    F.struct(F.col(order_col).alias("_ord"), packed.alias("rec")),
+                )
+            )
+        ).alias("_kids"),
+        F.min(order_col).alias("_first_ln"),
+    )
+    fine = fine.withColumn(
+        "g_children", F.transform("_kids", lambda k: k.getField("rec"))
+    ).drop("_kids")
+
+    # nest upward: groups are ~lines/inner_size rows, partitioning on
+    # file_col is retained, so this agg shuffles nothing
+    outer = fine.groupBy(file_col, "_oseq").agg(
+        F.max_by("g_parent", F.when(F.col("_igrp") == 0, 1)).alias("parent"),
+        F.flatten(
+            F.collect_list(F.when(F.col("_igrp") == 0, F.col("g_children")))
+        ).alias("direct_children"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("_igrp") > 0,
+                    F.struct(
+                        F.col("_first_ln").alias("_ord"),
+                        F.col("g_parent").alias("parent"),
+                        F.col("g_children").alias("children"),
+                        F.size("g_children").alias("n_children"),
+                    ),
+                )
+            )
+        ).alias("inner_groups"),
+    )
+    outer = (
+        outer.withColumn("n_direct", F.size("direct_children"))
+        .withColumn("n_inner", F.size("inner_groups"))
+    )
+
+    orphan = F.col("_oseq") == 0
+    bad = orphan
+    err = F.when(orphan, "unexpected data before first outer record")
+    for rec_type, (mn, mx) in (outer_occurs_by_type or {}).items():
+        n_t = F.size(
+            F.filter(
+                F.col("direct_children"),
+                lambda c: c.getField(type_col) == rec_type,  # noqa: B023
+            )
+        )
+        t_few = n_t < mn
+        t_many = n_t > mx if mx is not None else F.lit(False)
+        bad = bad | t_few | t_many
+        err = err.when(
+            t_few, f"outer type {rec_type!r}: fewer than min_occurs={mn}"
+        ).when(t_many, f"outer type {rec_type!r}: more than max_occurs={mx}")
+    for rec_type, (mn, mx) in (inner_occurs_by_type or {}).items():
+        viol_few = F.exists(
+            F.col("inner_groups"),
+            lambda g: F.size(
+                F.filter(
+                    g.getField("children"),
+                    lambda c: c.getField(type_col) == rec_type,  # noqa: B023
+                )
+            )
+            < mn,  # noqa: B023
+        )
+        viol_many = (
+            F.exists(
+                F.col("inner_groups"),
+                lambda g: F.size(
+                    F.filter(
+                        g.getField("children"),
+                        lambda c: c.getField(type_col) == rec_type,  # noqa: B023
+                    )
+                )
+                > mx,  # noqa: B023
+            )
+            if mx is not None
+            else F.lit(False)
+        )
+        bad = bad | viol_few | viol_many
+        err = err.when(
+            viol_few, f"inner type {rec_type!r}: fewer than min_occurs={mn}"
+        ).when(
+            viol_many, f"inner type {rec_type!r}: more than max_occurs={mx}"
+        )
+
+    records = outer.filter(~bad).select(
+        file_col,
+        F.col("_oseq").alias("record_seq"),
+        "parent",
+        "direct_children",
+        "inner_groups",
+        "n_direct",
+        "n_inner",
+    )
+    quarantine = outer.filter(bad).select(
+        file_col,
+        F.col("_oseq").alias("record_seq"),
+        "n_direct",
+        "n_inner",
+        err.alias("error"),
+    )
+    return records, quarantine

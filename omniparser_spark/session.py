@@ -92,6 +92,21 @@ def get_spark(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
             "2",
         )
+        # ObjectHashAggregate (collect_list/max_by — the hierarchical
+        # assembly and packing operators) falls back to SORT-based
+        # aggregation after only 128 distinct keys in the hash map,
+        # forcing a full extra sort of the nested payloads per agg
+        # operator (measured 3x wall on the 1.2M-segment EDI nested
+        # assembly: 10.2s -> 3.6s warm). Raise the fallback to 256k
+        # entries: input partitions are bounded by maxPartitionBytes
+        # (16 MiB here, <=128 MiB on any sane deployment), so even a
+        # fully buffered partition of collect_list groups stays far
+        # under executor memory; the fallback still protects against a
+        # pathological giant-partition input.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            "262144",
+        )
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

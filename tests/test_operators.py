@@ -354,3 +354,110 @@ def test_decontaminate_flags_ngram_overlap(spark):
     # grams only, no cross-doc hits
     clean13, cont13 = decontaminate(docs, ev, n=13)
     assert sorted(r.doc_id for r in cont13.collect()) == [4]
+
+
+def test_assemble_nested_two_level(spark):
+    from omniparser_spark.operators.assembly import assemble_nested
+
+    rows = [
+        ("f1", 0, "XX"),   # stray before first outer -> quarantine
+        ("f1", 1, "ST"),
+        ("f1", 2, "B3"),   # direct child (non-member)
+        ("f1", 3, "N9"),   # member type at header level -> direct child
+        ("f1", 4, "LX"),
+        ("f1", 5, "L0"),
+        ("f1", 6, "L1"),
+        ("f1", 7, "LX"),
+        ("f1", 8, "L1"),
+        ("f1", 9, "L3"),   # non-member AFTER loops: pops to outer
+        ("f1", 10, "SE"),
+        ("f1", 11, "ST"),
+        ("f1", 12, "B3"),
+        ("f1", 13, "LX"),
+        ("f1", 14, "L1"),
+        ("f1", 15, "SE"),
+    ]
+    df = spark.createDataFrame(rows, "file_id string, line_no int, seg_name string")
+    recs, quar = assemble_nested(
+        df,
+        F.col("seg_name") == "ST",
+        F.col("seg_name") == "LX",
+        type_col="seg_name",
+        is_inner_member=F.col("seg_name").isin("LX", "N9", "L0", "L1"),
+    )
+    by_seq = {r["record_seq"]: r for r in recs.collect()}
+    r1 = by_seq[1]
+    assert r1["parent"]["seg_name"] == "ST"
+    # direct children keep stream order; post-loop L3/SE pop back out
+    assert [c["seg_name"] for c in r1["direct_children"]] == [
+        "B3", "N9", "L3", "SE",
+    ]
+    assert [
+        (g["parent"]["seg_name"], [c["seg_name"] for c in g["children"]])
+        for g in r1["inner_groups"]
+    ] == [("LX", ["L0", "L1"]), ("LX", ["L1"])]
+    assert (r1["n_direct"], r1["n_inner"]) == (4, 2)
+    r2 = by_seq[2]
+    assert [c["seg_name"] for c in r2["direct_children"]] == ["B3", "SE"]
+    assert r2["n_inner"] == 1
+    q = {r["record_seq"]: r["error"] for r in quar.collect()}
+    assert 0 in q and "before first outer" in q[0]
+
+
+def test_assemble_nested_occurs_quarantine(spark):
+    from omniparser_spark.operators.assembly import assemble_nested
+
+    rows = [
+        ("f1", 1, "ST"), ("f1", 2, "B3"),
+        ("f1", 3, "LX"), ("f1", 4, "L1"), ("f1", 5, "L1"),
+        ("f1", 6, "SE"),
+        # txn 2: inner loop missing its mandatory L1 pair
+        ("f1", 7, "ST"), ("f1", 8, "B3"),
+        ("f1", 9, "LX"), ("f1", 10, "L1"),
+        ("f1", 11, "SE"),
+        # txn 3: missing B3 at outer level
+        ("f1", 12, "ST"),
+        ("f1", 13, "LX"), ("f1", 14, "L1"), ("f1", 15, "L1"),
+        ("f1", 16, "SE"),
+    ]
+    df = spark.createDataFrame(rows, "file_id string, line_no int, seg_name string")
+    recs, quar = assemble_nested(
+        df,
+        F.col("seg_name") == "ST",
+        F.col("seg_name") == "LX",
+        type_col="seg_name",
+        outer_occurs_by_type={"B3": (1, 1), "SE": (1, 1)},
+        inner_occurs_by_type={"L1": (2, 2)},
+        is_inner_member=F.col("seg_name").isin("LX", "L1"),
+    )
+    assert [r["record_seq"] for r in recs.collect()] == [1]
+    q = {r["record_seq"]: r["error"] for r in quar.collect()}
+    assert "fewer than min_occurs=2" in q[2]   # inner L1 violation
+    assert "fewer than min_occurs=1" in q[3]   # outer B3 violation
+
+
+def test_assemble_nested_single_exchange_plan(spark):
+    """The whole point of the operator: one Exchange, one Sort — both
+    group-bys reuse the window's hash partitioning on file_id."""
+    import io
+    from contextlib import redirect_stdout
+
+    from omniparser_spark.operators.assembly import assemble_nested
+
+    lines = spark.range(1000).select(
+        (F.col("id") % 4).alias("file_id"),
+        F.col("id").alias("line_no"),
+        F.when(F.col("id") % 50 == 1, "ST")
+        .when(F.col("id") % 9 == 2, "LX")
+        .otherwise("DT")
+        .alias("seg_name"),
+    )
+    recs, _ = assemble_nested(
+        lines, F.col("seg_name") == "ST", F.col("seg_name") == "LX"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        recs.explain()  # simple mode: each physical node printed once
+    plan = buf.getvalue()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") <= 1, plan
