@@ -108,11 +108,13 @@ class RoutedPipeline:
         loss. Offset fencing is immune: new offsets are by construction
         past every committed frontier.
 
-        If a crash left destinations at different frontiers, the batch
-        that straddles a leader's frontier re-applies a committed
-        prefix of rows to it; the merge is idempotent under LWW + the
-        per-row offset fence, so re-application changes no state (the
-        only cost is duplicate work for that one batch)."""
+        If a crash left destinations at different frontiers, a batch
+        that straddles a leader's frontier is TRIMMED to the suffix at
+        or past that destination's frontier before apply: the table
+        merge would be idempotent either way (LWW + per-row offset
+        fence), but re-applying the committed prefix would re-emit its
+        bad rows to quarantine under the new batch_id — side outputs
+        must stay exactly-once too."""
         results: dict[str, list[dict[str, Any]]] = {n: [] for n in self.routes}
         canon_full = normalize_flagged(feed)  # ONE decode tree per run
 
@@ -134,7 +136,8 @@ class RoutedPipeline:
                 canon = canon_full.filter(rng).persist()
                 try:
                     for name, pipe in self.pipes.items():
-                        if end < pipe.checkpoints.next_offset():
+                        frontier = pipe.checkpoints.next_offset()
+                        if end < frontier:
                             # offset fence: this destination already
                             # committed past this whole range — skip
                             # WITHOUT a checkpoint write (a commit here
@@ -157,11 +160,23 @@ class RoutedPipeline:
                                 }
                             )
                             continue
+                        # a batch straddling this destination's
+                        # frontier (crash left frontiers uneven) trims
+                        # to the UNCOMMITTED suffix: re-applying the
+                        # committed prefix would be a LWW/fence no-op
+                        # on the table but would re-write its bad rows
+                        # to quarantine under the new batch_id,
+                        # inflating quarantine records/metrics and
+                        # breaking the exactly-once-covers-side-outputs
+                        # contract
+                        b_start = max(start, frontier)
+                        suffix = F.col("offset") >= b_start
                         results[name].append(
                             pipe.apply_batch(
-                                raw,
+                                raw if b_start == start
+                                else raw.filter(suffix),
                                 pipe.checkpoints.next_batch_id(),
-                                start,
+                                b_start,
                                 end,
                                 # bad rows (NULL canonical cols) match
                                 # no content route — keep them in every
@@ -169,7 +184,8 @@ class RoutedPipeline:
                                 # capture sees them (split_flagged sends
                                 # them to quarantine, never the table)
                                 _canon=canon.filter(
-                                    self.routes[name]() | ~F.col("_ok")
+                                    (self.routes[name]() | ~F.col("_ok"))
+                                    & suffix
                                 ),
                             )
                         )

@@ -378,6 +378,39 @@ class LakeTable:
             os.replace(tmp, hint)
         return snap
 
+    def abandon_stage(self, version: int) -> None:
+        """Explicitly discard a PENDING staged snapshot (an audit that
+        failed, or a stage the caller walked away from). Deletes the
+        staged metadata file under the commit lock; the staged data
+        directories become unreferenced and the next
+        :meth:`expire_snapshots` collects them.
+
+        Without this, an abandoned stage wedges every later commit at
+        the same version number with ConcurrentCommitError until
+        `stage_grace_seconds` (default 24 h) ages it out — abandoning
+        is documented as legal, so it needs a same-moment release
+        valve, not a day-long wait.
+
+        Refuses to touch anything at or below the published head (those
+        are committed snapshots, not stages) or a version with no
+        metadata file."""
+        v = int(version)
+        with self._commit_lock():
+            hint = os.path.join(self._meta_dir, VERSION_HINT)
+            with open(hint) as f:
+                head = int(f.read().strip())
+            if v <= head:
+                raise ValueError(
+                    f"v{v} is at or below the published head v{head} — "
+                    "a committed snapshot, not a pending stage"
+                )
+            meta_path = os.path.join(self._meta_dir, f"v{v}.metadata.json")
+            if not os.path.exists(meta_path):
+                raise FileNotFoundError(
+                    f"no staged snapshot v{v} to abandon"
+                )
+            os.remove(meta_path)
+
     def _write_snapshot(
         self, snap: Snapshot, expected_parent: int | None = None
     ) -> None:
@@ -480,12 +513,15 @@ class LakeTable:
         metadata are fully written but the main pointer does NOT move —
         readers keep seeing the old head. Audit the staged snapshot via
         ``read(version=snap.version)``, then :meth:`publish` it (atomic
-        fast-forward) or simply abandon it (a batch re-delivery after a
-        crash re-stages; orphaned staged files are collected by
-        ``expire_snapshots`` once they age past its stage grace
-        period). Staged and non-staged commits for DIFFERENT batches
-        collide on the same version number; both paths refuse to
-        clobber a pending stage for another batch.
+        fast-forward) or discard it with :meth:`abandon_stage` (a batch
+        re-delivery after a crash re-stages; orphaned staged files are
+        collected by ``expire_snapshots`` once they age past its stage
+        grace period). Staged and non-staged commits for DIFFERENT
+        batches collide on the same version number; both paths refuse
+        to clobber a pending stage for another batch — so a stage left
+        pending WEDGES all later commits (ConcurrentCommitError) until
+        it is published, abandoned via :meth:`abandon_stage`, or aged
+        out by expiry's ``stage_grace_seconds`` (default 24 h).
         """
         prev = self.current()
         version = prev.version + 1

@@ -204,9 +204,35 @@ def sync_rollup_view(
     from_version = int(vsum["max_offset_applied"])
     src_head = table.current().version
     to_v = src_head if to_version is None else to_version
+
+    tag = _view_tag(view.path)
+    tag_next = f"{tag}_next"
+    # SELF-HEAL FIRST (r4 ADVICE): the primary tag must pin the version
+    # the view currently REFLECTS before anything else moves. A crash
+    # in a previous sync between the view's merge commit and the tag
+    # advance leaves the view's frontier (the next sync's from_version,
+    # which read_changes_with_preimage must read as a full snapshot)
+    # unpinned — aggressive source expiry could then collect it and
+    # force a view re-bootstrap. Re-pinning here closes that window as
+    # long as any sync (even a fenced no-op one) runs before expiry
+    # catches up; if the snapshot is already gone this raises
+    # FileNotFoundError loudly and the view needs a re-bootstrap.
+    table.retarget_tag(tag, from_version)
     if to_v <= from_version:
+        # fenced — also collect a leftover in-flight pin from the
+        # crashed sync that brought the view to from_version
+        try:
+            table.drop_tag(tag_next)
+        except KeyError:
+            pass
         return {"fenced": True, "from_version": from_version,
                 "to_version": to_v, "groups_touched": 0}
+    # upper-bound pin BEFORE the merge: from the instant the view's
+    # merge commits, the view reflects to_v, and to_v is already held
+    # by tag_next — there is no state in which the reflected version
+    # is unpinned (the primary still holds from_version for the delta
+    # read happening below)
+    table.retarget_tag(tag_next, to_v)
 
     metric_names = list((metrics or {}).keys())
     delta = rollup_delta(
@@ -238,11 +264,15 @@ def sync_rollup_view(
         max_offset=to_v,
     )
     if rec is not None:
-        # advance the retention tag to the new frontier in ONE atomic
-        # tags write (drop-then-create leaves a crash window in which
-        # neither snapshot is pinned and expiry can collect the view's
-        # new frontier)
-        table.retarget_tag(_view_tag(view.path), to_v)
+        # hand off: advance the primary pin to the new frontier (ONE
+        # atomic tags write), then release the in-flight pin. A crash
+        # between the two leaves to_v double-pinned — harmless; the
+        # next sync's fenced path drops the leftover.
+        table.retarget_tag(tag, to_v)
+        try:
+            table.drop_tag(tag_next)
+        except KeyError:
+            pass
     return {
         "fenced": rec is None,
         "from_version": from_version,

@@ -898,3 +898,122 @@ def test_view_cli_create_and_sync(spark, tmp_path, capsys):
         "--checkpoint", str(tmp_path / "ck"),
         "--sync-view", str(tmp_path / "nope"),
     ]) == 2
+
+
+def test_view_sync_crash_window_keeps_frontier_pinned(spark, tmp_path):
+    """ADVICE (r4): a crash between the view's merge commit and the
+    retention-tag advance used to leave the view's new frontier
+    unpinned — aggressive source expiry could collect that snapshot and
+    the next sync (which must read it as the pre-image base) would die
+    with FileNotFoundError, forcing a re-bootstrap. The sync now (a)
+    pins to_v under an in-flight tag BEFORE the merge, and (b) heals
+    the primary pin to the view's reflected version at the start of
+    every sync, so the reflected frontier is pinned in every state."""
+    from pyspark.sql import functions as SF
+
+    from omniparser_spark.lake.views import (
+        _view_tag,
+        create_rollup_view,
+        sync_rollup_view,
+    )
+
+    t = _make(spark, tmp_path)
+    metrics = {"chars": lambda g: SF.length(g("text"))}
+    view = create_rollup_view(
+        spark, str(tmp_path / "view"), t,
+        group_col="conv_id", metrics=metrics, version=1,
+    )
+    rec = sync_rollup_view(t, view, group_col="conv_id", metrics=metrics)
+    to_v = rec["to_version"]
+    tag = _view_tag(view.path)
+
+    # simulate the crash window: merge committed (view reflects to_v)
+    # but the primary tag still points at the old frontier and the
+    # in-flight pin was never released
+    t.retarget_tag(tag, 1)
+    t.retarget_tag(f"{tag}_next", to_v)
+
+    # aggressive source expiry while in that state: the in-flight pin
+    # must keep the view's reflected snapshot alive
+    t.expire_snapshots(keep_last=1)
+    t.snapshot_at(to_v)  # still readable
+
+    # next sync (no new source changes -> fenced) heals the pins
+    rec2 = sync_rollup_view(t, view, group_col="conv_id", metrics=metrics)
+    assert rec2["fenced"]
+    assert t.tags().get(tag) == to_v
+    assert f"{tag}_next" not in t.tags()
+
+    # and an incremental sync from the healed state still works
+    merge_into(
+        t,
+        _batch(spark, [("a", 2, None, 5, 6, "D")]),
+        batch_id=2,
+        max_offset=6,
+    )
+    # re-create the crashed shape once more, this time with pending
+    # source changes: the heal happens first, then the delta sync
+    t.retarget_tag(tag, 1)
+    t.retarget_tag(f"{tag}_next", to_v)
+    rec3 = sync_rollup_view(t, view, group_col="conv_id", metrics=metrics)
+    assert not rec3["fenced"]
+    got = {r.conv_id: (r.n_rows, r.chars) for r in view.read().collect()}
+    full = {
+        r.conv_id: (r.n, r.chars)
+        for r in t.read().groupBy("conv_id")
+        .agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.sum(SF.length("text")).alias("chars"),
+        ).collect()
+    }
+    assert got == full
+    assert t.tags().get(tag) == t.current().version
+    assert f"{tag}_next" not in t.tags()
+
+
+def test_abandon_stage_releases_wedged_commits(spark, tmp_path):
+    """ADVICE (r4): the clobber guard blocks ALL later commits while a
+    pending stage for a different batch exists — correct, but an
+    abandoned stage then wedged normal commits for up to
+    stage_grace_seconds (24 h). abandon_stage(version) is the explicit
+    release valve: delete the pending metadata, commits flow again,
+    expiry collects the orphaned staged data."""
+    import pytest as _pytest
+
+    from omniparser_spark.lake.table import ConcurrentCommitError
+
+    t = _make(spark, tmp_path)
+    head = t.current().version
+    staged = merge_into(
+        t, _batch(spark, [("s", 1, "staged", 3, 60, "I")]),
+        batch_id=5, max_offset=60, stage=True,
+    )
+    sv = staged["snapshot_version"]
+    assert sv == head + 1 and t.current().version == head
+
+    # a different batch's normal commit is wedged by the pending stage
+    with _pytest.raises(ConcurrentCommitError):
+        merge_into(
+            t, _batch(spark, [("z", 1, "z1", 3, 61, "I")]),
+            batch_id=6, max_offset=61,
+        )
+
+    # refusals: committed snapshots and missing stages are untouchable
+    with _pytest.raises(ValueError):
+        t.abandon_stage(head)
+    with _pytest.raises(FileNotFoundError):
+        t.abandon_stage(sv + 5)
+
+    t.abandon_stage(sv)
+    # the wedge is gone: the same commit now succeeds at that version
+    rec = merge_into(
+        t, _batch(spark, [("z", 1, "z1", 3, 61, "I")]),
+        batch_id=6, max_offset=61,
+    )
+    assert rec is not None and t.current().version == sv
+    # the staged batch's row never entered the table
+    assert t.read().filter("conv_id = 's'").count() == 0
+    # and the abandoned stage's data dirs are collectible orphans
+    t.expire_snapshots(keep_last=2)
+    rep = t.fsck(check_rows=False)
+    assert rep["ok"], rep

@@ -461,3 +461,93 @@ def test_assemble_nested_single_exchange_plan(spark):
     plan = buf.getvalue()
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Sort ") <= 1, plan
+
+
+def test_curation_funnel_stage_independence(spark):
+    """Verdict item (r4): the composed corpus-curation funnel is the
+    flagship composition — pin that composing the five stages changes
+    NO stage's verdict (each flag equals the standalone operator run
+    alone), that `keep` is exactly the conjunction, and that dropping
+    one stage from the conjunction re-admits exactly the docs failing
+    only that stage. Guards against a future operator change silently
+    coupling stages."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as SF
+
+    from omniparser_spark.functions.text import (
+        detect_language,
+        quality_score,
+        repetition_profile,
+    )
+    from omniparser_spark.operators.dedup_text import (
+        decontaminate,
+        dedup_exact,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = entrymod.queries()["corpus_curation_funnel"](spark, sf_dir)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    flags = ["is_canonical", "is_en", "q_ok", "rep_ok", "clean"]
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # each stage recomputed STANDALONE, no composition
+    standalone = {
+        "is_canonical": {
+            r["doc_id"] for r in dedup_exact(d).select("doc_id").collect()
+        },
+        "is_en": {
+            r["doc_id"]
+            for r in d.filter(
+                detect_language(SF.col("text")) == "en"
+            ).select("doc_id").collect()
+        },
+        "q_ok": {
+            r["doc_id"]
+            for r in d.filter(
+                quality_score(SF.col("text")) >= 0.82
+            ).select("doc_id").collect()
+        },
+        "rep_ok": {
+            r["doc_id"]
+            for r in repetition_profile(d)
+            .filter(SF.col("dup_word_frac") <= 0.5)
+            .select("doc_id").collect()
+        },
+    }
+    _clean, contaminated = decontaminate(
+        d, d.filter(SF.col("doc_id") % 50 == 0), n=3
+    )
+    dirty = {r["doc_id"] for r in contaminated.select("doc_id").collect()}
+    standalone["clean"] = set(rows) - dirty
+
+    for f in flags:
+        composed = {i for i, r in rows.items() if r[f]}
+        assert composed == standalone[f], (
+            f"stage {f} verdict changed under composition: "
+            f"{len(composed ^ standalone[f])} docs differ"
+        )
+
+    # keep == conjunction of the five flags, row by row
+    for i, r in rows.items():
+        assert r["keep"] == all(r[f] for f in flags), i
+
+    # toggling one stage out of the conjunction re-admits exactly the
+    # docs that fail ONLY that stage
+    for f in flags:
+        others = [g for g in flags if g != f]
+        admitted = {
+            i for i, r in rows.items()
+            if all(r[g] for g in others) and not r["keep"]
+        }
+        fail_only_f = {
+            i for i, r in rows.items()
+            if not r[f] and all(r[g] for g in others)
+        }
+        assert admitted == fail_only_f, f
+    # the funnel is a real filter at this SF: some docs fail each of
+    # at least two distinct stages (non-degenerate composition)
+    failing_stages = {f for f in flags if any(not r[f] for r in rows.values())}
+    assert len(failing_stages) >= 2, failing_stages

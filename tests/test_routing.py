@@ -313,3 +313,89 @@ def test_routed_crash_plus_growth_redrives_clamped_tail(spark, tmp_path):
         assert _sorted_rows(rp.read(name)) == _sorted_rows(
             fresh.read(name)
         ), name
+
+
+def test_routed_straddling_batch_does_not_requarantine_prefix(
+    spark, tmp_path
+):
+    """ADVICE (r4): a batch straddling a LEADER destination's frontier
+    used to be fully re-applied under a new batch id — the table merge
+    is an idempotent no-op, but the quarantine side-output re-wrote the
+    committed prefix's bad rows under the new batch_id dir, inflating
+    quarantine records. The batch is now trimmed per destination to
+    offsets >= its frontier, so every bad offset appears in a
+    destination's dead-letter dir exactly once."""
+    import datetime
+
+    ts = datetime.datetime(2024, 7, 1, 12, 0, 0)
+    rows = []
+    for off in range(12):
+        if off % 4 == 0:
+            rows.append((off, "U", "mystery", f"???{off}", ts, 0))
+        else:
+            conv = "cA" if off % 2 else "cB"
+            rows.append((
+                off, "U", "json",
+                '{"conv_id":"%s","turn_idx":%d,"role":"user",'
+                '"text":"t%d","ts":"2024-07-01T12:00:00Z"}' % (conv, off, off),
+                ts, 0,
+            ))
+    feed = spark.createDataFrame(
+        rows,
+        "offset long, op string, format string, payload string, "
+        "ts timestamp, source_part int",
+    )
+    base = str(tmp_path / "straddle")
+    routed = RoutedPipeline(
+        spark, base,
+        routes={
+            "a": lambda: F.col("conv_id") == "cA",
+            "b": lambda: F.col("conv_id") == "cB",
+        },
+        n_buckets=2, n_source_parts=1,
+    )
+    # both destinations commit [0, 7] (bad offsets 0 and 4 quarantined)
+    routed.run_feed(feed, 8, batch_size=8)
+    # destination "a" alone commits [8, 9] (bad offset 8 quarantined),
+    # leaving frontiers uneven: a at 10, b at 8
+    pa = routed.pipes["a"]
+    pa.apply_batch(
+        feed.filter((F.col("offset") >= 8) & (F.col("offset") <= 9)),
+        pa.checkpoints.next_batch_id(), 8, 9,
+    )
+    assert pa.checkpoints.next_offset() == 10
+    assert routed.pipes["b"].checkpoints.next_offset() == 8
+
+    # resume: the grid restarts at the laggard (8); the [8, 11] batch
+    # straddles a's frontier and must be trimmed to [10, 11] for it
+    recs = routed.run_feed(feed, 12, batch_size=12)
+    a_last = recs["a"][-1]
+    assert a_last["offset_start"] == 10, a_last
+
+    # bad offset 8 sits in a's dead-letter dir EXACTLY once
+    dead_a = spark.read.parquet(f"{base}/a/dead")
+    assert dead_a.filter(F.col("offset") == 8).count() == 1
+    # and a's full quarantine is exactly the three bad offsets
+    assert sorted(
+        r["offset"] for r in dead_a.select("offset").collect()
+    ) == [0, 4, 8]
+    # b quarantined each bad offset once too
+    dead_b = spark.read.parquet(f"{base}/b/dead")
+    assert sorted(
+        r["offset"] for r in dead_b.select("offset").collect()
+    ) == [0, 4, 8]
+
+    # final state still equals a fresh replay
+    fresh = RoutedPipeline(
+        spark, str(tmp_path / "straddle_fresh"),
+        routes={
+            "a": lambda: F.col("conv_id") == "cA",
+            "b": lambda: F.col("conv_id") == "cB",
+        },
+        n_buckets=2, n_source_parts=1,
+    )
+    fresh.run_feed(feed, 12, batch_size=12)
+    for name in ("a", "b"):
+        assert _sorted_rows(routed.read(name)) == _sorted_rows(
+            fresh.read(name)
+        ), name
