@@ -5101,6 +5101,93 @@ def _assembly_nested_loops(spark, sf_dir):
     )
 
 
+@_q(
+    "multimodal_jpeg_features",
+    """
+    WITH params AS (
+      SELECT i AS media_id, 1 + i % 3 AS wb, 1 + (i * 2) % 3 AS hb
+      FROM generate_series(0, 49) t(i)
+    ),
+    tiles AS (
+      SELECT p.media_id, p.wb, p.hb,
+             (128 + 2 * (((bx.v * 31 + byy.v * 17 + p.media_id) % 64)
+                         - 32)) // 16 AS b
+      FROM params p
+      JOIN generate_series(0, 2) bx(v) ON bx.v < p.wb
+      JOIN generate_series(0, 2) byy(v) ON byy.v < p.hb
+    ),
+    buckets AS (SELECT v AS b FROM generate_series(0, 15) t(v)),
+    counts AS (
+      SELECT media_id, b, 64 * count(*) AS c FROM tiles GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT p.media_id, p.wb, p.hb, bu.b, coalesce(c.c, 0) AS c
+      FROM params p CROSS JOIN buckets bu
+      LEFT JOIN counts c ON c.media_id = p.media_id AND c.b = bu.b
+    )
+    SELECT media_id, (8 * wb)::INT AS width, (8 * hb)::INT AS height,
+           max(CASE WHEN b = 0 THEN c END)::BIGINT AS b0,
+           max(CASE WHEN b = 1 THEN c END)::BIGINT AS b1,
+           max(CASE WHEN b = 2 THEN c END)::BIGINT AS b2,
+           max(CASE WHEN b = 3 THEN c END)::BIGINT AS b3,
+           max(CASE WHEN b = 4 THEN c END)::BIGINT AS b4,
+           max(CASE WHEN b = 5 THEN c END)::BIGINT AS b5,
+           max(CASE WHEN b = 6 THEN c END)::BIGINT AS b6,
+           max(CASE WHEN b = 7 THEN c END)::BIGINT AS b7,
+           max(CASE WHEN b = 8 THEN c END)::BIGINT AS b8,
+           max(CASE WHEN b = 9 THEN c END)::BIGINT AS b9,
+           max(CASE WHEN b = 10 THEN c END)::BIGINT AS b10,
+           max(CASE WHEN b = 11 THEN c END)::BIGINT AS b11,
+           max(CASE WHEN b = 12 THEN c END)::BIGINT AS b12,
+           max(CASE WHEN b = 13 THEN c END)::BIGINT AS b13,
+           max(CASE WHEN b = 14 THEN c END)::BIGINT AS b14,
+           max(CASE WHEN b = 15 THEN c END)::BIGINT AS b15
+    FROM dense GROUP BY media_id, wb, hb
+    """,
+)
+def _multimodal_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode end-to-end (operators/multimodal.py
+    decode_jpeg_pixels): valid JPEGs (SOI/DQT/SOF0/DHT/SOS markers,
+    Annex-K Huffman tables, byte-stuffed entropy stream) are decoded —
+    Huffman + differential DC + dequant + float IDCT — inside the
+    mapInPandas feature extractor. make_jpeg's mosaic is exactly
+    representable (DC-only blocks, even offsets, q00=16), so the
+    decoded pixel-value histogram must equal the oracle's closed-form
+    tile formula; a byte-level shortcut on the compressed stream
+    cannot reproduce the counts. Same b0..b15 scalar-column convention
+    as multimodal_pixel_features. The entropy layer's AC/ZRL/EOB paths
+    are pinned separately by tests/test_multimodal_probe.py."""
+    from omniparser_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        make_jpeg,
+    )
+
+    rows = []
+    for i in range(50):
+        w, h = 8 * (1 + i % 3), 8 * (1 + (i * 2) % 3)
+        rows.append(
+            (i, "image", bytearray(make_jpeg(w, h, seed=i)),
+             ("image/jpeg", w, h, 0))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media)
+    wb = 1 + F.col("media_id") % 3
+    hb = 1 + (F.col("media_id") * 2) % 3
+    width = (8 * wb).cast("int")
+    height = (8 * hb).cast("int")
+    total = (width * height).cast("double")
+    return feats.select(
+        "media_id",
+        width.alias("width"),
+        height.alias("height"),
+        *[
+            F.round(F.col("features")[i] * total).cast("long").alias(f"b{i}")
+            for i in range(16)
+        ],
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

@@ -391,11 +391,12 @@ def _byte_histogram(blob: bytes) -> list[float]:
 
 
 def _decode_image(blob: bytes, meta) -> list[float]:
-    """PNG: REAL pixel decode (inflate + unfilter) -> normalized
-    PIXEL-VALUE histogram over FEATURE_DIM buckets (value // 16 for
-    8-bit), invariant to how the IDAT stream was compressed/filtered.
-    Other containers (JPEG etc. — no codec libs in this sandbox):
-    deterministic byte-histogram stand-in, clearly not pixel-derived."""
+    """PNG/GIF/BMP/JPEG: REAL pixel decode (inflate+unfilter / LZW /
+    BGR bottom-up / Huffman+dequant+IDCT) -> normalized PIXEL-VALUE
+    histogram over FEATURE_DIM buckets (value // 16 for 8-bit),
+    invariant to how the stream was compressed. Unrecognized
+    containers: deterministic byte-histogram stand-in, clearly not
+    pixel-derived."""
     if blob is None:
         raise NotImplementedError("image decode requires a codec library")
     if blob[:8] == _PNG_SIG:
@@ -422,6 +423,15 @@ def _decode_image(blob: bytes, meta) -> list[float]:
         hist = [0] * FEATURE_DIM
         for i in range(0, len(rgb), 3):
             hist[rgb[i] * FEATURE_DIM // 256] += 1
+        total = max(sum(hist), 1)
+        return [h / total for h in hist]
+    if blob[:2] == b"\xff\xd8":
+        # REAL baseline JPEG decode (Huffman entropy -> dequant ->
+        # IDCT) -> pixel-value histogram, same buckets as PNG
+        _w, _h, pixels = decode_jpeg_pixels(blob)
+        hist = [0] * FEATURE_DIM
+        for v in pixels:
+            hist[v * FEATURE_DIM // 256] += 1
         total = max(sum(hist), 1)
         return [h / total for h in hist]
     return _byte_histogram(blob)
@@ -756,3 +766,378 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         ).alias("meta"),
     )
     return df
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / ISO 10918-1), pure stdlib + numpy IDCT.
+#
+# Scope (honest gates, same policy as the PNG/GIF/BMP decoders above):
+# sequential baseline DCT (SOF0), 8-bit, single-component (grayscale)
+# scans, Huffman entropy coding with byte stuffing. Progressive (SOF2),
+# arithmetic coding, restart intervals, and multi-component chroma
+# subsampling raise NotImplementedError rather than decode wrong.
+#
+# The reference contains no media code at all; this exists for the
+# engine's multimodal ingest surface (SURVEY.md §2 LLM-pipeline ops).
+# ---------------------------------------------------------------------------
+
+# zig-zag scan order: index i of the zigzag sequence -> natural
+# (row-major) position in the 8x8 block (T.81 Figure 5)
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 typical Huffman tables (luminance): (BITS counts 1..16,
+# HUFFVAL symbol list) — the standard public tables every baseline
+# encoder ships
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 Annex C): symbol ->
+    (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-serial decoder."""
+    return {
+        (ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (B.1.1.5)
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)  # 1-fill to byte boundary
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    real marker (0xFF followed by non-zero)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("entropy stream truncated at 0xFF")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("marker inside entropy segment")
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _category(v: int) -> int:
+    """DC/AC magnitude category SSSS (T.81 F.1.2.1.1)."""
+    a, s = abs(v), 0
+    while a:
+        a >>= 1
+        s += 1
+    return s
+
+
+def _extend(bits_val: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: bit pattern -> signed amplitude."""
+    if size == 0:
+        return 0
+    if bits_val < (1 << (size - 1)):
+        return bits_val - (1 << size) + 1
+    return bits_val
+
+
+def encode_jpeg_blocks(
+    width: int,
+    height: int,
+    qblocks: list[list[int]],
+    quant: list[int],
+) -> bytes:
+    """Assemble a valid baseline grayscale JPEG from QUANTIZED
+    coefficient blocks (natural row-major order, one 64-list per 8x8
+    block in raster block order). Exposed separately from
+    :func:`make_jpeg` so tests can drive arbitrary AC runs / ZRL / EOB
+    shapes through the entropy layer."""
+    import struct
+
+    assert width % 8 == 0 and height % 8 == 0, "pad to full blocks"
+    dc_map = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_map = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+    for blk in qblocks:
+        zz = [blk[_ZIGZAG[i]] for i in range(64)]
+        diff = zz[0] - prev_dc
+        prev_dc = zz[0]
+        s = _category(diff)
+        code, ln = dc_map[s]
+        w.put(code, ln)
+        if s:
+            amp = diff if diff >= 0 else diff + (1 << s) - 1
+            w.put(amp, s)
+        run = 0
+        last_nz = 0
+        for i in range(63, 0, -1):
+            if zz[i]:
+                last_nz = i
+                break
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_map[0xF0]  # ZRL
+                w.put(code, ln)
+                run -= 16
+            s = _category(zz[i])
+            code, ln = ac_map[(run << 4) | s]
+            w.put(code, ln)
+            amp = zz[i] if zz[i] >= 0 else zz[i] + (1 << s) - 1
+            w.put(amp, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_map[0x00]  # EOB
+            w.put(code, ln)
+    entropy = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(quant[_ZIGZAG[i]] for i in range(64)))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
+def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+    """A complete, valid baseline grayscale JPEG. The image is a mosaic
+    of constant 8x8 tiles, value
+
+        v(bx, by) = 128 + 2 * (((bx*31 + by*17 + seed) % 64) - 32)
+
+    chosen so every tile is EXACTLY representable after quantization
+    (a constant block has only a DC coefficient; v-128 is even and the
+    DC quantizer is 16, so 8*(v-128) quantizes losslessly) — the
+    decoded pixels equal the closed form bit-for-bit, giving the same
+    compression-invariant oracle pattern as make_png/make_gif/make_bmp
+    while the decoder still runs the full marker/Huffman/dequant/IDCT
+    path."""
+    assert width % 8 == 0 and height % 8 == 0
+    quant = [16] * 64
+    blocks = []
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            v = 128 + 2 * (((bx * 31 + by * 17 + seed) % 64) - 32)
+            blk = [0] * 64
+            blk[0] = (v - 128) // 2  # 8*(v-128)/q00 with q00=16
+            blocks.append(blk)
+    return encode_jpeg_blocks(width, height, blocks, quant)
+
+
+def decode_jpeg_quantized(blob: bytes):
+    """Parse + entropy-decode a baseline grayscale JPEG down to its
+    QUANTIZED coefficient blocks (natural order) — the lossless half of
+    the decoder, exactly invertible against encode_jpeg_blocks.
+    Returns (width, height, quant[64], blocks)."""
+    import struct
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    quant: list[int] | None = None
+    dc_tab: dict | None = None
+    ac_tab: dict | None = None
+    w = h = None
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before SOS")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (length,) = struct.unpack(">H", blob[pos : pos + 2])
+        body = blob[pos + 2 : pos + length]
+        pos += length
+        code = 0xFF00 | marker
+        if code == 0xFFDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq_tq = body[i]
+                if pq_tq >> 4:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = list(body[i + 1 : i + 65])
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_ZIGZAG[k]] = tbl[k]
+                if pq_tq & 0xF == 0:
+                    quant = nat
+                i += 65
+        elif code == 0xFFC0:  # SOF0 baseline
+            _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "multi-component JPEG (color) not supported"
+                )
+        elif code in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                      0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise NotImplementedError(
+                f"non-baseline SOF marker 0xFF{marker:02X}"
+            )
+        elif code == 0xFFC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                tab = _huff_decode_map(bits, vals)
+                if tc_th >> 4 == 0:
+                    dc_tab = tab
+                else:
+                    ac_tab = tab
+                i += 17 + n
+        elif code == 0xFFDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif code == 0xFFDA:  # SOS
+            if None in (quant, dc_tab, ac_tab, w, h):
+                raise ValueError("SOS before DQT/DHT/SOF0")
+            r = _BitReader(blob, pos)
+            nbx, nby = (w + 7) // 8, (h + 7) // 8
+            blocks = []
+            prev_dc = 0
+            for _ in range(nbx * nby):
+                zz = [0] * 64
+                s = r.symbol(dc_tab)
+                diff = _extend(r.bits(s), s)
+                prev_dc += diff
+                zz[0] = prev_dc
+                k = 1
+                while k < 64:
+                    rs = r.symbol(ac_tab)
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _extend(r.bits(size), size)
+                    k += 1
+                nat = [0] * 64
+                for i in range(64):
+                    nat[_ZIGZAG[i]] = zz[i]
+                blocks.append(nat)
+            return w, h, quant, blocks
+    raise ValueError("no SOS segment")
+
+
+def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, bytes]:
+    """Full baseline grayscale decode: entropy decode -> dequantize ->
+    IDCT (float64, T.81 A.3.3) -> level shift -> clamp -> crop.
+    Returns (width, height, pixels row-major)."""
+    import numpy as np
+
+    w, h, quant, blocks = decode_jpeg_quantized(blob)
+    q = np.array(quant, dtype=np.float64).reshape(8, 8)
+    # orthonormal DCT-II basis: C[u, x] = a(u) cos((2x+1) u pi / 16)
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * x + 1) * u * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    c[0, :] = np.sqrt(1.0 / 8.0)
+    nbx = (w + 7) // 8
+    out = np.zeros(((h + 7) // 8 * 8, nbx * 8), dtype=np.uint8)
+    for i, blk in enumerate(blocks):
+        coef = np.array(blk, dtype=np.float64).reshape(8, 8) * q
+        pix = c.T @ coef @ c + 128.0
+        pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        by, bx = divmod(i, nbx)
+        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    return w, h, out[:h, :w].tobytes()

@@ -291,3 +291,151 @@ def test_probe_media_sniffs_bmp(spark):
     assert (got[1].container, got[1].width, got[1].height,
             got[1].bit_depth, got[1].valid) == ("bmp", 12, 5, 24, True)
     assert got[2].valid is False and got[2].error
+
+
+def test_jpeg_mosaic_roundtrip_is_exact():
+    """make_jpeg's constant 8x8 tiles are exactly representable
+    (DC-only blocks, even offsets, q00=16): the full decode — marker
+    parse, Huffman, differential DC, dequant, IDCT, level shift — must
+    reproduce the closed-form mosaic bit-for-bit."""
+    from omniparser_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg,
+    )
+
+    for seed, (w, h) in [(0, (8, 8)), (3, (24, 16)), (11, (16, 24))]:
+        width, height, pix = decode_jpeg_pixels(make_jpeg(w, h, seed))
+        assert (width, height) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                v = 128 + 2 * ((((x // 8) * 31 + (y // 8) * 17 + seed) % 64) - 32)
+                assert pix[y * w + x] == v, (x, y, seed)
+
+
+def test_jpeg_entropy_layer_roundtrips_arbitrary_coefficients():
+    """The lossless half (Huffman AC runs incl. ZRL, EOB, differential
+    DC, zigzag, byte stuffing) must invert exactly for arbitrary
+    quantized blocks — including ones engineered to emit 0xFF entropy
+    bytes (stuffing) and >15 zero runs (ZRL)."""
+    import random
+
+    from omniparser_spark.operators.multimodal import (
+        decode_jpeg_quantized,
+        encode_jpeg_blocks,
+    )
+
+    rng = random.Random(7)
+    blocks = []
+    for _ in range(6):
+        blk = [0] * 64
+        blk[0] = rng.randint(-200, 200)
+        for _ in range(rng.randint(0, 12)):
+            blk[rng.randint(1, 63)] = rng.randint(-80, 80)
+        blocks.append(blk)
+    # adversarial shapes: ZRL (lone coefficient at index 63), max-run
+    # tail, and an all-zero block (pure EOB)
+    zrl = [0] * 64
+    zrl[63] = 5
+    blocks.append(zrl)
+    blocks.append([0] * 64)
+    dense = [((i * 37) % 13) - 6 for i in range(64)]  # no EOB at all
+    blocks.append(dense)
+    quant = [16] + [2 + (i % 7) for i in range(63)]
+    blob = encode_jpeg_blocks(8 * len(blocks), 8, blocks, quant)
+    w, h, q, got = decode_jpeg_quantized(blob)
+    assert (w, h) == (8 * len(blocks), 8)
+    assert q == quant
+    assert got == blocks
+    # stuffing actually occurred somewhere in the corpus (a 0xFF00 pair
+    # inside the entropy segment) — otherwise this test is too gentle
+    sos = blob.find(b"\xff\xda")
+    entropy = blob[sos + 2 + 12 :]
+    assert b"\xff\x00" in entropy
+
+
+def test_jpeg_idct_matches_direct_formula():
+    """Dequant+IDCT against the textbook T.81 A.3.3 double sum,
+    computed independently here — catches basis/transpose mistakes the
+    exact-mosaic test cannot see (its blocks are DC-only)."""
+    import math
+
+    from omniparser_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_blocks,
+    )
+
+    blk = [0] * 64
+    blk[0], blk[1], blk[8], blk[9], blk[18] = 4, 3, -2, 1, -1
+    quant = [16] * 64
+    blob = encode_jpeg_blocks(8, 8, [blk], quant)
+    _w, _h, pix = decode_jpeg_pixels(blob)
+
+    def a(u):
+        return math.sqrt(0.125) if u == 0 else math.sqrt(0.25)
+
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    s += (
+                        a(u) * a(v) * blk[v * 8 + u] * 16
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            want = min(255, max(0, round(s + 128)))
+            assert pix[y * 8 + x] == want, (x, y)
+
+
+def test_jpeg_honest_gates():
+    """Progressive / color / restart-interval JPEGs must refuse loudly,
+    never decode wrong."""
+    import pytest as _pytest
+
+    from omniparser_spark.operators.multimodal import (
+        decode_jpeg_quantized,
+        make_jpeg,
+    )
+
+    good = bytearray(make_jpeg(8, 8, 1))
+    sof = good.find(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[sof + 1] = 0xC2  # SOF2 progressive
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_quantized(bytes(prog))
+    color = bytearray(good)
+    color[sof + 9] = 3  # ncomp=3
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_quantized(bytes(color))
+    with _pytest.raises(ValueError):
+        decode_jpeg_quantized(b"\x00\x01not a jpeg")
+
+
+def test_jpeg_features_are_pixel_derived(spark):
+    """extract_features on JPEG media: the feature vector must be the
+    decoded pixel-value histogram (counts reconstruct exactly), not a
+    byte histogram of the compressed stream."""
+    from omniparser_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        make_jpeg,
+    )
+
+    rows = []
+    for i in range(6):
+        w, h = 8 * (1 + i % 3), 8 * (1 + (i * 2) % 3)
+        rows.append(
+            (i, "image", bytearray(make_jpeg(w, h, seed=i)),
+             ("image/jpeg", w, h, 0))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    for i in range(6):
+        w, h = 8 * (1 + i % 3), 8 * (1 + (i * 2) % 3)
+        want = [0] * 16
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                v = 128 + 2 * (((bx * 31 + by * 17 + i) % 64) - 32)
+                want[v * 16 // 256] += 64
+        got = [round(f * (w * h)) for f in feats[i].features]
+        assert got == want, i
