@@ -19,8 +19,12 @@ view stores its own sync frontier (`max_offset_applied` = the source
 version it reflects).
 
 Supported aggregates: additively maintainable ones (count, sum of any
-expression of the row).  min/max are NOT (a delete can require a
-rescan); refuse them rather than silently corrupt.
+expression of the row) stay pure-delta.  min/max (`minmax_metrics`)
+are maintained incrementally while the old extreme survives, and fall
+back to an AFFECTED-GROUP rescan — one broadcast-semi-joined read of
+the source at the sync frontier restricted to groups whose extreme
+holder was touched — never a full-view recompute, and only on syncs
+that actually dethrone an extreme.
 
 Scale shape: the delta is one pruned changelog scan (per-bucket
 max-offset stats skip cold buckets) + a map-side-combinable aggregate
@@ -51,6 +55,7 @@ def rollup_delta(
     group_col: str = "conv_id",
     metrics: Mapping[str, MetricFn] | None = None,
     to_version: int | None = None,
+    minmax_metrics: Mapping[str, tuple[str, MetricFn]] | None = None,
 ) -> DataFrame:
     """Per-group aggregate DELTAS between two snapshot versions:
     (group, d_n, d_<metric>...) over only the keys that changed.
@@ -100,6 +105,22 @@ def rollup_delta(
             .cast("long")
             .alias(f"d_{name}")
         )
+    for name, (kind, fn) in (minmax_metrics or {}).items():
+        agg = F.min if kind == "min" else F.max
+        # candidate extreme among the group's surviving changed rows,
+        # and the extreme among the TOUCHED rows' pre-image values —
+        # the latter tells the sync whether one of the old extreme's
+        # holders was touched (rescan trigger)
+        aggs.append(
+            agg(F.when(live_post, fn(post_get)))
+            .cast("long")
+            .alias(f"cand_{name}")
+        )
+        aggs.append(
+            agg(F.when(has_pre, fn(pre_get)))
+            .cast("long")
+            .alias(f"pre_{name}")
+        )
     return ch.groupBy(group_col).agg(*aggs)
 
 
@@ -132,6 +153,7 @@ def create_rollup_view(
     metrics: Mapping[str, MetricFn] | None = None,
     version: int | None = None,
     n_buckets: int = 4,
+    minmax_metrics: Mapping[str, tuple[str, MetricFn]] | None = None,
 ) -> LakeTable:
     """Bootstrap the view: ONE full aggregate of the source as of
     `version` (default: current), stored as a LakeTable keyed by the
@@ -152,12 +174,16 @@ def create_rollup_view(
         )
     src_version = table.current().version if version is None else version
     metric_names = list((metrics or {}).keys())
+    mm_names = list((minmax_metrics or {}).keys())
+    for kind, _fn in (minmax_metrics or {}).values():
+        if kind not in ("min", "max"):
+            raise ValueError(f"minmax kind must be 'min'/'max', got {kind!r}")
     group_type = {
         f.name: f.dataType.simpleString() for f in table.schema().fields
     }[group_col]
     fields = ", ".join(
         [f"{group_col} {group_type}", "n_rows long"]
-        + [f"{m} long" for m in metric_names]
+        + [f"{m} long" for m in metric_names + mm_names]
         + ["ts timestamp"]
     )
     view = LakeTable.create(
@@ -168,6 +194,11 @@ def create_rollup_view(
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
         F.sum(fn(lambda c: F.col(c))).cast("long").alias(m)
         for m, fn in (metrics or {}).items()
+    ] + [
+        (F.min if kind == "min" else F.max)(fn(lambda c: F.col(c)))
+        .cast("long")
+        .alias(m)
+        for m, (kind, fn) in (minmax_metrics or {}).items()
     ]
     rows = (
         base.groupBy(group_col)
@@ -176,6 +207,7 @@ def create_rollup_view(
             group_col,
             "n_rows",
             *metric_names,
+            *mm_names,
             _view_row_ts().alias("ts"),
             F.lit(src_version).cast("long").alias("offset"),
             F.lit("U").alias("op"),
@@ -194,6 +226,7 @@ def sync_rollup_view(
     group_col: str = "conv_id",
     metrics: Mapping[str, MetricFn] | None = None,
     to_version: int | None = None,
+    minmax_metrics: Mapping[str, tuple[str, MetricFn]] | None = None,
 ) -> dict:
     """Advance the view to the source's `to_version` (default: head)
     from changelog deltas only.  Idempotent and resumable: the view's
@@ -235,19 +268,78 @@ def sync_rollup_view(
     table.retarget_tag(tag_next, to_v)
 
     metric_names = list((metrics or {}).keys())
+    mm = dict(minmax_metrics or {})
+    mm_names = list(mm.keys())
     delta = rollup_delta(
         table, from_version, group_col=group_col,
-        metrics=metrics, to_version=to_v,
+        metrics=metrics, to_version=to_v, minmax_metrics=mm,
     )
     old = view.read().select(
-        group_col, "n_rows", *metric_names
+        group_col, "n_rows", *metric_names, *mm_names
     )
     joined = delta.join(old, on=group_col, how="left")
     new_n = F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_n")
+
+    # min/max maintenance (r4 verdict stretch): incrementally
+    # maintainable UNLESS a touched row's pre-image value ties the old
+    # extreme — then the extreme may have left the group and only a
+    # rescan of THAT group can recover it. Conservative trigger (a tie
+    # whose post-image kept the same value also rescans — harmless),
+    # exact result. The rescan reads the source AT to_v restricted to
+    # the affected groups: one broadcast-semi-joined scan, O(affected
+    # groups' rows), only on syncs that actually dethrone an extreme —
+    # never part of the steady-state delta path.
+    if mm:
+        rescan_pred = F.lit(False)
+        for m, (kind, _fn) in mm.items():
+            cmp_ = (
+                (F.col(f"pre_{m}") <= F.col(m))
+                if kind == "min"
+                else (F.col(f"pre_{m}") >= F.col(m))
+            )
+            rescan_pred = rescan_pred | (
+                F.col(m).isNotNull()
+                & F.col(f"pre_{m}").isNotNull()
+                & cmp_
+            )
+        rescan_keys = (
+            joined.filter(rescan_pred & (new_n > 0))
+            .select(group_col)
+            .distinct()
+        )
+        rescanned = (
+            table.read(version=to_v)
+            .join(F.broadcast(rescan_keys), on=group_col, how="inner")
+            .groupBy(group_col)
+            .agg(
+                *[
+                    (F.min if kind == "min" else F.max)(
+                        fn(lambda c: F.col(c))
+                    )
+                    .cast("long")
+                    .alias(f"rescan_{m}")
+                    for m, (kind, fn) in mm.items()
+                ]
+            )
+        )
+        joined = joined.join(rescanned, on=group_col, how="left")
+
     new_cols = [new_n.alias("n_rows")] + [
         (F.coalesce(F.col(m), F.lit(0)) + F.col(f"d_{m}")).alias(m)
         for m in metric_names
     ]
+    for m, (kind, _fn) in mm.items():
+        combine = F.least if kind == "min" else F.greatest
+        # rescan wins when present; otherwise fold the changed rows'
+        # candidate into the old extreme (least/greatest skip NULLs,
+        # so new groups take the candidate and untouched-metric groups
+        # keep the old value)
+        new_cols.append(
+            F.coalesce(
+                F.col(f"rescan_{m}"),
+                combine(F.col(m), F.col(f"cand_{m}")),
+            ).alias(m)
+        )
     rows = joined.select(
         group_col,
         *new_cols,

@@ -1017,3 +1017,106 @@ def test_abandon_stage_releases_wedged_commits(spark, tmp_path):
     t.expire_snapshots(keep_last=2)
     rep = t.fsck(check_rows=False)
     assert rep["ok"], rep
+
+
+def test_incremental_view_minmax_with_affected_group_rescan(spark, tmp_path):
+    """Verdict stretch (r4): min/max view maintenance. Incrementally
+    folds new candidates while the old extreme survives; when a touched
+    row's pre-image ties the old extreme (the holder was updated or
+    deleted), only THAT group is rescanned at the sync frontier. Every
+    sync must equal a full recompute."""
+    from pyspark.sql import functions as SF
+
+    from omniparser_spark.lake.views import (
+        create_rollup_view,
+        sync_rollup_view,
+    )
+
+    t = _make(spark, tmp_path)
+    # _make leaves live: a/1 "a1-v2", a/2 "a2-v1", b/1 deleted
+    mm = {
+        "min_len": ("min", lambda g: SF.length(g("text"))),
+        "max_len": ("max", lambda g: SF.length(g("text"))),
+    }
+    metrics = {"chars": lambda g: SF.length(g("text"))}
+    view = create_rollup_view(
+        spark, str(tmp_path / "mmview"), t,
+        group_col="conv_id", metrics=metrics, minmax_metrics=mm,
+    )
+
+    def full():
+        return {
+            r.conv_id: (r.n, r.chars, r.mn, r.mx)
+            for r in t.read().groupBy("conv_id").agg(
+                SF.count(SF.lit(1)).alias("n"),
+                SF.sum(SF.length("text")).alias("chars"),
+                SF.min(SF.length("text")).alias("mn"),
+                SF.max(SF.length("text")).alias("mx"),
+            ).collect()
+        }
+
+    def got():
+        return {
+            r.conv_id: (r.n_rows, r.chars, r.min_len, r.max_len)
+            for r in view.read().collect()
+        }
+
+    assert got() == full()  # bootstrap
+
+    # 1. pure-insert sync: longer and shorter rows — max and min both
+    #    move via the INCREMENTAL path (no pre-image ties anything)
+    merge_into(
+        t,
+        _batch(spark, [
+            ("a", 3, "a3-much-longer-text", 3, 6, "I"),
+            ("a", 4, "a4", 3, 7, "I"),
+            ("c", 1, "c-row", 3, 8, "I"),
+        ]),
+        batch_id=2, max_offset=8,
+    )
+    rec = sync_rollup_view(
+        t, view, group_col="conv_id", metrics=metrics, minmax_metrics=mm
+    )
+    assert not rec["fenced"]
+    assert got() == full()
+
+    # 2. dethrone an extreme: DELETE the max holder and UPDATE the min
+    #    holder to a longer value — both force the affected-group
+    #    rescan; group c is untouched and must not be rescanned
+    merge_into(
+        t,
+        _batch(spark, [
+            ("a", 3, None, 4, 9, "D"),            # max holder leaves
+            ("a", 4, "a4-now-long", 4, 10, "U"),  # min holder grows
+        ]),
+        batch_id=3, max_offset=10,
+    )
+    sync_rollup_view(
+        t, view, group_col="conv_id", metrics=metrics, minmax_metrics=mm
+    )
+    assert got() == full()
+
+    # 3. whole-group deletion: every row of c leaves -> row leaves view
+    merge_into(
+        t, _batch(spark, [("c", 1, None, 5, 11, "D")]),
+        batch_id=4, max_offset=11,
+    )
+    sync_rollup_view(
+        t, view, group_col="conv_id", metrics=metrics, minmax_metrics=mm
+    )
+    assert got() == full()
+    assert "c" not in got()
+
+    # 4. fenced re-sync is still a no-op
+    rec = sync_rollup_view(
+        t, view, group_col="conv_id", metrics=metrics, minmax_metrics=mm
+    )
+    assert rec["fenced"]
+    # invalid kind refused at create time
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min.*max"):
+        create_rollup_view(
+            spark, str(tmp_path / "bad"), t, group_col="conv_id",
+            minmax_metrics={"m": ("avg", lambda g: SF.length(g("text")))},
+        )
