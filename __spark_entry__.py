@@ -1435,6 +1435,77 @@ def _cdc_incremental_view(spark, sf_dir):
 
 
 @_q(
+    "cdc_view_minmax",
+    f"""
+    WITH feed AS (
+{_CDC_FEED_SQL}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, src_offset DESC) AS rn
+      FROM feed
+    ),
+    final AS (
+      SELECT conv_id, text FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT conv_id,
+           count(*)::BIGINT AS n_rows,
+           min(length(text))::BIGINT AS min_len,
+           max(length(text))::BIGINT AS max_len
+    FROM final GROUP BY conv_id
+    """,
+)
+def _cdc_view_minmax(spark, sf_dir):
+    """Min/max materialized-view maintenance (lake/views.py
+    minmax_metrics): same mid-replay bootstrap as
+    `cdc_incremental_view`, but the per-conv rollup carries
+    min/max(length(text)) — NOT additively maintainable.  The sync
+    stays pure-delta while old extremes survive and falls back to an
+    affected-group rescan (broadcast-semi-joined read of the source at
+    the sync frontier, only groups whose extreme holder was touched)
+    when an update/delete dethrones one — never a full-view recompute.
+    The second replay half carries LWW updates and deletes, so both
+    the incremental fold and the rescan trigger are exercised; the
+    synced view must equal the oracle's full min/max over the final
+    LWW state."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.lake.views import (
+        create_rollup_view,
+        sync_rollup_view,
+    )
+    from omniparser_spark.sources.changefeed import FeedSpec, encode_payload
+
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev)
+    feed = encode_payload(fields, FeedSpec(n_events=1, evolution_frac=0.0)).select(
+        "offset", "op", "format", "payload", "ts", "source_part"
+    )
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_ivm_mm_")
+    feed.write.mode("overwrite").parquet(f"{tmp}/feed")
+    feed_scan = spark.read.parquet(f"{tmp}/feed")
+    total = feed_scan.agg(F.max("offset")).collect()[0][0] + 1
+    pipe = CdcPipeline(
+        spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8, n_source_parts=8,
+    )
+    batch_size = (total + 3) // 4
+    pipe.run_feed(feed_scan, 2 * batch_size, batch_size=batch_size)
+    mm = {
+        "min_len": ("min", lambda g: F.length(g("text"))),
+        "max_len": ("max", lambda g: F.length(g("text"))),
+    }
+    view = create_rollup_view(
+        spark, f"{tmp}/view", pipe.table,
+        group_col="conv_id", minmax_metrics=mm,
+    )
+    pipe.run_feed(feed_scan, total, batch_size=batch_size)
+    sync_rollup_view(
+        pipe.table, view, group_col="conv_id", minmax_metrics=mm
+    )
+    return view.read().select("conv_id", "n_rows", "min_len", "max_len")
+
+
+@_q(
     "quarantine_deadletter",
     """
     SELECT event_id AS offset,
@@ -1470,6 +1541,106 @@ def _quarantine(spark, sf_dir):
     )
     _good, quarantine = normalize_changes(raw)
     return quarantine.select("offset", "format")
+
+
+@_q(
+    "decode_debezium_envelope",
+    """
+    SELECT event_id AS offset,
+           CASE event_id % 4 WHEN 0 THEN 'I' WHEN 1 THEN 'U'
+                             WHEN 2 THEN 'D' ELSE 'I' END AS op,
+           'c' || user_id AS conv_id,
+           (event_id % 40)::INT AS turn_idx,
+           event_type AS role,
+           CASE WHEN event_id % 4 = 2 THEN 'old msg ' || event_id
+                ELSE 'msg ' || event_id || ' v' || (event_id % 3)
+                END AS text,
+           CASE WHEN event_id % 5 = 0 THEN 'search' ELSE NULL END AS tool,
+           epoch_us(date_trunc('second', ts)) AS ts_us,
+           CASE WHEN event_id % 4 IN (1, 2) THEN 'old msg ' || event_id
+                ELSE NULL END AS pre_text,
+           'turns' AS src_table
+    FROM events
+    WHERE event_id % 23 <> 0
+    """,
+)
+def _dec_debezium(spark, sf_dir):
+    """Debezium CDC envelope ingest (sources/debezium.py): the engine
+    encodes each event as a full Debezium JSON envelope (before/after
+    row images, source block with lsn/ts_ms, one-letter op incl. `r`
+    snapshot reads) and the decoder must map it onto the canonical
+    change schema — `after` image for c/u/r, `before` for d, empty
+    tool pruned to NULL, row-level RFC3339 ts preferred over the
+    transaction ts_ms.  Rows with an unknown op (`x`, every 23rd) are
+    continuable errors: they quarantine via `_ok=false` instead of
+    failing the batch, so the oracle sees only the well-formed rows."""
+    from omniparser_spark.sources.debezium import decode_debezium
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    row_ts = F.date_format(
+        F.date_trunc("second", F.col("ts").cast("timestamp")),
+        "yyyy-MM-dd'T'HH:mm:ssXXX",
+    )
+    image = F.struct(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias(
+            "conv_id"
+        ),
+        (eid % 40).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(
+            F.lit("msg "), eid.cast("string"),
+            F.lit(" v"), (eid % 3).cast("string"),
+        ).alias("text"),
+        F.when(eid % 5 == 0, F.lit("search")).otherwise(F.lit("")).alias(
+            "tool"
+        ),
+        row_ts.alias("ts"),
+    )
+    old_image = image.withField(
+        "text", F.concat(F.lit("old msg "), eid.cast("string"))
+    )
+    deb_op = (
+        F.when(eid % 23 == 0, F.lit("x"))  # unknown op -> quarantine
+        .when(eid % 4 == 0, F.lit("c"))
+        .when(eid % 4 == 1, F.lit("u"))
+        .when(eid % 4 == 2, F.lit("d"))
+        .otherwise(F.lit("r"))
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.when(eid % 4 == 1, old_image)
+            .when(eid % 4 == 2, old_image)
+            .alias("before"),
+            F.when(eid % 4 != 2, image).alias("after"),
+            F.struct(
+                F.lit("pg").alias("name"),
+                F.lit("app").alias("db"),
+                F.lit("turns").alias("table"),
+                eid.alias("lsn"),
+                F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+                F.when(eid % 4 == 3, F.lit("true"))
+                .otherwise(F.lit("false"))
+                .alias("snapshot"),
+            ).alias("source"),
+            deb_op.alias("op"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        )
+    )
+    feed = ev.select(envelope.alias("payload"))
+    decoded = decode_debezium(feed, source_part_col=None)
+    return decoded.filter(F.col("_ok")).select(
+        "offset",
+        "op",
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        _us("ts").alias("ts_us"),
+        "pre_text",
+        "src_table",
+    )
 
 
 # ------------------------------------------------------------ spec compiler

@@ -169,3 +169,55 @@ def test_csv_header_verification(spark):
     assert "expected [id,name] got [id,nope]" in errs[2]
     assert "got [<no header row>]" in errs[3]
     assert quar.count() == 3  # both rows of file 2 + the row of file 3
+
+
+def test_debezium_envelope_semantics(spark):
+    """Edge semantics of the Debezium decoder: image selection per op
+    (`after` for c/u/r, `before` for d), snapshot reads as inserts,
+    row-ts preferred over transaction ts_ms, empty-tool pruning,
+    unknown-op / missing-image rows continuable (not batch-fatal)."""
+    import json
+
+    from omniparser_spark.sources.debezium import decode_debezium
+
+    def env(op, before=None, after=None, lsn=1, ts_ms=1700000000000):
+        return json.dumps({
+            "before": before,
+            "after": after,
+            "source": {"name": "pg", "db": "app", "table": "turns",
+                       "lsn": lsn, "ts_ms": ts_ms,
+                       "snapshot": "true" if op == "r" else "false"},
+            "op": op,
+            "ts_ms": ts_ms,
+        })
+
+    def img(text, ts="2024-01-02T03:04:05+00:00", tool=""):
+        return {"conv_id": "c1", "turn_idx": 0, "role": "user",
+                "text": text, "tool": tool, "ts": ts}
+
+    rows = [
+        (env("c", after=img("hello")), 7),          # insert
+        (env("r", after=img("snap"), lsn=2), 7),    # snapshot read -> I
+        (env("u", before=img("old"), after=img("new"), lsn=3), 7),
+        (env("d", before=img("bye"), lsn=4), 7),    # delete uses before
+        (env("x", after=img("?"), lsn=5), 7),       # unknown op
+        (env("c", lsn=6), 7),                       # no image at all
+        # no row ts -> falls back to transaction ts_ms
+        (env("c", after=img("fb", ts=None), lsn=8, ts_ms=1700000001000), 7),
+    ]
+    df = spark.createDataFrame(rows, "payload string, source_part int")
+    out = decode_debezium(df).collect()
+    by = {r["offset"]: r for r in out}
+
+    assert [by[i]["op"] for i in (1, 2, 3, 4)] == ["I", "I", "U", "D"]
+    assert by[3]["text"] == "new" and by[3]["pre_text"] == "old"
+    assert by[4]["text"] == "bye" and by[4]["pre_text"] == "bye"
+    assert all(by[i]["_ok"] for i in (1, 2, 3, 4, 8))
+    assert by[1]["tool"] is None                    # "" pruned to NULL
+    assert by[1]["source_part"] == 7                # carried through
+    assert str(by[1]["ts"]).startswith("2024-01-02")
+    assert by[8]["ts"].timestamp() == 1700000001.0  # ts_ms fallback
+
+    bad = [r for r in out if not r["_ok"]]
+    assert {r["offset"] for r in bad} == {5, 6}
+    assert all("debezium decode failed" in r["_error"] for r in bad)
