@@ -3691,6 +3691,250 @@ def _conversation_assembly(spark, sf_dir):
     )
 
 
+# Shared turn-tree synthesis for the transcript-tree queries: the
+# events table becomes one conversation tree per user. Turn k (rank by
+# event_id within the conversation) attaches to turn k-1, EXCEPT every
+# 5th turn (k>=2, k%5=0) attaches to turn k-2 — a regeneration sibling
+# that orphans turn k-1 into a dead branch. Identical windows on both
+# sides, so the Spark walk and the DuckDB recursive CTE see the same
+# tree.
+_TURN_TREE_SQL = """
+      SELECT user_id AS conv_id,
+             event_id AS turn_id,
+             event_type AS role,
+             'turn ' || event_id AS text,
+             CASE WHEN row_number() OVER w = 1 THEN NULL
+                  WHEN (row_number() OVER w - 1) % 5 = 0
+                       AND row_number() OVER w - 1 >= 2
+                    THEN lag(event_id, 2) OVER w
+                  ELSE lag(event_id, 1) OVER w END AS parent_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+def _turn_tree(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    k = F.row_number().over(w) - 1
+    parent = (
+        F.when(k == 0, F.lit(None).cast("long"))
+        .when((k % 5 == 0) & (k >= 2), F.lag("event_id", 2).over(w))
+        .otherwise(F.lag("event_id", 1).over(w))
+    )
+    return ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_id"),
+        F.col("event_type").alias("role"),
+        F.concat(F.lit("turn "), F.col("event_id").cast("string")).alias(
+            "text"
+        ),
+        parent.alias("parent_id"),
+    )
+
+
+@_q(
+    "transcript_tree_paths",
+    f"""
+    WITH RECURSIVE t AS (
+{_TURN_TREE_SQL}
+    ),
+    parents AS (
+      SELECT DISTINCT conv_id, parent_id FROM t WHERE parent_id IS NOT NULL
+    ),
+    leaves AS (
+      SELECT t.conv_id, t.turn_id FROM t
+      LEFT JOIN parents p
+        ON t.conv_id = p.conv_id AND t.turn_id = p.parent_id
+      WHERE p.parent_id IS NULL
+    ),
+    canon AS (
+      SELECT conv_id, max(turn_id) AS leaf_id FROM leaves GROUP BY conv_id
+    ),
+    walk AS (
+      SELECT t.conv_id, t.turn_id, t.parent_id, 0 AS up
+      FROM canon c
+      JOIN t ON t.conv_id = c.conv_id AND t.turn_id = c.leaf_id
+      UNION ALL
+      SELECT t.conv_id, t.turn_id, t.parent_id, w.up + 1
+      FROM walk w
+      JOIN t ON t.conv_id = w.conv_id AND t.turn_id = w.parent_id
+    ),
+    plen AS (SELECT conv_id, max(up) + 1 AS n FROM walk GROUP BY conv_id)
+    SELECT w.conv_id,
+           (l.n - 1 - w.up)::INT AS depth,
+           w.turn_id,
+           t.role,
+           t.text
+    FROM walk w
+    JOIN plen l USING (conv_id)
+    JOIN t ON t.conv_id = w.conv_id AND t.turn_id = w.turn_id
+    """,
+)
+def _transcript_tree_paths(spark, sf_dir):
+    """Canonical-path extraction over branched conversation trees
+    (operators/transcripts.py tree_paths): regenerated turns branch the
+    transcript into a tree; export linearizes the canonical leaf's
+    (max turn_id among leaves — latest regeneration wins) root-to-leaf
+    chain. ONE shuffle on conv_id, then the parent map, leaf set, and
+    parent-chain walk are pure higher-order array/map expressions —
+    no iterative joins, no UDF. Oracle: DuckDB recursive-CTE walk up
+    from the same canonical leaf."""
+    from omniparser_spark.operators.transcripts import tree_paths
+
+    return tree_paths(_turn_tree(spark, sf_dir)).select(
+        "conv_id", F.col("depth").cast("int").alias("depth"),
+        "turn_id", "role", "text",
+    )
+
+
+@_q(
+    "sft_loss_mask_spans",
+    """
+    WITH RECURSIVE t AS (
+      SELECT user_id AS conv_id, event_id AS turn_id,
+             1 + event_id % 17 AS n_tokens,
+             event_type IN ('click', 'purchase') AS trainable
+      FROM events
+    ),
+    c AS (
+      SELECT conv_id, conv_id % 8 AS shard,
+             sum(n_tokens) AS conv_tokens,
+             row_number() OVER (PARTITION BY conv_id % 8 ORDER BY conv_id)
+               AS rn
+      FROM t GROUP BY conv_id
+    ),
+    p AS (
+      SELECT conv_id, shard, conv_tokens, rn,
+             0::BIGINT AS pack_seq, conv_tokens AS acc
+      FROM c WHERE rn = 1
+      UNION ALL
+      SELECT c.conv_id, c.shard, c.conv_tokens, c.rn,
+             CASE WHEN p.acc + c.conv_tokens > 1024
+                  THEN p.pack_seq + 1 ELSE p.pack_seq END,
+             CASE WHEN p.acc + c.conv_tokens > 1024
+                  THEN c.conv_tokens ELSE p.acc + c.conv_tokens END
+      FROM c JOIN p ON c.shard = p.shard AND c.rn = p.rn + 1
+    ),
+    sel AS (
+      SELECT p.shard, p.pack_seq, t.conv_id, t.turn_id, t.n_tokens,
+             t.trainable, (p.conv_tokens > 1024) AS oversize
+      FROM t JOIN p USING (conv_id)
+    )
+    SELECT shard, pack_seq, conv_id, turn_id,
+           coalesce(sum(n_tokens) OVER (
+             PARTITION BY shard, pack_seq
+             ORDER BY conv_id, turn_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0)::BIGINT AS tok_start,
+           (coalesce(sum(n_tokens) OVER (
+             PARTITION BY shard, pack_seq
+             ORDER BY conv_id, turn_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) + n_tokens)::BIGINT AS tok_end,
+           trainable, oversize
+    FROM sel
+    """,
+)
+def _sft_loss_mask_spans(spark, sf_dir):
+    """SFT collation (operators/transcripts.py sft_loss_mask_spans):
+    conversations pack whole into 1024-token sequences (greedy
+    first-fit within hash shards — deterministic, shard-parallel) and
+    every turn gets its [tok_start, tok_end) offset in the pack plus a
+    trainable flag (loss masked to 'assistant' turns — here the
+    click/purchase event types). Two shuffles (conv rollup, pack
+    co-location) + one window over the pack partition. Oracle replays
+    the identical greedy recurrence as a recursive CTE + window sum."""
+    from omniparser_spark.operators.transcripts import sft_loss_mask_spans
+
+    ev = _t(spark, sf_dir, "events")
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_id"),
+        (1 + F.col("event_id") % 17).cast("long").alias("n_tokens"),
+        F.col("event_type").alias("role"),
+    )
+    return sft_loss_mask_spans(
+        turns,
+        budget=1024,
+        trainable=F.col("role").isin("click", "purchase"),
+        shard=F.col("conv_id") % 8,
+    ).select(
+        "shard", "pack_seq", "conv_id", "turn_id",
+        "tok_start", "tok_end", "trainable", "oversize",
+    )
+
+
+@_q(
+    "transcript_tool_calls",
+    """
+    WITH syn AS (
+      SELECT doc_id,
+             'intro ' ||
+             CASE doc_id % 3
+               WHEN 0 THEN '<call fn="search" arg="q' || doc_id
+                 || '"/> mid <call fn="fetch_page" arg="u' || doc_id || '"/>'
+               WHEN 1 THEN '<call fn="calc" arg="' || doc_id % 97 || '"/>'
+               ELSE 'no calls here'
+             END || ' tail' AS text
+      FROM documents
+    ),
+    ext AS (
+      SELECT doc_id,
+             regexp_extract_all(text,
+               '<call fn="([a-z_]+)" arg="([^"]*)"/>', 1) AS fns,
+             regexp_extract_all(text,
+               '<call fn="([a-z_]+)" arg="([^"]*)"/>', 2) AS args
+      FROM syn
+    )
+    SELECT doc_id, (i - 1)::INT AS call_idx,
+           list_extract(fns, i) AS fn,
+           list_extract(args, i) AS arg
+    FROM ext CROSS JOIN generate_series(1, 4) s(i)
+    WHERE i <= len(fns)
+    """,
+)
+def _transcript_tool_calls(spark, sf_dir):
+    """Structured tool-call extraction (operators/transcripts.py
+    tool_call_spans): every `<call fn=... arg=.../>` markup occurrence
+    in a transcript becomes one (doc, call_idx, fn, arg) row in
+    document order — pure regexp_extract_all + posexplode,
+    shuffle-free and scan-bound. Docs without calls emit nothing."""
+    from omniparser_spark.operators.transcripts import tool_call_spans
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    syn = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("intro "),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit('<call fn="search" arg="q'), did.cast("string"),
+                    F.lit('"/> mid <call fn="fetch_page" arg="u'),
+                    did.cast("string"), F.lit('"/>'),
+                ),
+            )
+            .when(
+                did % 3 == 1,
+                F.concat(
+                    F.lit('<call fn="calc" arg="'),
+                    (did % 97).cast("string"), F.lit('"/>'),
+                ),
+            )
+            .otherwise(F.lit("no calls here")),
+            F.lit(" tail"),
+        ).alias("text"),
+    )
+    return tool_call_spans(syn, id_cols=("doc_id",)).select(
+        "doc_id", F.col("call_idx").cast("int").alias("call_idx"),
+        "fn", "arg",
+    )
+
+
 @_q(
     "sample_mixture_fractions",
     """

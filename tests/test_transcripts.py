@@ -1,0 +1,113 @@
+"""Transcript-tree / SFT-prep operator edge semantics: branched trees
+with dead leaves, dangling parents and cycles; pack-span contiguity and
+oversize conversations; tool-call extraction order."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omniparser_spark.operators.transcripts import (
+    sft_loss_mask_spans,
+    tool_call_spans,
+    tree_paths,
+)
+
+TREE_SCHEMA = (
+    "conv_id string, turn_id long, parent_id long, role string, text string"
+)
+
+
+def test_tree_paths_picks_latest_regeneration(spark):
+    # conv A:      1 -> 2 -> 3 (dead leaf)
+    #                   \-> 4 -> 5   (4 regenerates 3; leaf 5 canonical)
+    rows = [
+        ("A", 1, None, "user", "q"),
+        ("A", 2, 1, "assistant", "a1"),
+        ("A", 3, 2, "user", "dead"),
+        ("A", 4, 2, "user", "q2"),
+        ("A", 5, 4, "assistant", "a2"),
+    ]
+    df = spark.createDataFrame(rows, TREE_SCHEMA)
+    out = tree_paths(df).orderBy("depth").collect()
+    assert [(r.depth, r.turn_id, r.text) for r in out] == [
+        (0, 1, "q"), (1, 2, "a1"), (2, 4, "q2"), (3, 5, "a2"),
+    ]
+
+
+def test_tree_paths_single_turn_and_multiple_convs(spark):
+    rows = [
+        ("A", 1, None, "user", "only"),
+        ("B", 10, None, "user", "u"),
+        ("B", 11, 10, "assistant", "a"),
+    ]
+    df = spark.createDataFrame(rows, TREE_SCHEMA)
+    out = {(r.conv_id, r.depth): r.turn_id for r in tree_paths(df).collect()}
+    assert out == {("A", 0): 1, ("B", 0): 10, ("B", 1): 11}
+
+
+def test_tree_paths_dangling_parent_degrades_not_fails(spark):
+    # leaf's parent 99 is missing: the walk ends AT the dangling id,
+    # whose payload comes back NULL — continuable, not fatal
+    rows = [
+        ("A", 1, 99, "user", "orphan"),
+    ]
+    df = spark.createDataFrame(rows, TREE_SCHEMA)
+    out = tree_paths(df).orderBy("depth").collect()
+    assert [(r.depth, r.turn_id, r.text) for r in out] == [
+        (0, 99, None), (1, 1, "orphan"),
+    ]
+
+
+def test_tree_paths_cycle_terminates(spark):
+    # 2 <-> 3 cycle plus a genuine leaf 4 off node 2; the walk is
+    # bounded by the conversation's turn count, so it must return
+    rows = [
+        ("A", 2, 3, "user", "x"),
+        ("A", 3, 2, "user", "y"),
+        ("A", 4, 2, "user", "leaf"),
+    ]
+    df = spark.createDataFrame(rows, TREE_SCHEMA)
+    out = tree_paths(df).collect()
+    assert len(out) <= 4  # bounded, no hang
+    assert max(r.turn_id for r in out) == 4
+
+
+def test_sft_spans_contiguous_and_oversize(spark):
+    # conv 0: 3 turns x 100 tokens; conv 8 (same shard 0): 2 x 100;
+    # conv 16 (shard 0): 700 tokens > budget 512 -> own oversize pack
+    rows = [
+        (0, 1, 100, "user"), (0, 2, 100, "assistant"), (0, 3, 100, "user"),
+        (8, 1, 100, "assistant"), (8, 2, 100, "user"),
+        (16, 1, 700, "assistant"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_id long, n_tokens long, role string"
+    )
+    out = sft_loss_mask_spans(
+        df, budget=512, trainable=F.col("role") == "assistant",
+        shard=F.col("conv_id") % 8, n_shards=8,
+    ).collect()
+    by = {(r.conv_id, r.turn_id): r for r in out}
+    # convs 0 and 8 share pack 0 on shard 0 (300 + 200 <= 512)
+    assert by[(0, 1)].pack_seq == by[(8, 2)].pack_seq == 0
+    assert by[(16, 1)].pack_seq == 1 and by[(16, 1)].oversize
+    # spans are contiguous in (conv, turn) order within the pack
+    spans = sorted(
+        (r.tok_start, r.tok_end) for r in out if r.pack_seq == 0
+    )
+    assert spans == [(0, 100), (100, 200), (200, 300), (300, 400),
+                     (400, 500)]
+    assert by[(0, 2)].trainable and not by[(0, 3)].trainable
+
+
+def test_tool_call_spans_order_and_empty(spark):
+    rows = [
+        (1, 'a <call fn="s" arg="x"/> b <call fn="fetch" arg=""/> c'),
+        (2, "no markup"),
+        (3, '<call fn="bad arg="y"/>'),  # malformed: no match
+    ]
+    df = spark.createDataFrame(rows, "turn_id long, text string")
+    out = tool_call_spans(df).collect()
+    assert [(r.turn_id, r.call_idx, r.fn, r.arg) for r in out] == [
+        (1, 0, "s", "x"), (1, 1, "fetch", ""),
+    ]
