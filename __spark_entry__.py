@@ -20,6 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 US = "\x1f"
 
@@ -1640,6 +1641,96 @@ def _dec_debezium(spark, sf_dir):
         _us("ts").alias("ts_us"),
         "pre_text",
         "src_table",
+    )
+
+
+@_q(
+    "decode_avro_wire",
+    """
+    SELECT event_id AS offset,
+           CASE event_id % 4 WHEN 0 THEN 'I' WHEN 1 THEN 'U'
+                             WHEN 2 THEN 'D' ELSE 'I' END AS op,
+           'c' || user_id AS conv_id,
+           (event_id % 40)::INT AS turn_idx,
+           event_type AS role,
+           'msg ' || event_id AS text,
+           CASE WHEN event_id % 3 <> 0 AND event_id % 5 = 0
+                THEN 'search' ELSE NULL END AS tool,
+           epoch_ms(ts) AS ts_ms,
+           (CASE WHEN event_id % 3 = 0 THEN 1 ELSE 2 END)::INT AS schema_id
+    FROM events
+    WHERE event_id % 23 <> 0 AND event_id % 31 <> 0
+    """,
+)
+def _dec_avro_wire(spark, sf_dir):
+    """Avro binary CDC ingest with Confluent wire framing
+    (sources/avro_wire.py): each event is encoded Spark-side into
+    `0x00 | schema-id | Avro binary` — every third event under the v1
+    writer schema (no `tool` field), the rest under v2 — and the
+    decoder must resolve both against the v2 reader (v1 rows take the
+    reader default NULL for `tool`).  Every 23rd frame gets a corrupt
+    magic byte and every 31st an unregistered schema id: both are
+    continuable errors that quarantine via `_ok=false`, so the oracle
+    sees only the well-formed rows.  Codec byte-pinned in
+    tests/test_avro_wire.py against the Avro 1.x spec examples."""
+    from omniparser_spark.sources.avro_wire import (
+        CHANGE_SCHEMA_V1,
+        CHANGE_SCHEMA_V2,
+        decode_avro_wire,
+        encode_wire,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("string").alias("uid"),
+        F.col("event_type").alias("role"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+
+    enc_schema = T.StructType([T.StructField("payload", T.BinaryType())])
+
+    def encode_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for eid, uid, role, ts_ms in zip(
+                pdf["event_id"], pdf["uid"], pdf["role"], pdf["ts_ms"]
+            ):
+                eid = int(eid)
+                rec = {
+                    "offset": eid,
+                    "op": {0: "I", 1: "U", 2: "D", 3: "I"}[eid % 4],
+                    "conv_id": f"c{uid}",
+                    "turn_idx": eid % 40,
+                    "role": role,
+                    "text": f"msg {eid}",
+                    "ts_ms": int(ts_ms),
+                }
+                if eid % 3 == 0:
+                    msg = encode_wire(1, CHANGE_SCHEMA_V1, rec)
+                else:
+                    rec["tool"] = "search" if eid % 5 == 0 else None
+                    msg = encode_wire(2, CHANGE_SCHEMA_V2, rec)
+                if eid % 23 == 0:
+                    msg = b"\x7f" + msg[1:]  # corrupt magic
+                elif eid % 31 == 0:
+                    msg = msg[:1] + b"\x00\x00\x00\x63" + msg[5:]  # id 99
+                payloads.append(msg)
+            yield pd.DataFrame({"payload": payloads})
+
+    feed = ev.mapInPandas(encode_batches, schema=enc_schema)
+    decoded = decode_avro_wire(feed)
+    return decoded.filter(F.col("_ok")).select(
+        "offset",
+        "op",
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts_ms",
+        "schema_id",
     )
 
 
@@ -3932,6 +4023,120 @@ def _transcript_tool_calls(spark, sf_dir):
     return tool_call_spans(syn, id_cols=("doc_id",)).select(
         "doc_id", F.col("call_idx").cast("int").alias("call_idx"),
         "fn", "arg",
+    )
+
+
+@_q(
+    "preference_pairs_dpo",
+    f"""
+    WITH base AS (
+{_TURN_TREE_SQL}
+    ),
+    t AS (
+      SELECT conv_id, turn_id, parent_id, text,
+             CASE WHEN parent_id IS NULL THEN 'user'
+                  WHEN turn_id % 7 = 0 THEN 'user'
+                  ELSE 'assistant' END AS role
+      FROM base
+    ),
+    sib AS (
+      SELECT conv_id, parent_id, turn_id, text
+      FROM t WHERE parent_id IS NOT NULL AND role = 'assistant'
+    ),
+    g AS (
+      SELECT conv_id, parent_id, max(turn_id) AS chosen_id,
+             count(*) AS n_candidates
+      FROM sib GROUP BY conv_id, parent_id
+      HAVING count(*) >= 2
+    )
+    SELECT s.conv_id, s.parent_id,
+           p.text AS prompt_text,
+           g.chosen_id, ct.text AS chosen_text,
+           s.turn_id AS rejected_id, s.text AS rejected_text,
+           g.n_candidates
+    FROM sib s
+    JOIN g ON s.conv_id = g.conv_id AND s.parent_id = g.parent_id
+    JOIN sib ct ON ct.conv_id = g.conv_id AND ct.turn_id = g.chosen_id
+    LEFT JOIN t p ON p.conv_id = s.conv_id AND p.turn_id = s.parent_id
+    WHERE s.turn_id <> g.chosen_id
+    """,
+)
+def _preference_pairs(spark, sf_dir):
+    """DPO/RLHF preference-pair extraction (operators/transcripts.py
+    preference_pairs): regeneration branches — >=2 assistant siblings
+    under one parent — yield (chosen = latest sibling, rejected = each
+    earlier one) pairs with the parent turn's prompt text.  Every 7th
+    turn is role 'user' so mixed-role sibling groups exercise the
+    role filter (a lone assistant sibling forms no pair).  One sibling
+    window + one prompt self-join, both key-partitioned."""
+    from omniparser_spark.operators.transcripts import preference_pairs
+
+    t = _turn_tree(spark, sf_dir)
+    t = t.select(
+        "conv_id", "turn_id", "parent_id", "text",
+        F.when(F.col("parent_id").isNull(), F.lit("user"))
+        .when(F.col("turn_id") % 7 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+    )
+    return preference_pairs(t).select(
+        "conv_id", "parent_id", "prompt_text", "chosen_id",
+        "chosen_text", "rejected_id", "rejected_text", "n_candidates",
+    )
+
+
+@_q(
+    "truncate_context_window",
+    """
+    WITH t AS (
+      SELECT user_id AS conv_id,
+             row_number() OVER w AS turn_idx,
+             1 + event_id % 17 AS n_tokens
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    s AS (
+      SELECT conv_id, turn_idx, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sfx,
+             row_number() OVER (
+               PARTITION BY conv_id ORDER BY turn_idx DESC
+             ) AS rank_end
+      FROM t
+    ),
+    k AS (
+      SELECT conv_id, turn_idx, n_tokens,
+             (sfx <= 64 OR turn_idx <= 1 OR rank_end = 1) AS kept
+      FROM s
+    )
+    SELECT conv_id, turn_idx, n_tokens::BIGINT AS n_tokens, kept,
+           sum(CASE WHEN kept THEN n_tokens ELSE 0 END)
+             OVER (PARTITION BY conv_id)::BIGINT AS conv_tokens_kept
+    FROM k
+    """,
+)
+def _truncate_context(spark, sf_dir):
+    """Context-window truncation (operators/transcripts.py
+    truncate_context): keep the newest suffix of each conversation
+    that fits a 64-token budget, plus the first turn (system prompt)
+    and always the newest turn even if alone oversized — the serving /
+    training-window rule.  Two window sums on the conversation key,
+    one shuffle, column-only."""
+    from pyspark.sql import Window
+
+    from omniparser_spark.operators.transcripts import truncate_context
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.row_number().over(w).cast("long").alias("turn_idx"),
+        (1 + F.col("event_id") % 17).cast("long").alias("n_tokens"),
+    )
+    return truncate_context(turns, budget=64, keep_first=1).select(
+        "conv_id", "turn_idx", "n_tokens", "kept", "conv_tokens_kept"
     )
 
 

@@ -35,6 +35,11 @@ Scale shape (100 TB):
   column-only.
 - `tool_call_spans` is scan-bound regexp extraction (posexplode of
   `regexp_extract_all`), shuffle-free.
+- `preference_pairs` is one window over the (conv, parent) sibling
+  group + one key-partitioned self-join for the prompt text — the
+  sibling groups regenerations create are tiny (2-5), so no skew.
+- `truncate_context` is two window sums on the conversation key —
+  one hash shuffle, column-only arithmetic.
 """
 
 from __future__ import annotations
@@ -190,6 +195,140 @@ def sft_loss_mask_spans(
         (tok_start + F.col(tokens_col)).cast("long").alias("tok_end"),
         trainable.alias("trainable"),
         "oversize",
+    )
+
+
+def preference_pairs(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    id_col: str = "turn_id",
+    parent_col: str = "parent_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """DPO/RLHF preference-pair extraction from regeneration branches.
+
+    Wherever a transcript tree has >=2 assistant siblings under the
+    same parent (the user regenerated the reply), the LATEST sibling
+    (highest id — same "latest regeneration wins" rule as
+    `tree_paths`) is the implicitly-chosen response and every earlier
+    sibling is an implicitly-rejected one.  Emits one row per
+    (chosen, rejected) pair: (conv, parent id, prompt text = the
+    parent turn's text, chosen id/text, rejected id/text,
+    n_candidates in the sibling group).
+
+    Scale shape: one window over the (conv, parent) sibling group
+    (hash shuffle on the conversation key) + one self-join to fetch
+    the parent turn's prompt text — both key-partitioned, no driver
+    loop, no UDF.  Root turns (NULL parent) never form pairs.
+    """
+    from pyspark.sql import Window
+
+    sib = (
+        turns.filter(
+            F.col(parent_col).isNotNull()
+            & (F.col(role_col) == assistant_role)
+        )
+        .select(
+            F.col(conv_col).alias("_conv"),
+            F.col(parent_col).alias("_parent"),
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_text"),
+        )
+    )
+    grp = Window.partitionBy("_conv", "_parent")
+    ranked = sib.select(
+        "*",
+        F.max("_id").over(grp).alias("_chosen_id"),
+        F.count(F.lit(1)).over(grp).alias("n_candidates"),
+    )
+    chosen = ranked.filter(F.col("_id") == F.col("_chosen_id")).select(
+        "_conv", "_parent", "_chosen_id",
+        F.col("_text").alias("chosen_text"), "n_candidates",
+    )
+    rejected = ranked.filter(F.col("_id") != F.col("_chosen_id")).select(
+        "_conv", "_parent",
+        F.col("_id").alias("rejected_id"),
+        F.col("_text").alias("rejected_text"),
+    )
+    prompts = turns.select(
+        F.col(conv_col).alias("_conv"),
+        F.col(id_col).alias("_parent"),
+        F.col(text_col).alias("prompt_text"),
+    )
+    pairs = rejected.join(chosen, on=["_conv", "_parent"], how="inner").join(
+        prompts, on=["_conv", "_parent"], how="left"
+    )
+    return pairs.select(
+        F.col("_conv").alias(conv_col),
+        F.col("_parent").alias("parent_id"),
+        "prompt_text",
+        F.col("_chosen_id").alias("chosen_id"),
+        "chosen_text",
+        "rejected_id",
+        "rejected_text",
+        "n_candidates",
+    )
+
+
+def truncate_context(
+    turns: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tokens_col: str = "n_tokens",
+    keep_first: int = 1,
+) -> DataFrame:
+    """Context-window truncation for linearized conversations: keep the
+    SUFFIX of turns whose cumulative tokens (counted from the newest
+    turn backwards) fit `budget`, always additionally keeping the
+    first `keep_first` turns (the system prompt) regardless of budget
+    — the standard chat-serving / training-window rule.
+
+    Returns the input rows plus `kept` (boolean) and `conv_tokens_kept`
+    (total tokens the conversation retains).  A single oversized turn
+    at the tail is still kept (the window always contains the newest
+    turn); the budget bounds everything OLDER than it.
+
+    Scale shape: two window sums over the conversation key — one
+    reverse running sum for the suffix rule, one conditional sum for
+    the report column.  One hash shuffle, column-only arithmetic.
+    """
+    from pyspark.sql import Window
+
+    w_rev = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rank = Window.partitionBy(conv_col).orderBy(F.col(order_col))
+    suffix_tokens = F.sum(tokens_col).over(w_rev).cast("long")
+    rank = F.row_number().over(w_rank)
+    # newest turn always kept: its suffix sum is its own size, which
+    # may exceed the budget — the <= comparison is against the sum
+    # *including* the turn, so guard with rank-from-end == 1.
+    rank_end = F.row_number().over(
+        Window.partitionBy(conv_col).orderBy(F.col(order_col).desc())
+    )
+    kept = (
+        (suffix_tokens <= budget) | (rank <= keep_first) | (rank_end == 1)
+    )
+    out = turns.select(
+        "*",
+        kept.alias("kept"),
+        suffix_tokens.alias("_sfx"),
+    )
+    w_all = Window.partitionBy(conv_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return out.select(
+        *turns.columns,
+        "kept",
+        F.sum(F.when(F.col("kept"), F.col(tokens_col)).otherwise(0))
+        .over(w_all)
+        .cast("long")
+        .alias("conv_tokens_kept"),
     )
 
 

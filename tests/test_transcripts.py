@@ -7,9 +7,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from omniparser_spark.operators.transcripts import (
+    preference_pairs,
     sft_loss_mask_spans,
     tool_call_spans,
     tree_paths,
+    truncate_context,
 )
 
 TREE_SCHEMA = (
@@ -111,3 +113,55 @@ def test_tool_call_spans_order_and_empty(spark):
     assert [(r.turn_id, r.call_idx, r.fn, r.arg) for r in out] == [
         (1, 0, "s", "x"), (1, 1, "fetch", ""),
     ]
+
+
+def test_preference_pairs_latest_wins_and_role_filter(spark):
+    rows = [
+        # conv a: parent 1 (user prompt) with three assistant
+        # regenerations 2, 3, 5 and one user sibling 4 (ignored)
+        ("a", 1, None, "user", "prompt A"),
+        ("a", 2, 1, "assistant", "draft 1"),
+        ("a", 3, 1, "assistant", "draft 2"),
+        ("a", 4, 1, "user", "not a candidate"),
+        ("a", 5, 1, "assistant", "final"),
+        # conv a: single assistant child under 5 -> no pair
+        ("a", 6, 5, "assistant", "lone"),
+        # conv b: root-level turns (NULL parent) never pair
+        ("b", 1, None, "assistant", "r1"),
+        ("b", 2, None, "assistant", "r2"),
+        # conv b: pair under a parent that itself is missing from the
+        # table -> pair still forms, prompt_text NULL
+        ("b", 10, 7, "assistant", "x"),
+        ("b", 11, 7, "assistant", "y"),
+    ]
+    df = spark.createDataFrame(rows, TREE_SCHEMA)
+    out = preference_pairs(df).collect()
+    pairs = {(r.conv_id, r.rejected_id): r for r in out}
+    assert set(pairs) == {("a", 2), ("a", 3), ("b", 10)}
+    ra = pairs[("a", 2)]
+    assert ra.chosen_id == 5 and ra.chosen_text == "final"
+    assert ra.rejected_text == "draft 1" and ra.n_candidates == 3
+    assert ra.prompt_text == "prompt A"
+    rb = pairs[("b", 10)]
+    assert rb.chosen_id == 11 and rb.prompt_text is None
+
+
+def test_truncate_context_suffix_budget(spark):
+    rows = [
+        # conv a: sizes 10,30,20,25 newest-last; budget 50 keeps the
+        # suffix (20,25)=45 (adding 30 would hit 75) plus turn 1
+        ("a", 1, 10), ("a", 2, 30), ("a", 3, 20), ("a", 4, 25),
+        # conv b: single oversized newest turn is still kept
+        ("b", 1, 999),
+        # conv c: everything fits
+        ("c", 1, 5), ("c", 2, 6),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx long, n_tokens long")
+    out = truncate_context(df, budget=50, keep_first=1).collect()
+    kept = {(r.conv_id, r.turn_idx): r.kept for r in out}
+    assert kept == {
+        ("a", 1): True, ("a", 2): False, ("a", 3): True, ("a", 4): True,
+        ("b", 1): True, ("c", 1): True, ("c", 2): True,
+    }
+    tot = {r.conv_id: r.conv_tokens_kept for r in out}
+    assert tot == {"a": 55, "b": 999, "c": 11}
