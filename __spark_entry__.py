@@ -1734,6 +1734,100 @@ def _dec_avro_wire(spark, sf_dir):
     )
 
 
+@_q(
+    "decode_proto_wire",
+    """
+    SELECT event_id AS offset,
+           CASE event_id % 4 WHEN 0 THEN 'I' WHEN 1 THEN 'U'
+                             WHEN 2 THEN 'D' ELSE 'I' END AS op,
+           'c' || user_id AS conv_id,
+           (event_id % 40)::INT AS turn_idx,
+           event_type AS role,
+           'msg ' || event_id AS text,
+           CASE WHEN event_id % 5 = 0 THEN 'search' ELSE NULL END AS tool,
+           epoch_ms(ts) AS ts_ms,
+           7::INT AS schema_id
+    FROM events
+    WHERE event_id % 23 <> 0 AND event_id % 31 <> 0
+    """,
+)
+def _dec_proto_wire(spark, sf_dir):
+    """Protobuf binary CDC ingest with Confluent framing
+    (sources/proto_wire.py): each event is encoded Spark-side into
+    `0x00 | schema-id | message-index path | proto3 body` — every
+    second event by a v2 writer that appends unknown fields (sint64
+    #9, length-delimited #10) the v1 field map must SKIP by wire type
+    (proto3 forward compat), and `tool` omitted for non-multiples of 5
+    (proto3 default "" -> NULL, the family convention).  Every 23rd
+    frame gets a corrupt magic byte and every 31st an unregistered
+    schema id: continuable errors, quarantined via `_ok=false`.
+    Codec byte-pinned in tests/test_proto_wire.py against the
+    protobuf encoding-doc examples."""
+    from omniparser_spark.sources.proto_wire import (
+        CHANGE_FIELDS,
+        decode_proto_wire,
+        encode_wire,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("string").alias("uid"),
+        F.col("event_type").alias("role"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+
+    enc_schema = T.StructType([T.StructField("payload", T.BinaryType())])
+    v2_fields = {
+        **CHANGE_FIELDS, 9: ("lag", "sint64"), 10: ("trace", "bytes"),
+    }
+
+    def encode_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for eid, uid, role, ts_ms in zip(
+                pdf["event_id"], pdf["uid"], pdf["role"], pdf["ts_ms"]
+            ):
+                eid = int(eid)
+                rec = {
+                    "offset": eid,
+                    "op": {0: "I", 1: "U", 2: "D", 3: "I"}[eid % 4],
+                    "conv_id": f"c{uid}",
+                    "turn_idx": eid % 40,
+                    "role": role,
+                    "text": f"msg {eid}",
+                    "tool": "search" if eid % 5 == 0 else "",
+                    "ts_ms": int(ts_ms),
+                }
+                if eid % 2:
+                    fields = v2_fields
+                    rec = dict(rec, lag=-eid, trace=b"\x01\x02\x03")
+                else:
+                    fields = CHANGE_FIELDS
+                msg = encode_wire(7, fields, rec)
+                if eid % 23 == 0:
+                    msg = b"\x7f" + msg[1:]  # corrupt magic
+                elif eid % 31 == 0:
+                    msg = msg[:1] + b"\x00\x00\x00\x63" + msg[5:]  # id 99
+                payloads.append(msg)
+            yield pd.DataFrame({"payload": payloads})
+
+    feed = ev.mapInPandas(encode_batches, schema=enc_schema)
+    decoded = decode_proto_wire(feed)
+    return decoded.filter(F.col("_ok")).select(
+        "offset",
+        "op",
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts_ms",
+        "schema_id",
+    )
+
+
 # ------------------------------------------------------------ spec compiler
 
 _SPEC_UUID3_SQL = (

@@ -1,0 +1,374 @@
+"""Protobuf binary change-event source (Confluent wire framing).
+
+Completes the public CDC wire-format triad (JSON/Debezium ->
+``sources/debezium.py``, Avro -> ``sources/avro_wire.py``): Kafka
+Connect's protobuf converter frames each message as
+
+    0x00 magic | 4-byte big-endian schema id | message-index path | body
+
+where the message-index path is a varint count followed by that many
+varint indexes locating the message type inside the registered .proto
+file (the overwhelmingly common single-first-message case is encoded
+as ONE zero byte).  The body is standard proto3 binary: per-field
+``tag = (field_number << 3) | wire_type`` with varint (0), 64-bit (1),
+length-delimited (2) and 32-bit (5) payloads.
+
+The decoder is schema-driven by a plain field map and implements
+proto3's forward-compatibility contract — the engine's schema
+evolution story on the wire: **unknown fields are skipped by wire
+type** (a v2 writer adding fields never breaks a v1 reader), and
+**missing fields take proto3 defaults** (0 / "" / false), with
+empty-string ``tool`` normalized to NULL like every other source in
+the family.  Malformed bodies (truncated varint/payload, bad wire
+type, trailing garbage) are continuable errors that quarantine via
+``_ok=false`` (reference error-taxonomy parity: ``errs/errs.go:12-25``;
+the reference itself has no protobuf surface).
+
+Scale shape: identical to the Avro source — ``mapInPandas`` over Arrow
+batches, O(bytes) per message, no shuffle, parallel by input
+partition.  On a real cluster the fast path is the ``from_protobuf``
+function of the ``spark-protobuf`` package (not bundled in this
+sandbox); this module is the behavioral spec for it.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MAGIC = 0
+
+WIRE_VARINT = 0
+WIRE_I64 = 1
+WIRE_LEN = 2
+WIRE_I32 = 5
+
+
+class ProtoError(ValueError):
+    """Malformed protobuf frame/body."""
+
+
+def read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        if pos >= len(buf):
+            raise ProtoError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return acc, pos
+        shift += 7
+        if shift > 70:
+            raise ProtoError("varint too long")
+
+
+def write_uvarint(n: int, out: bytearray) -> None:
+    if n < 0:  # proto encodes negative int32/int64 as 10-byte varint
+        n &= (1 << 64) - 1
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _to_signed64(n: int) -> int:
+    n &= (1 << 64) - 1
+    return n - (1 << 64) if n >= (1 << 63) else n
+
+
+def _to_signed32(n: int) -> int:
+    n &= (1 << 32) - 1
+    return n - (1 << 32) if n >= (1 << 31) else n
+
+
+# field kind -> (wire type, encoder, decoder-postprocess)
+_KINDS = {
+    "int64": WIRE_VARINT,
+    "int32": WIRE_VARINT,
+    "uint64": WIRE_VARINT,
+    "bool": WIRE_VARINT,
+    "sint64": WIRE_VARINT,
+    "string": WIRE_LEN,
+    "bytes": WIRE_LEN,
+    "double": WIRE_I64,
+    "fixed64": WIRE_I64,
+    "float": WIRE_I32,
+    "fixed32": WIRE_I32,
+}
+
+_DEFAULTS = {
+    "int64": 0, "int32": 0, "uint64": 0, "sint64": 0, "bool": False,
+    "string": "", "bytes": b"", "double": 0.0, "float": 0.0,
+    "fixed64": 0, "fixed32": 0,
+}
+
+
+def encode_field(num: int, kind: str, value: Any, out: bytearray) -> None:
+    """Proto3 presence rule: default-valued scalars are not emitted."""
+    if value is None or value == _DEFAULTS[kind]:
+        return
+    wire = _KINDS[kind]
+    write_uvarint((num << 3) | wire, out)
+    if kind in ("int64", "int32", "uint64"):
+        write_uvarint(int(value), out)
+    elif kind == "bool":
+        write_uvarint(1 if value else 0, out)
+    elif kind == "sint64":
+        write_uvarint(_zigzag(int(value)), out)
+    elif kind in ("string", "bytes"):
+        raw = value.encode("utf-8") if kind == "string" else bytes(value)
+        write_uvarint(len(raw), out)
+        out.extend(raw)
+    elif kind in ("double", "fixed64"):
+        out.extend(
+            struct.pack("<d", value) if kind == "double"
+            else struct.pack("<Q", value)
+        )
+    elif kind in ("float", "fixed32"):
+        out.extend(
+            struct.pack("<f", value) if kind == "float"
+            else struct.pack("<I", value)
+        )
+
+
+def encode_message(fields: dict[int, tuple[str, str]],
+                   record: dict[str, Any]) -> bytes:
+    out = bytearray()
+    for num in sorted(fields):
+        name, kind = fields[num]
+        if name in record:
+            encode_field(num, kind, record[name], out)
+    return bytes(out)
+
+
+def skip_field(wire: int, buf: bytes, pos: int) -> int:
+    """Skip an unknown field — proto3 forward compatibility."""
+    if wire == WIRE_VARINT:
+        _, pos = read_uvarint(buf, pos)
+        return pos
+    if wire == WIRE_I64:
+        if pos + 8 > len(buf):
+            raise ProtoError("truncated 64-bit field")
+        return pos + 8
+    if wire == WIRE_I32:
+        if pos + 4 > len(buf):
+            raise ProtoError("truncated 32-bit field")
+        return pos + 4
+    if wire == WIRE_LEN:
+        n, pos = read_uvarint(buf, pos)
+        if pos + n > len(buf):
+            raise ProtoError("truncated length-delimited field")
+        return pos + n
+    raise ProtoError(f"bad wire type {wire}")
+
+
+def decode_message(
+    fields: dict[int, tuple[str, str]], buf: bytes,
+    pos: int = 0, end: int | None = None,
+) -> dict[str, Any]:
+    """Decode one message body; missing fields take proto3 defaults."""
+    end = len(buf) if end is None else end
+    rec: dict[str, Any] = {
+        name: _DEFAULTS[kind] for name, kind in fields.values()
+    }
+    while pos < end:
+        tag, pos = read_uvarint(buf, pos)
+        num, wire = tag >> 3, tag & 7
+        if num == 0:
+            raise ProtoError("field number 0")
+        spec = fields.get(num)
+        if spec is None:
+            pos = skip_field(wire, buf, pos)
+            continue
+        name, kind = spec
+        if _KINDS[kind] != wire:
+            raise ProtoError(f"wire type {wire} for {kind} field {num}")
+        if wire == WIRE_VARINT:
+            v, pos = read_uvarint(buf, pos)
+            if kind == "sint64":
+                rec[name] = _unzigzag(v)
+            elif kind == "bool":
+                rec[name] = v != 0
+            elif kind == "int32":
+                rec[name] = _to_signed32(v)
+            elif kind == "int64":
+                rec[name] = _to_signed64(v)
+            else:
+                rec[name] = v
+        elif wire == WIRE_I64:
+            if pos + 8 > len(buf):
+                raise ProtoError("truncated 64-bit field")
+            rec[name] = (
+                struct.unpack_from("<d", buf, pos)[0] if kind == "double"
+                else struct.unpack_from("<Q", buf, pos)[0]
+            )
+            pos += 8
+        elif wire == WIRE_I32:
+            if pos + 4 > len(buf):
+                raise ProtoError("truncated 32-bit field")
+            rec[name] = (
+                struct.unpack_from("<f", buf, pos)[0] if kind == "float"
+                else struct.unpack_from("<I", buf, pos)[0]
+            )
+            pos += 4
+        else:  # WIRE_LEN
+            n, pos = read_uvarint(buf, pos)
+            if pos + n > len(buf):
+                raise ProtoError("truncated length-delimited field")
+            raw = buf[pos : pos + n]
+            pos += n
+            if kind == "string":
+                try:
+                    rec[name] = raw.decode("utf-8")
+                except UnicodeDecodeError as exc:
+                    raise ProtoError("invalid utf-8 in string") from exc
+            else:
+                rec[name] = bytes(raw)
+    if pos != end:
+        raise ProtoError("field overran message end")
+    return rec
+
+
+# -------------------------------------------------------------- wire framing
+
+
+def encode_wire(
+    schema_id: int, fields: dict[int, tuple[str, str]],
+    record: dict[str, Any], msg_indexes: tuple[int, ...] = (),
+) -> bytes:
+    out = bytearray([MAGIC])
+    out.extend(struct.pack(">I", schema_id))
+    if not msg_indexes:
+        out.append(0)  # Confluent shorthand for path [0]
+    else:
+        write_uvarint(len(msg_indexes), out)
+        for i in msg_indexes:
+            write_uvarint(i, out)
+    out.extend(encode_message(fields, record))
+    return bytes(out)
+
+
+def decode_wire(
+    payload: bytes, registry: dict[int, dict[int, tuple[str, str]]]
+) -> dict[str, Any]:
+    if len(payload) < 6:
+        raise ProtoError("short frame")
+    if payload[0] != MAGIC:
+        raise ProtoError(f"bad magic 0x{payload[0]:02x}")
+    schema_id = struct.unpack_from(">I", payload, 1)[0]
+    fields = registry.get(schema_id)
+    if fields is None:
+        raise ProtoError(f"unknown schema id {schema_id}")
+    pos = 5
+    n_idx, pos = read_uvarint(payload, pos)
+    for _ in range(n_idx):
+        _, pos = read_uvarint(payload, pos)  # message-index path
+    rec = decode_message(fields, payload, pos)
+    rec["_schema_id"] = schema_id
+    return rec
+
+
+# ------------------------------------------------------- change-event schema
+
+# message TurnChange { int64 offset=1; string op=2; string conv_id=3;
+#   int32 turn_idx=4; string role=5; string text=6; string tool=7;
+#   int64 ts_ms=8; }   (v2 writers additionally emit sint64 lag=9 and
+#   a length-delimited trace blob=10 — skipped by this v1 field map)
+CHANGE_FIELDS = {
+    1: ("offset", "int64"),
+    2: ("op", "string"),
+    3: ("conv_id", "string"),
+    4: ("turn_idx", "int32"),
+    5: ("role", "string"),
+    6: ("text", "string"),
+    7: ("tool", "string"),
+    8: ("ts_ms", "int64"),
+}
+
+CHANGE_REGISTRY = {7: CHANGE_FIELDS}
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("schema_id", T.IntegerType(), True),
+        T.StructField("_ok", T.BooleanType(), False),
+        T.StructField("_error", T.StringType(), True),
+    ]
+)
+
+
+def decode_proto_wire(
+    df: DataFrame,
+    registry: dict[int, dict[int, tuple[str, str]]] | None = None,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Framed protobuf payloads -> canonical change rows.
+
+    Input needs ``payload: binary``.  Output: offset/op/conv_id/
+    turn_idx/role/text/tool/ts_ms + ``schema_id`` and the continuable
+    ``_ok``/``_error`` pair.  Proto3 defaults apply for absent fields;
+    an absent/empty ``tool`` surfaces as NULL (family convention);
+    unknown field numbers are skipped (v2-writer forward compat).
+    """
+    registry = CHANGE_REGISTRY if registry is None else registry
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for payload in pdf[payload_col]:
+                try:
+                    rec = decode_wire(bytes(payload), registry)
+                    rows.append(
+                        {
+                            "offset": rec.get("offset"),
+                            "op": rec.get("op"),
+                            "conv_id": rec.get("conv_id"),
+                            "turn_idx": rec.get("turn_idx"),
+                            "role": rec.get("role"),
+                            "text": rec.get("text"),
+                            "tool": rec.get("tool") or None,
+                            "ts_ms": rec.get("ts_ms"),
+                            "schema_id": rec["_schema_id"],
+                            "_ok": True,
+                            "_error": None,
+                        }
+                    )
+                except ProtoError as exc:
+                    rows.append(
+                        {
+                            "offset": None, "op": None, "conv_id": None,
+                            "turn_idx": None, "role": None, "text": None,
+                            "tool": None, "ts_ms": None, "schema_id": None,
+                            "_ok": False,
+                            "_error": f"proto decode failed: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in _OUT_SCHEMA])
+
+    return df.mapInPandas(batches, schema=_OUT_SCHEMA)

@@ -1,0 +1,134 @@
+"""Protobuf binary codec + Confluent framing: byte-pinned fixtures
+(the tag/varint examples from the protobuf encoding docs) so the wire
+format is verified asymmetrically, not just by round-trip."""
+
+import struct
+
+import pytest
+
+from omniparser_spark.sources.proto_wire import (
+    CHANGE_FIELDS,
+    CHANGE_REGISTRY,
+    ProtoError,
+    decode_message,
+    decode_wire,
+    encode_field,
+    encode_message,
+    encode_wire,
+    read_uvarint,
+    write_uvarint,
+)
+
+
+def _enc(num, kind, value) -> bytes:
+    out = bytearray()
+    encode_field(num, kind, value, out)
+    return bytes(out)
+
+
+def test_uvarint_spec_bytes():
+    # protobuf docs: 1 -> 01, 150 -> 96 01, 300 -> ac 02
+    for n, raw in {1: b"\x01", 150: b"\x96\x01", 300: b"\xac\x02"}.items():
+        out = bytearray()
+        write_uvarint(n, out)
+        assert bytes(out) == raw
+        assert read_uvarint(raw, 0) == (n, len(raw))
+
+
+def test_field_encoding_spec_bytes():
+    # docs example: field 1 (varint) value 150 -> 08 96 01
+    assert _enc(1, "int64", 150) == b"\x08\x96\x01"
+    # docs example: field 2 (string) "testing" -> 12 07 74..67
+    assert _enc(2, "string", "testing") == b"\x12\x07testing"
+    # proto3 presence: defaults are not emitted
+    assert _enc(1, "int64", 0) == b""
+    assert _enc(2, "string", "") == b""
+    # negative int64 is a 10-byte varint; sint64 zigzags to 1 byte
+    assert len(_enc(1, "int64", -1)) == 1 + 10
+    assert _enc(1, "sint64", -1) == b"\x08\x01"
+    # fixed-width kinds
+    assert _enc(3, "double", 1.0) == b"\x19" + struct.pack("<d", 1.0)
+    assert _enc(4, "fixed32", 7) == b"\x25" + struct.pack("<I", 7)
+
+
+def test_message_roundtrip_defaults_and_unknown_skip():
+    rec = {"offset": 42, "op": "U", "conv_id": "c9", "turn_idx": -3,
+           "role": "user", "text": "hi", "tool": "", "ts_ms": 1700000000000}
+    body = encode_message(CHANGE_FIELDS, rec)
+    back = decode_message(CHANGE_FIELDS, body)
+    assert back == rec  # empty tool comes back as proto3 default ""
+    # v2 writer appends unknown fields: sint64 #9, len-delim #10,
+    # fixed64 #11, fixed32 #12 — v1 reader must skip all four kinds
+    v2 = {**CHANGE_FIELDS, 9: ("lag", "sint64"), 10: ("trace", "bytes"),
+          11: ("f64", "fixed64"), 12: ("f32", "fixed32")}
+    body2 = encode_message(
+        v2, dict(rec, lag=-5, trace=b"\x01\x02", f64=9, f32=8)
+    )
+    assert decode_message(CHANGE_FIELDS, body2) == rec
+    # and the v2 reader sees them
+    assert decode_message(v2, body2)["lag"] == -5
+    # unknown field BEFORE known fields (field 15 varint, then body):
+    # mid-stream skip must not desync the following tags
+    assert decode_message(CHANGE_FIELDS, b"\x78\x05" + body) == rec
+
+
+def test_malformed_bodies_raise():
+    body = encode_message(CHANGE_FIELDS, {"offset": 1, "text": "abc"})
+    with pytest.raises(ProtoError):
+        decode_message(CHANGE_FIELDS, body[:-1])  # truncated string
+    with pytest.raises(ProtoError, match="wire type"):
+        # field 1 declared int64 but encoded length-delimited
+        decode_message(CHANGE_FIELDS, b"\x0a\x01x")
+    with pytest.raises(ProtoError, match="field number 0"):
+        decode_message(CHANGE_FIELDS, b"\x00")
+    with pytest.raises(ProtoError, match="bad wire type"):
+        decode_message({}, b"\x0b")  # unknown field, wire type 3
+    with pytest.raises(ProtoError, match="invalid utf-8"):
+        decode_message(CHANGE_FIELDS, b"\x12\x01\xff")
+
+
+def test_wire_framing():
+    rec = {"offset": 5, "op": "I", "conv_id": "c1", "turn_idx": 2,
+           "role": "user", "text": "t", "tool": "search",
+           "ts_ms": 123}
+    msg = encode_wire(7, CHANGE_FIELDS, rec)
+    # magic, schema id 7, single-zero-byte message-index path
+    assert msg[:6] == b"\x00\x00\x00\x00\x07\x00"
+    out = decode_wire(msg, CHANGE_REGISTRY)
+    assert out["offset"] == 5 and out["tool"] == "search"
+    assert out["_schema_id"] == 7
+    # explicit message-index path [1, 3]
+    msg2 = encode_wire(7, CHANGE_FIELDS, rec, msg_indexes=(1, 3))
+    assert msg2[5:8] == b"\x02\x01\x03"
+    assert decode_wire(msg2, CHANGE_REGISTRY)["offset"] == 5
+    with pytest.raises(ProtoError, match="bad magic"):
+        decode_wire(b"\x01" + msg[1:], CHANGE_REGISTRY)
+    with pytest.raises(ProtoError, match="unknown schema id"):
+        decode_wire(encode_wire(9, CHANGE_FIELDS, rec), CHANGE_REGISTRY)
+
+
+def test_decode_proto_wire_dataframe(spark):
+    from omniparser_spark.sources.proto_wire import decode_proto_wire
+
+    v2 = {**CHANGE_FIELDS, 9: ("lag", "sint64")}
+    rows = []
+    for i in range(12):
+        rec = {"offset": i, "op": "I", "conv_id": f"c{i}", "turn_idx": i,
+               "role": "user", "text": f"m{i}",
+               "tool": "search" if i % 3 == 0 else "", "ts_ms": 1000 + i}
+        fields = v2 if i % 2 else CHANGE_FIELDS
+        if i % 2:
+            rec = dict(rec, lag=-i)
+        body = encode_wire(7, fields, rec)
+        if i == 7:
+            body = body[:-1]
+        rows.append((body,))
+    df = spark.createDataFrame(rows, "payload binary")
+    out = decode_proto_wire(df).collect()
+    ok = [r for r in out if r["_ok"]]
+    bad = [r for r in out if not r["_ok"]]
+    assert len(ok) == 11 and len(bad) == 1
+    assert "proto decode failed" in bad[0]["_error"]
+    # empty tool normalized to NULL; v2 extra field skipped cleanly
+    assert all(r["tool"] is None for r in ok if r["offset"] % 3)
+    assert all(r["tool"] == "search" for r in ok if r["offset"] % 3 == 0)
