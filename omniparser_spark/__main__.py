@@ -88,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="advance the rollup view at PATH to --table's "
                          "head from changelog deltas only (O(delta), "
                          "exactly-once), print the sync record, exit")
+    ap.add_argument("--compact", action="store_true",
+                    help="rewrite fragmented buckets (>=2 data files, "
+                         "e.g. after a parallel bootstrap) to one file "
+                         "each, print the compaction record, exit")
     args = ap.parse_args(argv)
 
     erasure = args.erase_where is not None or args.erase_keys is not None
@@ -98,6 +102,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.fsck
         or args.create_view is not None
         or args.sync_view is not None
+        or args.compact
     )
     if not maintenance and not args.feed:
         ap.error("--feed is required for apply/streaming runs")
@@ -190,6 +195,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.replay_quarantine:
         rec = pipe.replay_quarantine()
         print(json.dumps(rec, default=str))
+        return 0
+    if args.compact:
+        print(json.dumps(pipe.table.compact_buckets(), default=str))
         return 0
     if args.create_view is not None or args.sync_view is not None:
         # transcript-schema rollup: per-conv live-turn count + char sum

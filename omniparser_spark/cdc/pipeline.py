@@ -475,7 +475,10 @@ class CdcPipeline:
         return record
 
     def bootstrap(
-        self, snapshot_df: DataFrame, as_of_offset: int
+        self,
+        snapshot_df: DataFrame,
+        as_of_offset: int,
+        files_per_bucket: int = 1,
     ) -> dict[str, Any]:
         """Initial-snapshot load (the standard CDC onboarding: bulk-load
         the source's consistent snapshot, then tail the feed from the
@@ -496,6 +499,20 @@ class CdcPipeline:
         includes `_deleted`/`_last_offset` (e.g. `read(include_hidden=
         True)`) — those columns are carried through verbatim and the
         tombstones keep protecting their keys.
+
+        `files_per_bucket`: write parallelism per bucket. The default
+        (1) funnels each bucket through ONE task — the steady-state
+        merge layout, but a serialization bottleneck for a 100 TB
+        initial load (write parallelism capped at n_buckets however
+        large the cluster). Pass k > 1 to salt the repartition so each
+        bucket's rows spread over ~k tasks (n_buckets x k concurrent
+        writers); each bucket directory then holds ~k files, and a
+        follow-up :meth:`LakeTable.compact_buckets` restores the
+        one-file-per-bucket invariant as cheap maintenance — the
+        standard Iceberg split of write-time clustering from
+        compaction. The salt is a SEEDED key hash (not the bucket
+        hash: pmod(h, k) would be correlated with pmod(h, N) and
+        collapse the spread whenever k divides n_buckets).
         """
         summary = self.table.summary()
         if int(summary.get("batch_id", -1)) >= 0:
@@ -523,9 +540,19 @@ class CdcPipeline:
                 if "_deleted" in df.columns
                 else F.lit(False)
             ).alias("_deleted"),
-        ).withColumn("_bucket", bucket_expr(key_col, n_buckets)).repartition(
-            n_buckets, "_bucket"
-        )
+        ).withColumn("_bucket", bucket_expr(key_col, n_buckets))
+        fpb = max(int(files_per_bucket), 1)
+        if fpb == 1:
+            out = out.repartition(n_buckets, "_bucket")
+        else:
+            out = out.repartition(
+                n_buckets * fpb,
+                "_bucket",
+                F.pmod(
+                    F.xxhash64(F.col(key_col).cast("string"), F.lit(1)),
+                    F.lit(fpb),
+                ),
+            )
         snap = self.table.commit(
             out,
             touched_buckets=None,

@@ -1045,6 +1045,115 @@ class LakeTable:
             "touched_buckets": buckets,
         }
 
+    def compact_buckets(
+        self,
+        min_files: int = 2,
+        buckets: list[int] | None = None,
+    ) -> dict[str, Any]:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` /
+        Delta ``OPTIMIZE`` parity): rewrite each selected bucket's
+        content — byte-identical rows — into ONE file per bucket.
+
+        Why it exists: the merge path already co-locates each touched
+        bucket into one task (one file per bucket per rewrite), but
+        that invariant deliberately does NOT hold for high-parallelism
+        bulk writes — a ``bootstrap(files_per_bucket=k)`` initial load
+        spreads each bucket over ~k writers precisely so a 100 TB
+        onboarding isn't serialized through n_buckets tasks — and a
+        direct :meth:`commit` caller may ship whatever partitioning
+        its frame arrived with. Those paths leave k+ files per bucket,
+        and at scale the per-file open/footer cost taxes every
+        subsequent scan and changelog read. Compaction is the
+        maintenance half of that trade (Iceberg's write-time
+        clustering vs `rewrite_data_files` split): run it after a
+        bulk load or periodically in the apply loop's tail, like
+        `expire_snapshots`, to restore one file per bucket.
+
+        Changelog-neutral by construction: `read_changes` is a filter
+        on the stored `_last_offset` column (zero write-path CDF), and
+        compaction rewrites rows verbatim — hidden columns included —
+        so every changelog read before/after compaction is identical.
+        The parent's per-bucket max-offset stats are re-declared
+        exactly (content unchanged ⇒ the stat is exact, not merely an
+        upper bound), so incremental-sync pruning keeps working.
+
+        Selection: only buckets whose directory holds >= `min_files`
+        data files are rewritten (a one-file bucket gains nothing);
+        `buckets` restricts further. File counting is a driver-side
+        directory listing — O(n_buckets) metadata, the same class as
+        snapshot bookkeeping, no Spark job.
+
+        NOT a change event: the offset/batch fence does not move, so it
+        can never mask or replay a batch. Prior snapshots still
+        reference the old small files until `expire_snapshots` drops
+        them (time travel across the compaction keeps working until
+        then). Returns {snapshot_version, compacted_buckets,
+        files_before, files_after}; no commit at all if nothing
+        qualifies.
+        """
+        snap = self.current()
+        summary = snap.summary
+        key_col = summary["key_col"]
+        n_buckets = int(summary["n_buckets"])
+
+        def _n_files(rel: str) -> int:
+            d = os.path.join(self.path, rel)
+            try:
+                return sum(
+                    1 for e in os.listdir(d)
+                    if e.endswith(".parquet") and not e.startswith((".", "_"))
+                )
+            except FileNotFoundError:
+                return 0
+
+        counts = {int(b): _n_files(d) for b, d in snap.bucket_dirs.items()}
+        eligible = sorted(
+            b for b, n in counts.items()
+            if n >= max(int(min_files), 2)
+            and (buckets is None or b in set(int(x) for x in buckets))
+        )
+        if not eligible:
+            return {
+                "snapshot_version": snap.version,
+                "compacted_buckets": [],
+                "files_before": 0,
+                "files_after": 0,
+            }
+
+        target = self.read(buckets=eligible, include_hidden=True)
+        for hidden, default in (("_last_offset", F.lit(-1).cast("long")),
+                                ("_deleted", F.lit(False))):
+            if hidden not in target.columns:
+                target = target.withColumn(hidden, default)
+        # one hash partition per bucket -> exactly one output file per
+        # bucket directory (two buckets hashing to the same partition
+        # still split into per-bucket files at the partitionBy write)
+        packed = (
+            target.withColumn("_bucket", bucket_expr(key_col, n_buckets))
+            .repartition(len(eligible), "_bucket")
+        )
+        new_snap = self.commit(
+            packed,
+            touched_buckets=eligible,
+            summary_updates={},
+            bucket_stats_updates={
+                b: snap.bucket_stats[str(b)]
+                for b in eligible
+                if str(b) in snap.bucket_stats
+            },
+        )
+        after = sum(
+            _n_files(d)
+            for b, d in new_snap.bucket_dirs.items()
+            if int(b) in set(eligible)
+        )
+        return {
+            "snapshot_version": new_snap.version,
+            "compacted_buckets": eligible,
+            "files_before": sum(counts[b] for b in eligible),
+            "files_after": after,
+        }
+
     def read_changes_with_preimage(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:

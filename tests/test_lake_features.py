@@ -1120,3 +1120,89 @@ def test_incremental_view_minmax_with_affected_group_rescan(spark, tmp_path):
             spark, str(tmp_path / "bad"), t, group_col="conv_id",
             minmax_metrics={"m": ("avg", lambda g: SF.length(g("text")))},
         )
+
+
+def test_parallel_bootstrap_then_compact_cdf_neutral(spark, tmp_path):
+    """A bulk load with files_per_bucket=k spreads each bucket over ~k
+    writers (the 100 TB onboarding path — write parallelism must not be
+    capped at n_buckets); compact_buckets then restores the
+    one-file-per-bucket layout byte-identically: content, changelog,
+    bucket stats, and the batch fence all survive verbatim, and the
+    merge path keeps working on the compacted table."""
+    import os as _os
+
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+
+    p = CdcPipeline(
+        spark, str(tmp_path / "t"), str(tmp_path / "ckpt"), n_buckets=4,
+    )
+    snapshot = spark.createDataFrame(
+        [
+            (f"c{i}", 1, "user", f"t{i}", None, _ts(1))
+            for i in range(200)
+        ],
+        SCHEMA,
+    )
+    p.bootstrap(snapshot, as_of_offset=199, files_per_bucket=4)
+    t = p.table
+
+    def files_per_bucket(table):
+        snap = table.current()
+        return {
+            int(b): sum(
+                1
+                for e in _os.listdir(_os.path.join(table.path, d))
+                if e.endswith(".parquet")
+            )
+            for b, d in snap.bucket_dirs.items()
+        }
+
+    before = files_per_bucket(t)
+    # the salted repartition must actually fan each bucket out
+    assert max(before.values()) >= 2
+
+    pre = t.current()
+    before_rows = sorted(
+        (r.conv_id, r.turn_idx, r.text) for r in t.read().collect()
+    )
+    before_changes = sorted(
+        (r.conv_id, r._change_type, r._commit_offset)
+        for r in t.read_changes(0).collect()
+    )
+
+    res = t.compact_buckets()
+    assert sorted(res["compacted_buckets"]) == sorted(
+        b for b, n in before.items() if n >= 2
+    )
+    assert res["files_before"] > res["files_after"]
+    after = files_per_bucket(t)
+    assert all(n == 1 for n in after.values())
+
+    cur = t.current()
+    assert sorted(
+        (r.conv_id, r.turn_idx, r.text) for r in t.read().collect()
+    ) == before_rows
+    assert sorted(
+        (r.conv_id, r._change_type, r._commit_offset)
+        for r in t.read_changes(0).collect()
+    ) == before_changes
+    assert cur.bucket_stats == pre.bucket_stats
+    assert cur.summary["batch_id"] == pre.summary["batch_id"]
+    # pre-compaction snapshot still time-travels until expiry
+    assert len(t.read(version=pre.version).collect()) == len(before_rows)
+
+    # re-running immediately is a metadata-only no-op: nothing qualifies
+    res2 = t.compact_buckets()
+    assert res2["compacted_buckets"] == []
+    assert t.current().version == cur.version
+
+    # the merge path keeps working on the compacted layout, and the
+    # bootstrap's stamped offsets keep fencing LWW races correctly
+    merge_into(
+        t, _batch(spark, [("c0", 1, "t0-v2", 3, 300, "U")]),
+        batch_id=1, max_offset=300,
+    )
+    got = {
+        (r.conv_id, r.turn_idx): r.text for r in t.lookup("c0").collect()
+    }
+    assert got[("c0", 1)] == "t0-v2"
