@@ -4235,6 +4235,232 @@ def _truncate_context(spark, sf_dir):
 
 
 @_q(
+    "sft_explode_examples",
+    """
+    WITH t AS (
+      SELECT user_id AS conv_id,
+             row_number() OVER w - 1 AS turn_idx,
+             CASE WHEN (row_number() OVER w - 1) % 2 = 0
+                  THEN 'user' ELSE 'assistant' END AS role,
+             'm' || event_id AS text,
+             1 + event_id % 13 AS n_tokens
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    x AS (
+      SELECT conv_id, turn_idx, role, n_tokens,
+             count(*) OVER ctx AS context_turns,
+             coalesce(sum(n_tokens) OVER ctx, 0) AS context_tokens,
+             coalesce(
+               string_agg(role || ': ' || text, chr(10)) OVER ctx, ''
+             ) AS context_text
+      FROM t
+      WINDOW ctx AS (
+        PARTITION BY conv_id ORDER BY turn_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+           context_turns::INT AS context_turns,
+           context_tokens::BIGINT AS context_tokens,
+           n_tokens::BIGINT AS target_tokens,
+           (context_tokens + n_tokens)::BIGINT AS total_tokens,
+           context_text
+    FROM x WHERE role = 'assistant'
+    """,
+)
+def _sft_explode_examples(spark, sf_dir):
+    """Per-assistant-turn SFT example explosion (operators/
+    transcripts.py explode_sft_examples): every assistant turn becomes
+    one training example — context = all preceding turns, target = the
+    turn itself — so an n-turn conversation yields one example per
+    assistant reply with progressively longer context (the standard
+    SFT unroll). ONE hash shuffle on the conversation key; counts and
+    token sums are running window sums and the context transcript is
+    an ordered collect_list join, all column-only. The O(n^2)
+    context_text repetition is inherent to the unroll and per-group
+    (one long conversation slows only its own task); with_text=False
+    emits spans-only rows for outlier corpora."""
+    from pyspark.sql import Window
+
+    from omniparser_spark.operators.transcripts import explode_sft_examples
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    k = F.row_number().over(w) - 1
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        k.cast("long").alias("turn_idx"),
+        F.when(k % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.concat(F.lit("m"), F.col("event_id").cast("string")).alias("text"),
+        (1 + F.col("event_id") % 13).cast("long").alias("n_tokens"),
+    )
+    return explode_sft_examples(turns).select(
+        "conv_id", "turn_idx", "context_turns", "context_tokens",
+        "target_tokens", "total_tokens", "context_text",
+    )
+
+
+@_q(
+    "best_of_n_rejection",
+    f"""
+    WITH base AS (
+{_TURN_TREE_SQL}
+    ),
+    t AS (
+      SELECT conv_id, turn_id, parent_id, text,
+             CASE WHEN parent_id IS NULL THEN 'user'
+                  WHEN turn_id % 7 = 0 THEN 'user'
+                  ELSE 'assistant' END AS role
+      FROM base
+    ),
+    cand AS (
+      SELECT conv_id, turn_id, parent_id, text,
+             (turn_id * 37) % 101 AS score
+      FROM t WHERE role = 'assistant'
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY conv_id, coalesce(parent_id, -1)
+               ORDER BY score DESC, turn_id ASC
+             ) AS rk,
+             count(*) OVER (
+               PARTITION BY conv_id, coalesce(parent_id, -1)
+             ) AS n_candidates
+      FROM cand
+    )
+    SELECT conv_id, turn_id, parent_id, text,
+           score::BIGINT AS score, n_candidates::INT AS n_candidates
+    FROM r WHERE rk = 1
+    """,
+)
+def _best_of_n_rejection(spark, sf_dir):
+    """Best-of-N rejection sampling (operators/transcripts.py
+    best_of_n): assistant turns sharing (conversation, parent) are
+    alternative generations of the same reply; keep the top-scored
+    candidate per sibling group (ties -> lowest turn id). The
+    SFT-side complement of preference_pairs (which exports the
+    chosen/rejected pairs for DPO). One window over the sibling key —
+    regeneration groups are tiny, no skew. Score here is a
+    deterministic stand-in ((turn_id*37) % 101) for a model-assigned
+    reward column."""
+    from omniparser_spark.operators.transcripts import best_of_n
+
+    t = _turn_tree(spark, sf_dir).select(
+        "conv_id", "turn_id", "parent_id", "text",
+        F.when(F.col("parent_id").isNull(), F.lit("user"))
+        .when(F.col("turn_id") % 7 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+    )
+    return best_of_n(
+        t,
+        score=(F.col("turn_id") * 37) % 101,
+        candidate_filter=F.col("role") == "assistant",
+    ).select(
+        "conv_id", "turn_id", "parent_id", "text",
+        F.col("score").cast("long").alias("score"),
+        "n_candidates",
+    )
+
+
+@_q(
+    "conversation_lint",
+    """
+    WITH t AS (
+      SELECT user_id AS conv_id,
+             row_number() OVER w AS rn,
+             event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    s AS (
+      SELECT conv_id,
+             rn - 1 + CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END
+               AS turn_idx,
+             CASE WHEN rn = 1 THEN
+                    CASE WHEN conv_id % 10 = 0
+                         THEN 'assistant' ELSE 'user' END
+                  WHEN event_id % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END AS role,
+             CASE WHEN event_id % 11 = 0 THEN ''
+                  ELSE 'm' || event_id END AS text
+      FROM t
+    ),
+    o AS (
+      SELECT conv_id, turn_idx, role, text,
+             lag(role) OVER wo AS prev_role,
+             row_number() OVER wo AS rn2
+      FROM s
+      WINDOW wo AS (PARTITION BY conv_id ORDER BY turn_idx, role, text)
+    ),
+    g AS (
+      SELECT conv_id,
+             count(*)::INT AS n_turns,
+             bool_and(prev_role IS NULL OR role <> prev_role)
+               AS alternation_ok,
+             bool_and(rn2 <> 1 OR role IN ('system', 'user'))
+               AS starts_ok,
+             bool_and(text IS NOT NULL AND length(trim(text)) > 0)
+               AS nonempty_ok,
+             (min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+              AND count(DISTINCT turn_idx) = count(*)) AS contiguous_ok
+      FROM o GROUP BY conv_id
+    )
+    SELECT conv_id, n_turns, alternation_ok, starts_ok, nonempty_ok,
+           contiguous_ok,
+           (alternation_ok AND starts_ok AND nonempty_ok
+            AND contiguous_ok) AS ok
+    FROM g
+    """,
+)
+def _conversation_lint(spark, sf_dir):
+    """Conversation-structure lint (operators/transcripts.py
+    conversation_lint): per-conversation boolean verdicts —
+    role alternation, opening role, non-blank turns, dense 0..n-1
+    turn ordering — surfaced as independent flags a curation funnel
+    filters or routes on (the transcript analogue of the reference's
+    continuable error taxonomy, errs/errs.go:12-25). The synthesized
+    feed injects each defect class: every 13th event shifts its turn
+    index (gaps/duplicates), every 11th blanks its text, conv % 10
+    opens with 'assistant', and the parity-derived roles break
+    alternation naturally. One lag window + one groupBy on the SAME
+    key: a single shuffle, map-side-combinable boolean aggregates."""
+    from pyspark.sql import Window
+
+    from omniparser_spark.operators.transcripts import conversation_lint
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    rn = F.row_number().over(w)
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        (
+            rn - 1
+            + F.when(F.col("event_id") % 13 == 0, 1).otherwise(0)
+        ).cast("long").alias("turn_idx"),
+        F.when(
+            rn == 1,
+            F.when(F.col("user_id") % 10 == 0, F.lit("assistant"))
+            .otherwise(F.lit("user")),
+        )
+        .when(F.col("event_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("m"), F.col("event_id").cast("string")))
+        .alias("text"),
+    )
+    return conversation_lint(turns).select(
+        "conv_id", "n_turns", "alternation_ok", "starts_ok",
+        "nonempty_ok", "contiguous_ok", "ok",
+    )
+
+
+@_q(
     "sample_mixture_fractions",
     """
     SELECT doc_id, lang, source

@@ -356,3 +356,189 @@ def tool_call_spans(
         F.regexp_extract("_call", TOOL_CALL_RE, 1).alias("fn"),
         F.regexp_extract("_call", TOOL_CALL_RE, 2).alias("arg"),
     )
+
+
+def explode_sft_examples(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tokens_col: str = "n_tokens",
+    assistant_role: str = "assistant",
+    sep: str = "\n",
+    with_text: bool = True,
+) -> DataFrame:
+    """Per-assistant-turn example explosion — the standard SFT unroll:
+    every assistant turn becomes one training example whose input is
+    ALL preceding turns and whose target is the turn itself, so an
+    n-turn conversation yields one example per assistant reply (each
+    with a progressively longer context) instead of a single
+    last-turn example.
+
+    Returns one row per assistant turn: (conv, target order,
+    context_turns, context_tokens, target_tokens, total_tokens
+    [, context_text — the '\\n'-joined "role: text" transcript of the
+    context]).  Compose with `truncate_context` upstream when contexts
+    must fit a window budget.
+
+    Scale shape: ONE hash shuffle on the conversation key; counts and
+    token sums are running window sums (column-only).  `context_text`
+    materializes O(n^2) characters per n-turn conversation — inherent
+    to the unroll itself (each example repeats its prefix), fine for
+    the ~10^2-turn conversations transcripts actually have, and the
+    quadratic is per-group (one long conversation slows only its own
+    task).  Pass `with_text=False` to emit spans-only rows (the
+    collator then slices a packed token buffer, as
+    `sft_loss_mask_spans` does) when the corpus has outlier-length
+    conversations.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    ctx_turns = F.count(F.lit(1)).over(w).cast("int")
+    ctx_tokens = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    cols = [
+        F.col(conv_col),
+        F.col(order_col),
+        ctx_turns.alias("context_turns"),
+        ctx_tokens.alias("context_tokens"),
+        F.col(tokens_col).cast("long").alias("target_tokens"),
+        (ctx_tokens + F.col(tokens_col)).cast("long").alias("total_tokens"),
+    ]
+    if with_text:
+        piece = F.concat_ws(": ", F.col(role_col), F.col(text_col))
+        cols.append(
+            F.array_join(F.collect_list(piece).over(w), sep)
+            .alias("context_text")
+        )
+    return (
+        turns.select(*cols, F.col(role_col).alias("_role"))
+        .filter(F.col("_role") == assistant_role)
+        .drop("_role")
+    )
+
+
+def best_of_n(
+    turns: DataFrame,
+    score: Column,
+    conv_col: str = "conv_id",
+    id_col: str = "turn_id",
+    parent_col: str = "parent_id",
+    candidate_filter: Column | None = None,
+) -> DataFrame:
+    """Best-of-N rejection sampling over regeneration siblings: turns
+    sharing (conversation, parent) are alternative generations of the
+    same reply; keep the highest-`score` candidate per sibling group
+    (ties break on the LOWEST id — the earliest generation — so the
+    winner is deterministic).  The complement of `preference_pairs`:
+    that exports (chosen, rejected) pairs for DPO, this keeps only the
+    winner for SFT.
+
+    Returns the winning rows with `n_candidates` (sibling-group size)
+    and `score`.  `candidate_filter` restricts which rows compete
+    (e.g. role == 'assistant'); non-candidates are dropped entirely.
+
+    Scale shape: one window over the (conv, parent) sibling key —
+    regeneration groups are tiny (2-5), so no skew; one hash shuffle.
+    """
+    from pyspark.sql import Window
+
+    if candidate_filter is not None:
+        turns = turns.filter(candidate_filter)
+    grp = F.coalesce(F.col(parent_col), F.lit(-1))
+    w = Window.partitionBy(conv_col, grp)
+    w_rank = w.orderBy(F.col("_score").desc(), F.col(id_col).asc())
+    scored = turns.withColumn("_score", score)
+    return (
+        scored.select(
+            "*",
+            F.row_number().over(w_rank).alias("_rk"),
+            F.count(F.lit(1)).over(w).cast("int").alias("n_candidates"),
+        )
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+        .withColumnRenamed("_score", "score")
+    )
+
+
+def conversation_lint(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    opening_roles: Sequence[str] = ("system", "user"),
+) -> DataFrame:
+    """Conversation-structure validation — the transcript analogue of
+    the reference's record-level error taxonomy (``errs/errs.go:12-25``
+    posture: degrade per-row/per-group, never fail the job).  Emits one
+    row per conversation with independent boolean flags so a curation
+    funnel can filter or route on each:
+
+    - `alternation_ok`: no two consecutive turns share a role;
+    - `starts_ok`: the first turn's role is in `opening_roles`;
+    - `nonempty_ok`: every turn has non-blank text;
+    - `contiguous_ok`: turn orders are exactly 0..n-1 (no gaps, no
+      duplicates);
+    - `ok`: the conjunction.
+
+    Turns are ordered by (`order_col`, `role_col`, `text_col`) so the
+    verdict is deterministic even when a malformed conversation
+    duplicates an order value (such duplicates already fail
+    `contiguous_ok`; the extra sort keys only stabilize which
+    adjacency the alternation check sees).
+
+    Scale shape: one lag window + one groupBy on the SAME conversation
+    key — the groupBy reuses the window's hash partitioning, so the
+    whole lint is a single shuffle with map-side-combinable boolean
+    aggregates.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(
+        order_col, role_col, text_col
+    )
+    flagged = turns.select(
+        F.col(conv_col),
+        F.col(order_col).cast("long").alias("_ord"),
+        F.col(role_col).alias("_role"),
+        F.col(text_col).alias("_text"),
+        F.lag(role_col).over(w).alias("_prev_role"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    return flagged.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+        F.every(
+            F.col("_prev_role").isNull()
+            | (F.col("_role") != F.col("_prev_role"))
+        ).alias("alternation_ok"),
+        F.every(
+            (F.col("_rn") != 1)
+            | F.col("_role").isin(*opening_roles)
+        ).alias("starts_ok"),
+        F.every(
+            F.col("_text").isNotNull()
+            & (F.length(F.trim(F.col("_text"))) > 0)
+        ).alias("nonempty_ok"),
+        (
+            (F.min("_ord") == 0)
+            & (F.max("_ord") == F.count(F.lit(1)) - 1)
+            & (F.count_distinct(F.col("_ord")) == F.count(F.lit(1)))
+        ).alias("contiguous_ok"),
+    ).select(
+        conv_col,
+        "n_turns",
+        "alternation_ok",
+        "starts_ok",
+        "nonempty_ok",
+        "contiguous_ok",
+        (
+            F.col("alternation_ok") & F.col("starts_ok")
+            & F.col("nonempty_ok") & F.col("contiguous_ok")
+        ).alias("ok"),
+    )

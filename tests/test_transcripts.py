@@ -165,3 +165,113 @@ def test_truncate_context_suffix_budget(spark):
     }
     tot = {r.conv_id: r.conv_tokens_kept for r in out}
     assert tot == {"a": 55, "b": 999, "c": 11}
+
+
+def test_explode_sft_examples_progressive_context(spark):
+    from omniparser_spark.operators.transcripts import explode_sft_examples
+
+    rows = [
+        ("A", 0, "user", "q1", 3),
+        ("A", 1, "assistant", "a1", 5),
+        ("A", 2, "user", "q2", 2),
+        ("A", 3, "assistant", "a2", 7),
+        ("B", 0, "assistant", "solo", 4),  # no context at all
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, role string, text string, "
+        "n_tokens long",
+    )
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in explode_sft_examples(turns).collect()
+    }
+    # one example per assistant turn, context grows per example
+    assert set(out) == {("A", 1), ("A", 3), ("B", 0)}
+    e1 = out[("A", 1)]
+    assert (e1.context_turns, e1.context_tokens, e1.target_tokens) == (1, 3, 5)
+    assert e1.context_text == "user: q1"
+    e2 = out[("A", 3)]
+    assert (e2.context_turns, e2.context_tokens, e2.total_tokens) == (3, 10, 17)
+    assert e2.context_text == "user: q1\nassistant: a1\nuser: q2"
+    # zero-context example: empty string, zero counts
+    e3 = out[("B", 0)]
+    assert (e3.context_turns, e3.context_tokens, e3.context_text) == (0, 0, "")
+    # spans-only mode drops the quadratic text column
+    lean = explode_sft_examples(turns, with_text=False)
+    assert "context_text" not in lean.columns
+
+
+def test_best_of_n_keeps_top_scored_sibling(spark):
+    from omniparser_spark.operators.transcripts import best_of_n
+
+    rows = [
+        # sibling group under parent 1: scores 10, 30, 30 (tie)
+        ("A", 2, 1, "assistant", "cand-low"),
+        ("A", 3, 1, "assistant", "cand-tie-early"),
+        ("A", 4, 1, "assistant", "cand-tie-late"),
+        # lone candidate under parent 5: best of 1 is itself
+        ("A", 6, 5, "assistant", "lone"),
+        # root-level candidate (NULL parent) forms its own group
+        ("B", 1, None, "assistant", "root"),
+        # non-candidate role is dropped before grouping
+        ("A", 7, 1, "user", "not-a-candidate"),
+    ]
+    turns = spark.createDataFrame(rows, TREE_SCHEMA)
+    score = (
+        F.when(F.col("turn_id") == 2, 10)
+        .when(F.col("turn_id").isin(3, 4), 30)
+        .otherwise(1)
+    )
+    out = {
+        r.turn_id: (r.n_candidates, r.score)
+        for r in best_of_n(
+            turns, score, candidate_filter=F.col("role") == "assistant"
+        ).collect()
+    }
+    # tie broken to the LOWEST id; group sizes reported; user row gone
+    assert out == {3: (3, 30), 6: (1, 1), 1: (1, 1)}
+
+
+def test_conversation_lint_flags_each_defect_independently(spark):
+    from omniparser_spark.operators.transcripts import conversation_lint
+
+    rows = [
+        # clean conversation
+        ("ok", 0, "user", "hi"),
+        ("ok", 1, "assistant", "hello"),
+        # double assistant turn -> alternation fails, rest ok
+        ("alt", 0, "user", "a"),
+        ("alt", 1, "assistant", "b"),
+        ("alt", 2, "assistant", "c"),
+        # opens with assistant -> starts fails
+        ("open", 0, "assistant", "x"),
+        ("open", 1, "user", "y"),
+        # blank turn -> nonempty fails
+        ("blank", 0, "user", "  "),
+        ("blank", 1, "assistant", "z"),
+        # gap in ordering -> contiguous fails
+        ("gap", 0, "user", "p"),
+        ("gap", 2, "assistant", "q"),
+        # duplicate order -> contiguous fails (verdict still
+        # deterministic: adjacency ordered by role/text tie-breakers)
+        ("dup", 0, "user", "r"),
+        ("dup", 1, "assistant", "s"),
+        ("dup", 1, "user", "t"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, role string, text string"
+    )
+    out = {
+        r.conv_id: (
+            r.alternation_ok, r.starts_ok, r.nonempty_ok,
+            r.contiguous_ok, r.ok,
+        )
+        for r in conversation_lint(turns).collect()
+    }
+    assert out["ok"] == (True, True, True, True, True)
+    assert out["alt"] == (False, True, True, True, False)
+    assert out["open"] == (True, False, True, True, False)
+    assert out["blank"] == (True, True, False, True, False)
+    assert out["gap"] == (True, True, True, False, False)
+    assert out["dup"][3] is False and out["dup"][4] is False
