@@ -1828,6 +1828,122 @@ def _dec_proto_wire(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_proto_apply",
+    f"""
+    WITH feed AS (
+{_CDC_FEED_SQL}
+    ),
+    good AS (
+      SELECT * FROM feed WHERE src_offset % 101 <> 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, src_offset DESC) AS rn
+      FROM good
+    )
+    SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def _cdc_proto_apply(spark, sf_dir):
+    """Binary wire-format CDC END-TO-END: the same change feed as
+    `cdc_replay_final_state`, but every payload is a base64 Confluent
+    protobuf frame and `register_proto_format()` plugs the frame
+    parser into the apply loop's per-format dispatch — so framed
+    binary events flow through the REAL pipeline (decode -> normalize
+    -> LWW -> fenced MERGE, 4 micro-batches) exactly like text
+    formats. Every 101st frame is corrupted (bad magic) and must
+    quarantine, so the oracle's declarative LWW final state excludes
+    those offsets. Proves the wire-format triad is loop-integrated,
+    not just a standalone decoder."""
+    import base64 as _b64
+
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.sources.proto_wire import (
+        CHANGE_FIELDS,
+        encode_wire,
+        register_proto_format,
+    )
+
+    register_proto_format()
+    fields = _events_change_fields(_t(spark, sf_dir, "events"))
+    env_schema = T.StructType(
+        [
+            T.StructField("offset", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("payload", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("source_part", T.IntegerType()),
+        ]
+    )
+
+    def encode_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for off, op, conv, ti, role, text, tool, ts, sp in zip(
+                pdf["offset"], pdf["op"], pdf["conv_id"], pdf["turn_idx"],
+                pdf["role"], pdf["text"], pdf["tool"], pdf["ts"],
+                pdf["source_part"],
+            ):
+                off = int(off)
+                rec = {
+                    "offset": off,
+                    "op": op,
+                    "conv_id": conv,
+                    "turn_idx": int(ti),
+                    "role": role,
+                    "text": text,
+                    "tool": tool if tool is not None else "",
+                    "ts_ms": int(ts.timestamp()) * 1000,
+                }
+                frame = encode_wire(7, CHANGE_FIELDS, rec)
+                if off % 101 == 0:
+                    frame = b"\x7f" + frame[1:]  # corrupt -> quarantine
+                rows.append(
+                    {
+                        "offset": off,
+                        "op": op,
+                        "format": "proto",
+                        "payload": _b64.b64encode(frame).decode("ascii"),
+                        "ts": ts,
+                        "source_part": int(sp),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in env_schema.fields]
+            )
+
+    feed = fields.mapInPandas(encode_batches, schema=env_schema).persist()
+    try:
+        total = feed.agg(F.max("offset")).collect()[0][0] + 1
+        tmp = tempfile.mkdtemp(prefix="omniparser_spark_proto_apply_")
+        pipe = CdcPipeline(
+            spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8,
+            n_source_parts=8,
+        )
+
+        def feed_for_range(start: int, end: int) -> DataFrame:
+            return feed.filter(
+                (F.col("offset") >= start) & (F.col("offset") <= end)
+            )
+
+        pipe.run(feed_for_range, total, batch_size=(total + 3) // 4)
+        out = pipe.read_table().select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            _us("ts").alias("ts_us"),
+        )
+        out = out.persist()
+        out.count()  # materialize before dropping the feed cache
+        return out
+    finally:
+        feed.unpersist()
+
+
 # ------------------------------------------------------------ spec compiler
 
 _SPEC_UUID3_SQL = (

@@ -283,6 +283,24 @@ def register_format(name: str, decoder) -> None:
     _DECODERS[name] = decoder
 
 
+# Binary wire-format plug-ins (Confluent-framed protobuf/Avro): these
+# cannot be column expressions (varint-framed binary needs an imperative
+# parser), so a frame decoder is a DataFrame-level transform
+# ``(df, payload_col) -> df + `turn` column`` — in practice a
+# mapInPandas over Arrow batches. It must append `turn` typed exactly
+# _DECODE_STRUCT (None for a bad frame: the shared ok/err gate below
+# then quarantines the row) and pass every envelope column through
+# unchanged, so the branch unions with the expression branches
+# position-compatibly. Registration is explicit (e.g.
+# sources/proto_wire.register_proto_format()), mirroring
+# register_format's plug-in posture.
+_FRAME_DECODERS: dict[str, object] = {}
+
+
+def register_frame_format(name: str, frame_decoder) -> None:
+    _FRAME_DECODERS[name] = frame_decoder
+
+
 def decode_payload(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Attach a decoded `turn` struct column via per-format dispatch.
 
@@ -302,8 +320,11 @@ def decode_payload(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         df.filter(F.col("format") == fmt).withColumn("turn", dec(p))
         for fmt, dec in _DECODERS.items()
     ]
+    for fmt, fdec in _FRAME_DECODERS.items():
+        branches.append(fdec(df.filter(F.col("format") == fmt), payload_col))
+    known = [*_DECODERS, *_FRAME_DECODERS]
     unknown = df.filter(
-        F.col("format").isNull() | ~F.col("format").isin(*_DECODERS)
+        F.col("format").isNull() | ~F.col("format").isin(*known)
     ).withColumn("turn", F.lit(None).cast(_DECODE_STRUCT))
     out = branches[0]
     for b in branches[1:]:

@@ -372,3 +372,84 @@ def decode_proto_wire(
             yield pd.DataFrame(rows, columns=[f.name for f in _OUT_SCHEMA])
 
     return df.mapInPandas(batches, schema=_OUT_SCHEMA)
+
+
+# ------------------------------------------------- apply-loop integration
+
+
+def register_proto_format(
+    name: str = "proto",
+    registry: dict[int, dict[int, tuple[str, str]]] | None = None,
+) -> None:
+    """Plug framed protobuf into the CDC apply loop's per-format decode
+    dispatch (`sources/decoders.py decode_payload`): envelope rows with
+    ``format = 'proto'`` carry a BASE64 Confluent frame in the string
+    `payload` column (the engine envelope is a text column; a real
+    Kafka tail would hand the binary value straight to the frame
+    parser — base64 is the text-envelope adapter, applied and stripped
+    at this boundary only).
+
+    The registered branch decodes each frame to the canonical `turn`
+    struct: `ts_ms` becomes the family's RFC3339 second-precision
+    string (the normalize step try-parses it with envelope-`ts`
+    fallback), proto3 default "" `tool` becomes NULL, and any
+    ProtoError / bad base64 yields turn=NULL so the shared gate
+    quarantines the row — same continuable posture as every text
+    format, and quarantine REPLAY re-decodes the stored base64 payload
+    through this same branch.
+
+    Scale shape: the branch only touches rows whose format matches
+    (filter + union dispatch), runs as mapInPandas over Arrow batches,
+    O(bytes) per frame, no shuffle.
+    """
+    from omniparser_spark.sources.decoders import (
+        _DECODE_STRUCT,
+        register_frame_format,
+    )
+
+    reg = CHANGE_REGISTRY if registry is None else registry
+
+    def frame_decoder(df: DataFrame, payload_col: str) -> DataFrame:
+        out_schema = T.StructType(
+            list(df.schema.fields) + [T.StructField("turn", _DECODE_STRUCT)]
+        )
+
+        def batches(it: Iterator) -> Iterator:
+            import base64
+            import binascii
+            from datetime import datetime, timezone
+
+            for pdf in it:
+                turns = []
+                for b64 in pdf[payload_col]:
+                    try:
+                        rec = decode_wire(
+                            base64.b64decode(b64, validate=True), reg
+                        )
+                        ts_ms = rec.get("ts_ms")
+                        ts = (
+                            datetime.fromtimestamp(
+                                int(ts_ms) // 1000, tz=timezone.utc
+                            ).strftime("%Y-%m-%dT%H:%M:%S+00:00")
+                            if ts_ms
+                            else None
+                        )
+                        turns.append(
+                            {
+                                "conv_id": rec.get("conv_id"),
+                                "turn_idx": rec.get("turn_idx"),
+                                "role": rec.get("role") or None,
+                                "text": rec.get("text"),
+                                "tool": rec.get("tool") or None,
+                                "ts": ts,
+                            }
+                        )
+                    except (ProtoError, binascii.Error, ValueError):
+                        turns.append(None)
+                out = pdf.copy()
+                out["turn"] = turns
+                yield out
+
+        return df.mapInPandas(batches, schema=out_schema)
+
+    register_frame_format(name, frame_decoder)

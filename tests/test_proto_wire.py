@@ -132,3 +132,51 @@ def test_decode_proto_wire_dataframe(spark):
     # empty tool normalized to NULL; v2 extra field skipped cleanly
     assert all(r["tool"] is None for r in ok if r["offset"] % 3)
     assert all(r["tool"] == "search" for r in ok if r["offset"] % 3 == 0)
+
+
+def test_proto_frame_format_in_apply_dispatch(spark):
+    """register_proto_format plugs framed protobuf into the apply
+    loop's decode dispatch: proto rows decode next to text formats in
+    one decode_payload pass, corrupt frames and bad base64 quarantine
+    via the shared ok/err gate, and envelope columns pass through."""
+    import base64
+    import datetime
+
+    from omniparser_spark.sources.decoders import decode_payload
+    from omniparser_spark.sources.proto_wire import register_proto_format
+
+    register_proto_format()
+
+    def frame(i, corrupt=False):
+        rec = {
+            "offset": i, "op": "I", "conv_id": f"c{i}", "turn_idx": i,
+            "role": "user", "text": f"m{i}", "tool": "",
+            "ts_ms": 1_700_000_000_000,
+        }
+        b = encode_wire(7, CHANGE_FIELDS, rec)
+        if corrupt:
+            b = b"\x7f" + b[1:]
+        return base64.b64encode(b).decode("ascii")
+
+    ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (0, "I", "proto", frame(0), ts, 0),
+        (1, "I", "proto", frame(1), ts, 0),
+        (2, "I", "proto", frame(2, corrupt=True), ts, 0),   # bad magic
+        (3, "I", "proto", "!!not-base64!!", ts, 0),         # bad b64
+        (4, "I", "json",
+         '{"conv_id":"c4","turn_idx":4,"role":"user","text":"m4"}', ts, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "offset long, op string, format string, payload string, "
+        "ts timestamp, source_part int",
+    )
+    out = {r.offset: r for r in decode_payload(df).collect()}
+    assert out[0]["_ok"] and out[0]["turn"]["conv_id"] == "c0"
+    # frame ts_ms surfaces as the family's RFC3339 second string
+    assert out[1]["turn"]["ts"] == "2023-11-14T22:13:20+00:00"
+    assert not out[2]["_ok"] and not out[3]["_ok"]
+    assert out[2]["turn"] is None
+    # text formats decode unchanged alongside the frame branch
+    assert out[4]["_ok"] and out[4]["turn"]["text"] == "m4"
