@@ -391,3 +391,75 @@ def decode_avro_wire(
             yield pd.DataFrame(rows, columns=[f.name for f in _OUT_SCHEMA])
 
     return df.mapInPandas(batches, schema=_OUT_SCHEMA)
+
+
+# ------------------------------------------------- apply-loop integration
+
+
+def register_avro_format(
+    name: str = "avro",
+    registry: dict[int, dict] | None = None,
+    reader_schema: dict | None = None,
+) -> None:
+    """Plug framed Avro into the CDC apply loop's per-format decode
+    dispatch (same contract as ``proto_wire.register_proto_format``,
+    which documents the base64 text-envelope adapter and the
+    continuable posture): envelope rows with ``format = 'avro'`` carry
+    a base64 Confluent frame; each decodes through writer->reader
+    schema resolution to the canonical `turn` struct (`ts_ms` ->
+    RFC3339 second string with envelope-`ts` fallback), and any
+    AvroError / bad base64 yields turn=NULL for the shared quarantine
+    gate. Mixed v1/v2 writers resolve against the v2 reader —
+    additive evolution on the wire, inside the loop."""
+    from omniparser_spark.sources.decoders import (
+        _DECODE_STRUCT,
+        register_frame_format,
+    )
+
+    reg = CHANGE_REGISTRY if registry is None else registry
+    reader = CHANGE_SCHEMA_V2 if reader_schema is None else reader_schema
+
+    def frame_decoder(df: DataFrame, payload_col: str) -> DataFrame:
+        out_schema = T.StructType(
+            list(df.schema.fields) + [T.StructField("turn", _DECODE_STRUCT)]
+        )
+
+        def batches(it: Iterator) -> Iterator:
+            import base64
+            import binascii
+            from datetime import datetime, timezone
+
+            for pdf in it:
+                turns = []
+                for b64 in pdf[payload_col]:
+                    try:
+                        rec = decode_wire(
+                            base64.b64decode(b64, validate=True), reg, reader
+                        )
+                        ts_ms = rec.get("ts_ms")
+                        ts = (
+                            datetime.fromtimestamp(
+                                int(ts_ms) // 1000, tz=timezone.utc
+                            ).strftime("%Y-%m-%dT%H:%M:%S+00:00")
+                            if ts_ms
+                            else None
+                        )
+                        turns.append(
+                            {
+                                "conv_id": rec.get("conv_id"),
+                                "turn_idx": rec.get("turn_idx"),
+                                "role": rec.get("role"),
+                                "text": rec.get("text"),
+                                "tool": rec.get("tool"),
+                                "ts": ts,
+                            }
+                        )
+                    except (AvroError, binascii.Error, ValueError):
+                        turns.append(None)
+                out = pdf.copy()
+                out["turn"] = turns
+                yield out
+
+        return df.mapInPandas(batches, schema=out_schema)
+
+    register_frame_format(name, frame_decoder)

@@ -130,3 +130,76 @@ def test_decode_avro_wire_dataframe(spark):
     v1 = [r for r in ok if r["schema_id"] == 1]
     assert v1 and all(r["tool"] is None for r in v1)
     assert all(r["tool"] == "t" for r in ok if r["schema_id"] == 2)
+
+
+def test_avro_frame_format_in_apply_dispatch(spark):
+    """register_avro_format plugs framed Avro into the apply loop's
+    decode dispatch alongside proto and the text formats: one
+    decode_payload pass over a mixed batch, writer->reader resolution
+    for v1 frames, shared quarantine gate for corrupt frames."""
+    import base64
+    import datetime
+
+    from omniparser_spark.sources.avro_wire import (
+        CHANGE_SCHEMA_V1,
+        CHANGE_SCHEMA_V2,
+        encode_wire,
+        register_avro_format,
+    )
+    from omniparser_spark.sources.decoders import decode_payload
+    from omniparser_spark.sources.proto_wire import (
+        CHANGE_FIELDS as PROTO_FIELDS,
+        encode_wire as proto_encode,
+        register_proto_format,
+    )
+
+    register_avro_format()
+    register_proto_format()
+
+    def avro_frame(i, v2=True, corrupt=False):
+        rec = {
+            "offset": i, "op": "I", "conv_id": f"c{i}", "turn_idx": i,
+            "role": "user", "text": f"m{i}", "ts_ms": 1_700_000_000_000,
+        }
+        if v2:
+            rec["tool"] = "search"
+            b = encode_wire(2, CHANGE_SCHEMA_V2, rec)
+        else:
+            b = encode_wire(1, CHANGE_SCHEMA_V1, rec)
+        if corrupt:
+            b = b"\x7f" + b[1:]
+        return base64.b64encode(b).decode("ascii")
+
+    def proto_frame(i):
+        rec = {
+            "offset": i, "op": "I", "conv_id": f"p{i}", "turn_idx": i,
+            "role": "user", "text": f"m{i}", "tool": "",
+            "ts_ms": 1_700_000_000_000,
+        }
+        return base64.b64encode(
+            proto_encode(7, PROTO_FIELDS, rec)
+        ).decode("ascii")
+
+    ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (0, "I", "avro", avro_frame(0, v2=True), ts, 0),
+        (1, "I", "avro", avro_frame(1, v2=False), ts, 0),   # v1 writer
+        (2, "I", "avro", avro_frame(2, corrupt=True), ts, 0),
+        (3, "I", "proto", proto_frame(3), ts, 0),
+        (4, "I", "json",
+         '{"conv_id":"c4","turn_idx":4,"role":"user","text":"m4"}', ts, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "offset long, op string, format string, payload string, "
+        "ts timestamp, source_part int",
+    )
+    out = {r.offset: r for r in decode_payload(df).collect()}
+    assert out[0]["_ok"] and out[0]["turn"]["tool"] == "search"
+    # v1 frame resolves against the v2 reader: tool takes its default
+    assert out[1]["_ok"] and out[1]["turn"]["tool"] is None
+    assert out[1]["turn"]["ts"] == "2023-11-14T22:13:20+00:00"
+    assert not out[2]["_ok"] and out[2]["turn"] is None
+    # both frame formats and a text format decode in the same pass
+    assert out[3]["_ok"] and out[3]["turn"]["conv_id"] == "p3"
+    assert out[4]["_ok"] and out[4]["turn"]["text"] == "m4"
