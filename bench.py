@@ -113,6 +113,8 @@ def main() -> None:
         "text_redact_pii",
         "profile_numeric_stats",
         "decode_edi_hierarchy",
+        "decode_proto_wire",
+        "sft_explode_examples",
         "pack_sequences_greedy",
         "select_token_budget",
         "sample_epoch_shuffle",
