@@ -1944,6 +1944,55 @@ def _cdc_proto_apply(spark, sf_dir):
         feed.unpersist()
 
 
+@_q(
+    "cdc_export_frames",
+    """
+    SELECT event_id AS offset,
+           'c' || user_id AS conv_id,
+           (event_id % 40)::INT AS turn_idx,
+           event_type AS role,
+           'msg ' || event_id AS text,
+           CASE WHEN event_id % 5 = 0 THEN 'search' ELSE NULL END AS tool,
+           epoch_ms(ts) AS ts_ms
+    FROM events
+    WHERE event_id % 9 <> 0
+    """,
+)
+def _cdc_export_frames(spark, sf_dir):
+    """Changelog EXPORT sink round-trip (cdc/export.py): change
+    post-images encode into Confluent protobuf frames — the outbound
+    half of the CDC engine (lake -> downstream topic; parquet binary
+    column is the sandbox topic stand-in, spark-kafka `value` bytes on
+    a cluster) — and the ingest-side decoder must round-trip them
+    bit-exactly (engine-to-engine relay). Every 9th change is a delete
+    and exports as a NULL-payload keyed tombstone (compacted-topic
+    convention), so only upserts survive the decode. Offset fencing /
+    manifest resume are lifecycle-tested in tests/test_export.py."""
+    from omniparser_spark.cdc.export import encode_changes_proto
+    from omniparser_spark.sources.proto_wire import decode_proto_wire
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.col("event_id") % 40).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(F.lit("msg "), F.col("event_id").cast("string")).alias("text"),
+        F.when(F.col("event_id") % 5 == 0, "search")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_id") % 9 == 0, "delete")
+        .otherwise("upsert")
+        .alias("_change_type"),
+        F.col("event_id").alias("_commit_offset"),
+    )
+    frames = encode_changes_proto(changes)
+    decoded = decode_proto_wire(frames.filter(F.col("payload").isNotNull()))
+    return decoded.filter(F.col("_ok")).select(
+        "offset", "conv_id", "turn_idx", "role", "text", "tool", "ts_ms",
+    )
+
+
 # ------------------------------------------------------------ spec compiler
 
 _SPEC_UUID3_SQL = (

@@ -1,0 +1,203 @@
+"""Changelog EXPORT sink: the outbound half of the CDC engine.
+
+The ingest side tails a wire-format change feed into the lake; real
+pipelines are bidirectional — downstream consumers (search indexers,
+feature stores, other regions) tail *this* table's changelog as their
+own feed.  This module encodes `LakeTable.read_changes` post-images as
+Confluent-framed binary messages (protobuf via `sources/proto_wire`,
+Avro via `sources/avro_wire` — the same codecs the ingest side parses,
+so an engine-to-engine relay round-trips bit-exactly) and writes them
+as an offset-fenced, resumable export:
+
+    out_dir/
+      batch-<from>-<to>/part-*.parquet   (offset, key, payload binary)
+      manifest.json                      {frontier, batches: [...]}
+
+Parquet-with-binary-column is the sandbox stand-in for a Kafka topic
+(the cluster fast path is the spark-kafka sink writing `value` bytes;
+the frame bytes are identical either way).  Kafka-parity columns:
+`key` = the conversation id (so a keyed topic preserves per-key order
++ log compaction works), `payload` = the framed message.
+
+Exactly-once contract (mirrors the ingest side's batch fence):
+
+- The manifest's `frontier` is the last exported offset; `export()`
+  always resumes from `frontier + 1`, so the caller needs no external
+  bookkeeping.
+- Each export batch writes to its own `batch-<from>-<to>` directory;
+  the directory is written BEFORE the manifest advances (a crash
+  between the two leaves an orphan directory that the next export of
+  the same range simply overwrites — re-export is idempotent because
+  frames are a deterministic function of the rows).
+- A re-delivered `export()` call after the manifest advanced is a
+  fenced no-op (returns `fenced: True`, writes nothing).
+
+Scale shape: `read_changes` is bucket-stat-pruned (O(buckets touched
+since the frontier), not O(table)); encoding is mapInPandas over Arrow
+batches, O(bytes), no shuffle; the write inherits the scan's
+partitioning.  Tombstones export as `payload = NULL` with the key
+carried — the standard Kafka compacted-topic delete convention.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from omniparser_spark.lake.table import LakeTable
+
+_EXPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def encode_changes_proto(
+    changes: DataFrame,
+    schema_id: int = 7,
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """Change post-images -> (offset, key, payload) framed protobuf.
+
+    Expects `read_changes` output columns (conv_id, turn_idx, role,
+    text, tool, ts, _change_type, _commit_offset).  Deletes become
+    NULL-payload tombstone records (compacted-topic convention);
+    upserts encode the canonical TurnChange message with
+    op='U'/'D' mapped from `_change_type`.
+    """
+    from omniparser_spark.sources.proto_wire import CHANGE_FIELDS, encode_wire
+
+    cols = changes.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("role"),
+        F.col("text"),
+        F.col("tool"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_offset").cast("long").alias("offset"),
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for key, ti, role, text, tool, ts_ms, ct, off in zip(
+                pdf["key"], pdf["turn_idx"], pdf["role"], pdf["text"],
+                pdf["tool"], pdf["ts_ms"], pdf["change_type"], pdf["offset"],
+            ):
+                if ct == "delete":
+                    rows.append(
+                        {"offset": int(off), "key": key, "payload": None}
+                    )
+                    continue
+                rec = {
+                    "offset": int(off),
+                    "op": "U",
+                    "conv_id": key,
+                    "turn_idx": int(ti),
+                    "role": role or "",
+                    "text": text or "",
+                    "tool": tool or "",
+                    "ts_ms": int(ts_ms) if ts_ms is not None else 0,
+                }
+                rows.append(
+                    {
+                        "offset": int(off),
+                        "key": key,
+                        "payload": encode_wire(schema_id, CHANGE_FIELDS, rec),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _EXPORT_SCHEMA.fields]
+            )
+
+    return cols.mapInPandas(batches, schema=_EXPORT_SCHEMA)
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest.json")
+
+
+def read_export_manifest(out_dir: str) -> dict[str, Any]:
+    try:
+        with open(_manifest_path(out_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"frontier": -1, "batches": []}
+
+
+def export_changelog(
+    table: LakeTable,
+    out_dir: str,
+    encoder=encode_changes_proto,
+    upto_offset: int | None = None,
+) -> dict[str, Any]:
+    """Export the table's changelog since the sink's frontier as one
+    fenced batch of framed messages.  Returns the batch record
+    (`fenced: True` if there was nothing new to export).
+
+    `upto_offset` bounds the batch's upper offset (defaults to the
+    table's applied frontier, `max_offset_applied`) — pass it to chunk
+    a large catch-up into several batches.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = read_export_manifest(out_dir)
+    from_offset = int(manifest["frontier"]) + 1
+    head = int(table.summary().get("max_offset_applied", -1))
+    to_offset = head if upto_offset is None else min(int(upto_offset), head)
+    if to_offset < from_offset:
+        return {
+            "fenced": True,
+            "from_offset": from_offset,
+            "to_offset": to_offset,
+            "n_records": 0,
+        }
+
+    changes = table.read_changes(from_offset, to_offset)
+    frames = encoder(changes)
+    batch_rel = f"batch-{from_offset}-{to_offset}"
+    batch_dir = os.path.join(out_dir, batch_rel)
+    frames.write.mode("overwrite").parquet(batch_dir)
+    n = table.spark.read.parquet(batch_dir).count()
+
+    record = {
+        "fenced": False,
+        "from_offset": from_offset,
+        "to_offset": to_offset,
+        "n_records": n,
+        "dir": batch_rel,
+    }
+    manifest["batches"].append(
+        {k: record[k] for k in ("from_offset", "to_offset", "n_records", "dir")}
+    )
+    manifest["frontier"] = to_offset
+    # write-then-rename: the manifest advance is the commit point; a
+    # crash before it leaves an orphan batch dir the re-export of the
+    # same range overwrites (deterministic frames -> idempotent)
+    fd, tmp = tempfile.mkstemp(dir=out_dir)
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(out_dir))
+    return record
+
+
+def read_exported_frames(spark, out_dir: str) -> DataFrame:
+    """Consumer view of the export: every batch's frames, unioned.
+    NULL payloads are tombstones; a compacting consumer keeps the
+    highest-offset record per key."""
+    manifest = read_export_manifest(out_dir)
+    dirs = [os.path.join(out_dir, b["dir"]) for b in manifest["batches"]]
+    if not dirs:
+        return spark.createDataFrame([], _EXPORT_SCHEMA)
+    return spark.read.schema(_EXPORT_SCHEMA).parquet(*dirs)
