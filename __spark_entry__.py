@@ -1993,6 +1993,143 @@ def _cdc_export_frames(spark, sf_dir):
     )
 
 
+@_q(
+    "transcript_curation_funnel",
+    """
+    WITH t AS (
+      SELECT user_id AS conv_id,
+             row_number() OVER w AS rn,
+             event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    s AS (
+      SELECT conv_id,
+             rn - 1 + CASE WHEN conv_id % 13 = 0 AND rn >= 5
+                           THEN 1 ELSE 0 END AS turn_idx,
+             CASE WHEN conv_id % 10 = 0 AND rn = 1 THEN 'tool'
+                  WHEN conv_id % 7 = 0 AND rn = 4 THEN 'user'
+                  WHEN rn % 2 = 1 THEN 'user'
+                  ELSE 'assistant' END AS role,
+             CASE WHEN conv_id % 11 = 0 AND rn = 3 THEN ''
+                  ELSE 'm' || (rn % 7) END AS text
+      FROM t
+    ),
+    o AS (
+      SELECT conv_id, turn_idx, role, text,
+             lag(role) OVER wo AS prev_role,
+             row_number() OVER wo AS rn2
+      FROM s
+      WINDOW wo AS (PARTITION BY conv_id ORDER BY turn_idx, role, text)
+    ),
+    lint AS (
+      SELECT conv_id,
+             (bool_and(prev_role IS NULL OR role <> prev_role)
+              AND bool_and(rn2 <> 1 OR role IN ('system', 'user'))
+              AND bool_and(text IS NOT NULL AND length(trim(text)) > 0)
+              AND (min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+                   AND count(DISTINCT turn_idx) = count(*))) AS lint_ok
+      FROM o GROUP BY conv_id
+    ),
+    asm AS (
+      SELECT conv_id,
+             string_agg(role || ': ' || text, chr(10)
+                        ORDER BY turn_idx, role, text) AS assembled,
+             sum(length(text))::BIGINT AS total_chars
+      FROM s GROUP BY conv_id
+    ),
+    sig AS (
+      SELECT conv_id, total_chars,
+             md5(assembled) AS content_sig,
+             (conv_id = min(conv_id) OVER (PARTITION BY md5(assembled)))
+               AS is_canonical
+      FROM asm
+    )
+    SELECT g.conv_id,
+           l.lint_ok,
+           g.is_canonical,
+           g.total_chars,
+           (g.total_chars BETWEEN 110 AND 160) AS size_ok,
+           (l.lint_ok AND g.is_canonical
+            AND g.total_chars BETWEEN 110 AND 160) AS keep
+    FROM sig g JOIN lint l USING (conv_id)
+    """,
+)
+def _transcript_curation_funnel(spark, sf_dir):
+    """Transcripts-axis curation funnel — the conversation-level
+    counterpart of `corpus_curation_funnel`: every conversation carries
+    an independent verdict per stage (structure lint via the
+    `conversation_lint` operator, with each defect class injected into
+    a different conv_id residue class so the flags vary independently;
+    exact-duplicate canonical election over the md5 of the assembled
+    transcript — texts are position-keyed so conversations with the
+    same length and defect pattern genuinely collide; size bounds on
+    total characters) plus the conjunction `keep`, so a
+    pipeline can filter, route, or audit at any stage. Composition of
+    already-green scan-bound pieces: the lint's lag-window + groupBy
+    reuse one conv-key shuffle; assembly/dedup/size ride a second
+    groupBy on the same key + one tiny window over the md5 signature."""
+    from pyspark.sql import Window
+
+    from omniparser_spark.operators.transcripts import conversation_lint
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    rn = F.row_number().over(w)
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        (
+            rn - 1
+            + F.when(
+                (F.col("user_id") % 13 == 0) & (rn >= 5), 1
+            ).otherwise(0)
+        ).cast("long").alias("turn_idx"),
+        F.when((F.col("user_id") % 10 == 0) & (rn == 1), F.lit("tool"))
+        .when((F.col("user_id") % 7 == 0) & (rn == 4), F.lit("user"))
+        .when(rn % 2 == 1, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.when((F.col("user_id") % 11 == 0) & (rn == 3), F.lit(""))
+        .otherwise(F.concat(F.lit("m"), (rn % 7).cast("string")))
+        .alias("text"),
+    )
+    lint = conversation_lint(turns).select("conv_id", F.col("ok").alias("lint_ok"))
+    piece = F.concat_ws(": ", F.col("role"), F.col("text"))
+    asm = turns.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("turn_idx", "role", "text", piece.alias("p"))
+                    )
+                ),
+                lambda r: r["p"],
+            ),
+            "\n",
+        ).alias("assembled"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+    sig = asm.select(
+        "conv_id",
+        "total_chars",
+        (
+            F.col("conv_id")
+            == F.min("conv_id").over(
+                Window.partitionBy(F.md5(F.col("assembled")))
+            )
+        ).alias("is_canonical"),
+    )
+    size_ok = F.col("total_chars").between(110, 160)
+    return sig.join(lint, on="conv_id").select(
+        "conv_id",
+        "lint_ok",
+        "is_canonical",
+        "total_chars",
+        size_ok.alias("size_ok"),
+        (F.col("lint_ok") & F.col("is_canonical") & size_ok).alias("keep"),
+    )
+
+
 # ------------------------------------------------------------ spec compiler
 
 _SPEC_UUID3_SQL = (
