@@ -4763,6 +4763,58 @@ def _conversation_lint(spark, sf_dir):
 
 
 @_q(
+    "transcript_tree_stats",
+    f"""
+    WITH base AS (
+{_TURN_TREE_SQL}
+    ),
+    sib AS (
+      SELECT conv_id, parent_id AS p, count(*) AS n_children
+      FROM base WHERE parent_id IS NOT NULL
+      GROUP BY conv_id, parent_id
+    ),
+    pcs AS (
+      SELECT conv_id,
+             sum(CASE WHEN n_children >= 2 THEN 1 ELSE 0 END)::INT
+               AS n_branch_points,
+             sum(n_children - 1)::INT AS n_regens,
+             max(n_children)::INT AS max_siblings
+      FROM sib GROUP BY conv_id
+    ),
+    b AS (
+      SELECT t.conv_id,
+             count(*)::INT AS n_turns,
+             sum(CASE WHEN t.parent_id IS NULL THEN 1 ELSE 0 END)::INT
+               AS n_roots,
+             sum(CASE WHEN s.p IS NULL THEN 1 ELSE 0 END)::INT AS n_leaves
+      FROM base t
+      LEFT JOIN sib s ON t.conv_id = s.conv_id AND t.turn_id = s.p
+      GROUP BY t.conv_id
+    )
+    SELECT b.conv_id, n_turns, n_roots, n_leaves,
+           coalesce(n_branch_points, 0) AS n_branch_points,
+           coalesce(n_regens, 0) AS n_regens,
+           coalesce(max_siblings, 0) AS max_siblings
+    FROM b LEFT JOIN pcs USING (conv_id)
+    """,
+)
+def _transcript_tree_stats(spark, sf_dir):
+    """Conversation-tree shape profiling (operators/transcripts.py
+    tree_stats): per-conversation turn/root/leaf counts plus the
+    regeneration profile — branch points, sibling alternatives
+    (n_regens = the DPO pair supply `preference_pairs` can extract),
+    and the largest sibling group. Every shuffle is on the
+    conversation-key family: one (conv, parent) sibling rollup, one
+    leaf-marking join, one conv rollup."""
+    from omniparser_spark.operators.transcripts import tree_stats
+
+    return tree_stats(_turn_tree(spark, sf_dir)).select(
+        "conv_id", "n_turns", "n_roots", "n_leaves",
+        "n_branch_points", "n_regens", "max_siblings",
+    )
+
+
+@_q(
     "sample_mixture_fractions",
     """
     SELECT doc_id, lang, source

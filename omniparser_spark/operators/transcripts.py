@@ -542,3 +542,65 @@ def conversation_lint(
             & F.col("nonempty_ok") & F.col("contiguous_ok")
         ).alias("ok"),
     )
+
+
+def tree_stats(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    id_col: str = "turn_id",
+    parent_col: str = "parent_id",
+) -> DataFrame:
+    """Per-conversation tree-shape profile — the observability
+    companion to `tree_paths`/`preference_pairs`: how branched is the
+    corpus, and how much regeneration signal (DPO pair supply) does
+    each conversation carry?
+
+    Returns one row per conversation: `n_turns`, `n_roots` (parentless
+    turns — a well-formed conversation has exactly 1), `n_leaves`
+    (turns no other turn points at), `n_branch_points` (parents with
+    >= 2 children), `n_regens` (sum of children-1 over parents — the
+    number of sibling alternatives regeneration created), and
+    `max_siblings` (largest sibling group).
+
+    Scale shape: one groupBy on (conv, parent) for the sibling-group
+    profile, one left-anti-style join back on the conversation key for
+    the leaf count, then a conv-key rollup — every shuffle is on the
+    conversation-key family, no global operation.
+    """
+    sib = (
+        turns.filter(F.col(parent_col).isNotNull())
+        .groupBy(conv_col, F.col(parent_col).alias("_p"))
+        .agg(F.count(F.lit(1)).alias("_n_children"))
+    )
+    per_conv_sib = sib.groupBy(conv_col).agg(
+        F.sum(F.when(F.col("_n_children") >= 2, 1).otherwise(0))
+        .cast("int")
+        .alias("n_branch_points"),
+        F.sum(F.col("_n_children") - 1).cast("int").alias("n_regens"),
+        F.max("_n_children").cast("int").alias("max_siblings"),
+    )
+    leaves = turns.join(
+        sib.select(conv_col, F.col("_p").alias(id_col)).withColumn(
+            "_is_parent", F.lit(True)
+        ),
+        on=[conv_col, id_col],
+        how="left",
+    )
+    base = leaves.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+        F.sum(F.when(F.col(parent_col).isNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_roots"),
+        F.sum(F.when(F.col("_is_parent").isNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_leaves"),
+    )
+    return base.join(per_conv_sib, on=conv_col, how="left").select(
+        conv_col,
+        "n_turns",
+        "n_roots",
+        "n_leaves",
+        F.coalesce("n_branch_points", F.lit(0)).alias("n_branch_points"),
+        F.coalesce("n_regens", F.lit(0)).alias("n_regens"),
+        F.coalesce("max_siblings", F.lit(0)).alias("max_siblings"),
+    )

@@ -275,3 +275,35 @@ def test_conversation_lint_flags_each_defect_independently(spark):
     assert out["blank"] == (True, True, False, True, False)
     assert out["gap"] == (True, True, True, False, False)
     assert out["dup"][3] is False and out["dup"][4] is False
+
+
+def test_tree_stats_counts_branches_and_leaves(spark):
+    from omniparser_spark.operators.transcripts import tree_stats
+
+    rows = [
+        # conv A: 1 -> 2 -> {3, 4}, 4 -> 5   (one branch point, 2 leaves)
+        ("A", 1, None, "user", "q"),
+        ("A", 2, 1, "assistant", "a"),
+        ("A", 3, 2, "user", "r1"),
+        ("A", 4, 2, "user", "r2"),
+        ("A", 5, 4, "assistant", "b"),
+        # conv B: single turn
+        ("B", 1, None, "user", "solo"),
+        # conv C: triple regeneration under one parent
+        ("C", 1, None, "user", "q"),
+        ("C", 2, 1, "assistant", "g1"),
+        ("C", 3, 1, "assistant", "g2"),
+        ("C", 4, 1, "assistant", "g3"),
+    ]
+    turns = spark.createDataFrame(rows, TREE_SCHEMA)
+    out = {r.conv_id: r for r in tree_stats(turns).collect()}
+    a = out["A"]
+    assert (a.n_turns, a.n_roots, a.n_leaves) == (5, 1, 2)
+    assert (a.n_branch_points, a.n_regens, a.max_siblings) == (1, 1, 2)
+    b = out["B"]
+    assert (b.n_turns, b.n_roots, b.n_leaves) == (1, 1, 1)
+    assert (b.n_branch_points, b.n_regens, b.max_siblings) == (0, 0, 0)
+    c = out["C"]
+    assert (c.n_leaves, c.n_branch_points, c.n_regens, c.max_siblings) == (
+        3, 1, 2, 3,
+    )
