@@ -180,3 +180,85 @@ def test_proto_frame_format_in_apply_dispatch(spark):
     assert out[2]["turn"] is None
     # text formats decode unchanged alongside the frame branch
     assert out[4]["_ok"] and out[4]["turn"]["text"] == "m4"
+
+
+def test_streaming_apply_proto_feed(spark, tmp_path):
+    """Framed protobuf events flow through the Structured Streaming
+    front-end (foreachBatch cloned session) exactly like batch: the
+    streamed table state must equal the batch replay of the same
+    all-proto feed, with corrupt frames quarantined in both."""
+    import base64
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.sources.proto_wire import register_proto_format
+    from omniparser_spark.streaming import run_streaming_apply
+
+    register_proto_format()
+
+    rows = []
+    for i in range(240):
+        rec = {
+            "offset": i,
+            "op": "D" if i % 37 == 0 else ("U" if i % 3 else "I"),
+            "conv_id": f"c{i % 12}",
+            "turn_idx": i % 5,
+            "role": "user",
+            "text": f"m{i}",
+            "tool": "",
+            "ts_ms": 1_700_000_000_000 + (i % 7) * 1000,
+        }
+        frame = encode_wire(7, CHANGE_FIELDS, rec)
+        if i % 53 == 0:
+            frame = b"\x7f" + frame[1:]  # corrupt -> quarantine
+        rows.append(
+            (
+                i,
+                rec["op"],
+                "proto",
+                base64.b64encode(frame).decode("ascii"),
+                datetime.datetime(2024, 5, 1, 12, 0, i % 7),
+                i % 4,
+            )
+        )
+    feed = spark.createDataFrame(
+        rows,
+        "offset bigint, op string, format string, payload string, "
+        "ts timestamp, source_part int",
+    ).repartition(6)
+    feed_path = str(tmp_path / "feed")
+    feed.write.parquet(feed_path)
+    feed = spark.read.parquet(feed_path)
+
+    pb = CdcPipeline(
+        spark, str(tmp_path / "bt"), str(tmp_path / "bc"), n_buckets=4
+    )
+    pb.run(
+        lambda s, e: feed.filter(
+            (F.col("offset") >= s) & (F.col("offset") <= e)
+        ),
+        240,
+        batch_size=80,
+    )
+    want = sorted(
+        tuple(r)
+        for r in pb.read_table()
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    )
+    assert want, "batch reference must apply proto rows"
+
+    ps = CdcPipeline(
+        spark, str(tmp_path / "st"), str(tmp_path / "sc"), n_buckets=4
+    )
+    recs = run_streaming_apply(ps, feed_path, max_files_per_trigger=3)
+    assert recs
+    got = sorted(
+        tuple(r)
+        for r in ps.read_table()
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    )
+    assert got == want
