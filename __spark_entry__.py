@@ -1366,6 +1366,58 @@ def _cdc_replay(spark, sf_dir):
         feed.unpersist()
 
 
+@_q("cdc_mor_final_state", _CDC_FINAL_STATE_SQL)
+def _cdc_mor_replay(spark, sf_dir):
+    """Merge-on-read apply vs the SAME declarative oracle as the COW
+    replay: identical feed, but every micro-batch commits as per-bucket
+    DELTA files (`merge_into(mode="mor")` — zero base reads per batch;
+    Iceberg v2 `write.merge.mode=merge-on-read` parity) with the
+    pipeline's periodic compaction folding deltas mid-replay
+    (compact_every=3 over 4 batches exercises resolve-over-deltas,
+    fold, AND resolve-after-fold in one run). Reader-visible final
+    state must be bit-identical to the COW path's — the MOR contract.
+
+    100 TB shape: per-batch write cost drops from O(touched_buckets x
+    bucket_size) to O(batch); the read-side resolve is a max_by
+    aggregate over DIRTY buckets only, bounded by compaction cadence."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.sources.changefeed import FeedSpec, encode_payload
+
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev)
+    feed = encode_payload(fields, FeedSpec(n_events=1, evolution_frac=0.0)).select(
+        "offset", "op", "format", "payload", "ts", "source_part"
+    )
+    feed = feed.persist()
+    try:
+        total = feed.agg(F.max("offset")).collect()[0][0] + 1
+        tmp = tempfile.mkdtemp(prefix="omniparser_spark_mor_")
+        pipe = CdcPipeline(
+            spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8,
+            n_source_parts=8, merge_mode="mor", compact_every=3,
+        )
+
+        def feed_for_range(start: int, end: int) -> DataFrame:
+            return feed.filter(
+                (F.col("offset") >= start) & (F.col("offset") <= end)
+            )
+
+        pipe.run(feed_for_range, total, batch_size=(total + 3) // 4)
+        out = pipe.read_table().select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            _us("ts").alias("ts_us"),
+        )
+        out = out.persist()
+        out.count()  # materialize before dropping the feed cache
+        return out
+    finally:
+        feed.unpersist()
+
+
 @_q(
     "cdc_incremental_view",
     f"""

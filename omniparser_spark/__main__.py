@@ -91,7 +91,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--compact", action="store_true",
                     help="rewrite fragmented buckets (>=2 data files, "
                          "e.g. after a parallel bootstrap) to one file "
-                         "each, print the compaction record, exit")
+                         "each — also folds pending merge-on-read delta "
+                         "files into the base; print the compaction "
+                         "record, exit")
+    ap.add_argument("--merge-mode", choices=("cow", "mor"), default="cow",
+                    help="write strategy: cow rewrites touched buckets "
+                         "per batch; mor appends per-bucket delta files "
+                         "(zero base reads) and folds them periodically "
+                         "(--compact-every)")
+    ap.add_argument("--compact-every", type=int, default=8,
+                    help="with --merge-mode mor: fold deltas into the "
+                         "base every N batches (bounds the read-side "
+                         "resolve tax)")
     args = ap.parse_args(argv)
 
     erasure = args.erase_where is not None or args.erase_keys is not None
@@ -175,6 +186,8 @@ def main(argv: list[str] | None = None) -> int:
         sort_order=(
             tuple(args.sort_order.split(",")) if args.sort_order else None
         ),
+        merge_mode=args.merge_mode,
+        compact_every=args.compact_every,
     )
 
     if args.changelog_since is not None:

@@ -63,6 +63,8 @@ class CdcPipeline:
         expire_keep_last: int | None = 2,
         sort_order: tuple[str, ...] | None = None,
         expire_every: int = 4,
+        merge_mode: str = "cow",
+        compact_every: int = 8,
     ):
         """`n_source_parts`: size of the source-partition domain (e.g.
         Kafka partition count — always known for a real binlog tail).
@@ -70,7 +72,15 @@ class CdcPipeline:
         quarantine count, and fence bookkeeping ride the merge-write
         action via the Observation API, and the LWW dedup is folded
         into the merge aggregate. When None, a two-job fallback
-        computes lineage with a groupBy over a cached decode."""
+        computes lineage with a groupBy over a cached decode.
+
+        `merge_mode`: "cow" (default) rewrites touched buckets per
+        batch; "mor" appends per-bucket delta files (zero base reads
+        per commit — see merge_into's mode note) and folds them back
+        with a periodic compaction every `compact_every` batches, the
+        MOR analogue of the expiry cadence: read cost stays bounded at
+        ~compact_every delta files per bucket while per-batch write
+        amplification drops from O(touched x bucket) to O(batch)."""
         self.spark = spark
         schema = TRANSCRIPTS_SCHEMA if with_tool_column else TRANSCRIPTS_SCHEMA_NO_TOOL
         if LakeTable.exists(table_path):
@@ -88,6 +98,13 @@ class CdcPipeline:
         self.expire_keep_last = expire_keep_last
         self.expire_every = max(int(expire_every), 1)
         self._batches_since_expiry = 0
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(
+                f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}"
+            )
+        self.merge_mode = merge_mode
+        self.compact_every = max(int(compact_every), 1)
+        self._batches_since_compaction = 0
         # Observation-based merge stats; the streaming wrapper turns
         # this off (foreachBatch's cloned session never completes
         # Observation futures) and those batches record null counts.
@@ -208,6 +225,7 @@ class CdcPipeline:
                 ),
                 max_offset=offset_end,
                 observe_stats=self.observe_merge,
+                mode=self.merge_mode,
             )
             row = obs.get  # an action ran: observation is filled
             events_in = int(row["rows_total"])
@@ -254,6 +272,7 @@ class CdcPipeline:
                     expected_rows=events_in,
                     max_offset=offset_end,
                     observe_stats=self.observe_merge,
+                    mode=self.merge_mode,
                 )
                 lineage_rows = sorted(
                     (
@@ -303,6 +322,16 @@ class CdcPipeline:
             if self._batches_since_expiry >= self.expire_every:
                 self.table.expire_snapshots(keep_last=self.expire_keep_last)
                 self._batches_since_expiry = 0
+        if self.merge_mode == "mor" and stats is not None:
+            # fold deltas back into the base on a fixed cadence so the
+            # read-side resolve tax stays bounded (~compact_every delta
+            # files per bucket max); compaction is changelog-neutral
+            # and does not move the batch fence, so it composes with
+            # the exactly-once replay exactly like expiry does.
+            self._batches_since_compaction += 1
+            if self._batches_since_compaction >= self.compact_every:
+                self.table.compact_buckets(min_files=2)
+                self._batches_since_compaction = 0
         return record
 
     # ---------- the resumable loop ----------

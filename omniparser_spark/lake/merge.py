@@ -109,6 +109,7 @@ def merge_into(
     prune_exact: bool | None = None,
     observe_stats: bool = True,
     stage: bool = False,
+    mode: str = "cow",
 ) -> dict[str, Any] | None:
     """Apply one micro-batch (need NOT be pre-deduped: the merge's
     max_by aggregate picks the per-key LWW winner among all batch rows
@@ -118,6 +119,23 @@ def merge_into(
 
     `batch` columns: keys + (offset, op) + any subset of the table's
     data columns (missing ones are NULL-filled — additive evolution).
+
+    `mode` selects the write strategy (Iceberg `write.merge.mode`
+    parity; both produce identical reader-visible state):
+
+    - ``"cow"`` (default, copy-on-write): read + rewrite the touched
+      buckets; reads stay a plain scan. Right when batches are small
+      relative to their touched buckets' content or reads dominate.
+    - ``"mor"`` (merge-on-read): LWW-dedupe the batch per key and
+      append it as per-bucket DELTA files via
+      :meth:`LakeTable.commit_delta` — ZERO base reads, O(batch)
+      writes per commit; readers resolve base+deltas until
+      :meth:`LakeTable.compact_buckets` folds them. Right for
+      high-frequency tailing at 10^10-event scale, where COW's
+      per-batch rewrite of every touched bucket is the write
+      amplification that dominates the bill. `expected_rows` /
+      `prune_exact` are ignored (there is nothing to prune — the
+      batch's own buckets are discovered from the written files).
 
     Cost model (COW): the merge reads and rewrites every *touched*
     bucket in full, so per-batch cost is O(touched_buckets x
@@ -185,6 +203,76 @@ def merge_into(
             batch = batch.withColumn(f.name, F.lit(None).cast(f.dataType))
 
     batch = batch.withColumn("_bucket", bucket_expr(key_col, n_buckets))
+
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    if mode == "mor":
+        # LWW-dedupe the batch per key (one O(batch) shuffle, same
+        # max_by winner rule as the COW union — the table row is NOT
+        # read; the read-time resolve supplies that comparison), then
+        # co-locate per bucket so each delta commit writes one file
+        # per touched bucket (second O(batch) shuffle; still zero
+        # table I/O).
+        payload = F.struct(
+            *data_cols,
+            F.col("offset").cast("long").alias("_last_offset"),
+            (F.col("op") == "D").alias("_deleted"),
+        )
+        order = F.struct(F.col("ts"), F.col("offset").cast("long"))
+        out_cols = [*data_cols, "_last_offset", "_deleted"]
+        delta = (
+            batch.groupBy(*keys)
+            .agg(F.max_by(payload, order).alias("_w"))
+            .select(
+                *keys, *[F.col(f"_w.{c}").alias(c) for c in out_cols]
+            )
+            .withColumn("_bucket", bucket_expr(key_col, n_buckets))
+            .repartition(n_buckets, "_bucket")
+        )
+        obs = None
+        if observe_stats:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"merge_mor_{batch_id}")
+            delta = delta.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_written"),
+                F.count(F.when(F.col("_deleted"), 1)).alias("tombstones"),
+            )
+        prev_counts = {
+            b: len(lst) for b, lst in table.current().delta_dirs.items()
+        }
+        snap = table.commit_delta(
+            delta,
+            summary_updates={
+                "batch_id": batch_id,
+                "max_offset_applied": max(
+                    int(summary.get("max_offset_applied", -1)),
+                    int(max_offset if max_offset is not None else -1),
+                ),
+            },
+            stage=stage,
+            stats_upper_bound=max_offset,
+        )
+        touched = sorted(
+            int(b)
+            for b, lst in snap.delta_dirs.items()
+            if len(lst) > prev_counts.get(b, 0)
+        )
+        stats_row = obs.get if obs is not None else None
+        return {
+            "batch_id": batch_id,
+            "snapshot_version": snap.version,
+            "staged": stage,
+            "mode": "mor",
+            "touched_buckets": touched,
+            "rows_written": (
+                int(stats_row["rows_written"]) if stats_row else None
+            ),
+            "tombstones": (
+                int(stats_row["tombstones"]) if stats_row else None
+            ),
+        }
 
     if prune_exact is None:
         # asymmetric risk: exact pruning costs O(batch); skipping it

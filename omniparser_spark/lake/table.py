@@ -74,6 +74,14 @@ class Snapshot:
     # with the batch's max offset (no extra scan), untouched buckets
     # carry their stat by reference with the data dir.
     bucket_stats: dict[str, int] = field(default_factory=dict)
+    # bucket id (as str) -> ORDERED list of merge-on-read delta dirs
+    # (oldest commit first), each relative to the table root. Iceberg
+    # v2 MOR parity: a delta commit appends the batch's rows here
+    # instead of rewriting the base bucket file; readers resolve the
+    # per-key LWW winner across base + deltas at scan time. Empty for
+    # pure-COW tables — every read/CDF path is delta-aware but pays
+    # nothing when this is empty.
+    delta_dirs: dict[str, list[str]] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -84,6 +92,7 @@ class Snapshot:
                 "summary": self.summary,
                 "parent_version": self.parent_version,
                 "bucket_stats": self.bucket_stats,
+                "delta_dirs": self.delta_dirs,
             },
             indent=1,
             sort_keys=True,
@@ -99,6 +108,7 @@ class Snapshot:
             summary=d.get("summary", {}),
             parent_version=d.get("parent_version"),
             bucket_stats=d.get("bucket_stats", {}),
+            delta_dirs=d.get("delta_dirs", {}),
         )
 
 
@@ -466,6 +476,14 @@ class LakeTable:
         The snapshot's schema is applied to every file; files predating
         an added column surface NULL for it (additive evolution without
         rewrite).
+
+        Merge-on-read: buckets with pending delta files (see
+        :meth:`commit_delta`) are resolved at scan time — base + deltas
+        unioned, one per-key ``max_by`` under the table's LWW order —
+        so every reader (CDF, views, lookup, erase, fsck) sees exactly
+        the state a COW merge would have produced. Buckets without
+        deltas scan their base file directly (zero MOR tax); the
+        resolve aggregate shuffles only the DIRTY buckets' rows.
         """
         if tag is not None:
             if version is not None:
@@ -473,20 +491,79 @@ class LakeTable:
             version = self.tags()[tag]
         snap = self.current() if version is None else self.snapshot_at(version)
         schema = T.StructType.fromJson(snap.schema_json)
-        dirs = [
+
+        want = None if buckets is None else {int(b) for b in buckets}
+        dirty = sorted(
+            int(b)
+            for b, lst in snap.delta_dirs.items()
+            if lst and (want is None or int(b) in want)
+        )
+        clean_dirs = [
             os.path.join(self.path, d)
             for b, d in sorted(snap.bucket_dirs.items(), key=lambda kv: int(kv[0]))
-            if buckets is None or int(b) in buckets
+            if (want is None or int(b) in want) and int(b) not in dirty
         ]
-        if not dirs:
+        if not clean_dirs:
             df = self.spark.createDataFrame([], schema)
         else:
-            df = self.spark.read.schema(schema).parquet(*dirs)
+            df = self.spark.read.schema(schema).parquet(*clean_dirs)
+        if dirty:
+            dirty_dirs = [
+                os.path.join(self.path, snap.bucket_dirs[str(b)])
+                for b in dirty
+                if str(b) in snap.bucket_dirs
+            ] + [
+                os.path.join(self.path, d)
+                for b in dirty
+                for d in snap.delta_dirs[str(b)]
+            ]
+            raw = self.spark.read.schema(schema).parquet(*dirty_dirs)
+            df = df.unionByName(self._resolve_lww(raw, snap))
         if not include_hidden:
             if "_deleted" in df.columns:
                 df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
             df = df.drop(*[c for c in df.columns if c.startswith("_")])
         return df
+
+    def _resolve_lww(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Collapse base + delta rows to the per-key LWW winner — the
+        read-time half of merge-on-read. The order is the SAME total
+        order the COW merge fences on: (order_cols..., _last_offset),
+        with order_cols from the snapshot summary (default ["ts"],
+        recorded by the first delta commit). Exact ties can only be the
+        same event stored twice (a re-delivered batch both compacted
+        into the base and still pending as a delta), so their payloads
+        are identical and the winner choice is immaterial. One
+        hash-shuffle with map-side combine over the dirty rows only."""
+        keys = [
+            k
+            for k in (
+                snap.summary.get("merge_keys")
+                or [snap.summary["key_col"]]
+            )
+            if k in df.columns
+        ]
+        order_cols = [
+            c
+            for c in snap.summary.get("delta_order_cols", ["ts"])
+            if c in df.columns
+        ]
+        for hidden, default in (
+            ("_last_offset", F.lit(-1).cast("long")),
+            ("_deleted", F.lit(False)),
+        ):
+            if hidden not in df.columns:
+                df = df.withColumn(hidden, default)
+        others = [c for c in df.columns if c not in keys]
+        payload = F.struct(*others)
+        order = F.struct(
+            *[F.col(c) for c in order_cols], F.col("_last_offset")
+        )
+        return (
+            df.groupBy(*keys)
+            .agg(F.max_by(payload, order).alias("_w"))
+            .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in others])
+        )
 
     # ---------- write ----------
 
@@ -557,6 +634,21 @@ class LakeTable:
                 bucket_dirs.pop(str(b), None)
             bucket_dirs.update(new_dirs)
 
+        # a base rewrite SUBSUMES the rewritten buckets' pending MOR
+        # deltas: every in-engine rewrite path (merge, compaction,
+        # erase, rescale) derives its content from the delta-resolving
+        # read(), so the new base already folds them in. Untouched
+        # buckets keep their deltas by reference.
+        if touched_buckets is None:
+            delta_dirs: dict[str, list[str]] = {}
+        else:
+            cleared = {str(b) for b in touched_buckets}
+            delta_dirs = {
+                b: list(lst)
+                for b, lst in prev.delta_dirs.items()
+                if b not in cleared and lst
+            }
+
         schema_json = (
             json.loads(new_schema.json()) if new_schema is not None else prev.schema_json
         )
@@ -582,6 +674,11 @@ class LakeTable:
                     and b in prev.bucket_stats
                 ):
                     bucket_stats[b] = prev.bucket_stats[b]
+            # delta-ONLY buckets (no base file yet) carried untouched
+            # keep their stat with their deltas
+            for b in delta_dirs:
+                if b not in bucket_stats and b in prev.bucket_stats:
+                    bucket_stats[b] = prev.bucket_stats[b]
         if bucket_stats_updates:
             for bk, v in bucket_stats_updates.items():
                 if str(bk) in bucket_dirs:
@@ -594,6 +691,7 @@ class LakeTable:
             summary=summary,
             parent_version=prev.version,
             bucket_stats=bucket_stats,
+            delta_dirs=delta_dirs,
         )
         # Any commit at this version number — staged or not — would
         # overwrite a pending staged snapshot's metadata file (both
@@ -616,6 +714,118 @@ class LakeTable:
                 )
         if stage:
             self._write_metadata_file(snap)  # pointer untouched
+        else:
+            self._write_snapshot(snap, expected_parent=prev.version)
+        return snap
+
+    def commit_delta(
+        self,
+        df: DataFrame,
+        summary_updates: dict[str, Any],
+        stage: bool = False,
+        stats_upper_bound: int | None = None,
+        order_cols: tuple[str, ...] = ("ts",),
+    ) -> Snapshot:
+        """Merge-on-read commit (Iceberg v2 MOR parity): append `df`'s
+        rows as per-bucket DELTA files — the base bucket files are not
+        read, not rewritten, and carried by reference — and record them
+        in the snapshot's ``delta_dirs``. Readers resolve the per-key
+        LWW winner across base + deltas at scan time (:meth:`read`).
+
+        This inverts COW's cost trade: a COW merge pays
+        O(touched_buckets x bucket_size) read+write per batch; a delta
+        commit pays O(batch) write and ZERO base reads, at the price of
+        a resolve aggregate on every read of a dirty bucket. On a
+        10^10-event feed where each micro-batch touches most buckets,
+        MOR turns the per-batch write amplification from ~table-sized
+        to batch-sized; :meth:`compact_buckets` folds deltas back into
+        the base (restoring zero-tax reads) on whatever cadence the
+        deployment chooses — exactly Iceberg's
+        ``merge.mode=merge-on-read`` + ``rewrite_data_files`` pairing.
+
+        `df` must carry ``_bucket`` plus the full hidden-column row
+        shape (``_last_offset``, ``_deleted``) and at most ONE row per
+        merge key (the caller LWW-dedupes the batch; see
+        ``merge.merge_into(mode="mor")``). Multiple rows per key would
+        still resolve correctly — max_by is order-insensitive — but
+        would bloat the delta files.
+
+        `stats_upper_bound`: the batch's max offset, recorded as the
+        per-bucket max-_last_offset stat for every bucket this delta
+        touches (changelog pruning keeps working under MOR).
+        `order_cols` is recorded in the summary on first use so readers
+        resolve under the same total order the writer fenced on.
+
+        WAP (`stage=True`) composes exactly as with :meth:`commit`.
+        """
+        prev = self.current()
+        version = prev.version + 1
+        snap_rel = os.path.join(
+            "data", f"snap-{version}-{uuid.uuid4().hex[:8]}"
+        )
+        snap_dir = os.path.join(self.path, snap_rel)
+
+        sort_order = prev.summary.get("sort_order")
+        if sort_order and all(c in df.columns for c in sort_order):
+            df = df.sortWithinPartitions("_bucket", *sort_order)
+        df.write.mode("overwrite").partitionBy("_bucket").parquet(snap_dir)
+
+        new_dirs: dict[str, str] = {}
+        if os.path.isdir(snap_dir):
+            for entry in os.listdir(snap_dir):
+                if entry.startswith("_bucket="):
+                    b = entry.split("=", 1)[1]
+                    new_dirs[b] = os.path.join(snap_rel, entry)
+
+        delta_dirs = {b: list(lst) for b, lst in prev.delta_dirs.items()}
+        for b, d in new_dirs.items():
+            delta_dirs.setdefault(b, []).append(d)
+
+        summary = dict(prev.summary)
+        summary.update(summary_updates)
+        recorded = summary.get("delta_order_cols")
+        if recorded is None:
+            summary["delta_order_cols"] = list(order_cols)
+        elif list(order_cols) != list(recorded):
+            raise ValueError(
+                f"delta order {list(order_cols)} conflicts with the "
+                f"table's recorded order {recorded}; all MOR commits "
+                "must fence on one total order"
+            )
+
+        # base files are untouched: every stat carries verbatim, then
+        # the batch's bound raises the touched buckets' (upper-bound
+        # semantics — max keeps it valid even for out-of-order feeds)
+        bucket_stats = dict(prev.bucket_stats)
+        if stats_upper_bound is not None:
+            for b in new_dirs:
+                bucket_stats[b] = max(
+                    int(bucket_stats.get(b, -1)), int(stats_upper_bound)
+                )
+
+        snap = Snapshot(
+            version=version,
+            schema_json=prev.schema_json,
+            bucket_dirs=dict(prev.bucket_dirs),
+            summary=summary,
+            parent_version=prev.version,
+            bucket_stats=bucket_stats,
+            delta_dirs=delta_dirs,
+        )
+        # same pending-stage collision contract as commit()
+        meta_path = os.path.join(self._meta_dir, f"v{version}.metadata.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                existing = Snapshot.from_json(f.read())
+            if existing.summary.get("batch_id") != summary.get("batch_id"):
+                raise ConcurrentCommitError(
+                    f"a staged snapshot v{version} for batch "
+                    f"{existing.summary.get('batch_id')} is pending; "
+                    "publish or abandon it before committing batch "
+                    f"{summary.get('batch_id')}"
+                )
+        if stage:
+            self._write_metadata_file(snap)
         else:
             self._write_snapshot(snap, expected_parent=prev.version)
         return snap
@@ -716,6 +926,11 @@ class LakeTable:
             d
             for s in keep + pending + tagged
             for d in s.bucket_dirs.values()
+        } | {
+            d
+            for s in keep + pending + tagged
+            for lst in s.delta_dirs.values()
+            for d in lst
         }
         kept_roots = {os.path.dirname(d) for d in referenced}
         removed = 0
@@ -786,7 +1001,7 @@ class LakeTable:
         snap = self.current() if version is None else self.snapshot_at(version)
         can_hold = [
             int(b)
-            for b in snap.bucket_dirs
+            for b in set(snap.bucket_dirs) | set(snap.delta_dirs)
             if b not in snap.bucket_stats
             or int(snap.bucket_stats[b]) >= offset_start
         ]
@@ -860,7 +1075,10 @@ class LakeTable:
 
         referenced: set[str] = set()
         for s in snaps:
-            for b, d in s.bucket_dirs.items():
+            for d in [
+                *s.bucket_dirs.values(),
+                *(x for lst in s.delta_dirs.values() for x in lst),
+            ]:
                 referenced.add(d)
                 if not os.path.isdir(os.path.join(self.path, d)):
                     errors.append(
@@ -874,7 +1092,10 @@ class LakeTable:
                     f"tag {name!r} points at missing snapshot v{v}"
                 )
                 continue
-            for d in ts.bucket_dirs.values():
+            for d in [
+                *ts.bucket_dirs.values(),
+                *(x for lst in ts.delta_dirs.values() for x in lst),
+            ]:
                 referenced.add(d)
                 if not os.path.isdir(os.path.join(self.path, d)):
                     errors.append(
@@ -903,7 +1124,15 @@ class LakeTable:
         if check_rows and not errors:
             cur = self.current()
             parts = []
-            for b, d in cur.bucket_dirs.items():
+            per_bucket: list[tuple[str, str]] = [
+                *cur.bucket_dirs.items(),
+                *(
+                    (b, d)
+                    for b, lst in cur.delta_dirs.items()
+                    for d in lst
+                ),
+            ]
+            for b, d in per_bucket:
                 parts.append(
                     self.spark.read.schema(self.schema())
                     .parquet(os.path.join(self.path, d))
@@ -1106,7 +1335,17 @@ class LakeTable:
             except FileNotFoundError:
                 return 0
 
-        counts = {int(b): _n_files(d) for b, d in snap.bucket_dirs.items()}
+        # MOR deltas count toward a bucket's file tally, so compaction
+        # doubles as delta folding: reading via the delta-resolving
+        # read() and rewriting the base clears the bucket's delta list
+        # (commit() subsumption rule) — Iceberg rewrite_data_files'
+        # delete-file compaction in one op.
+        counts = {
+            int(b): _n_files(snap.bucket_dirs.get(str(b), ""))
+            + sum(_n_files(d) for d in snap.delta_dirs.get(str(b), []))
+            for b in {int(x) for x in snap.bucket_dirs}
+            | {int(x) for x in snap.delta_dirs}
+        }
         eligible = sorted(
             b for b, n in counts.items()
             if n >= max(int(min_files), 2)
@@ -1270,6 +1509,7 @@ class LakeTable:
             # them silently disables changelog bucket pruning for every
             # table that ever evolves its schema)
             bucket_stats=dict(prev.bucket_stats),
+            delta_dirs={b: list(x) for b, x in prev.delta_dirs.items()},
         )
         self._write_snapshot(snap, expected_parent=prev.version)
 
@@ -1326,5 +1566,6 @@ class LakeTable:
             # them silently disables changelog bucket pruning for every
             # table that ever evolves its schema)
             bucket_stats=dict(prev.bucket_stats),
+            delta_dirs={b: list(x) for b, x in prev.delta_dirs.items()},
         )
         self._write_snapshot(snap, expected_parent=prev.version)
