@@ -86,6 +86,64 @@ def main() -> None:
         cdc_secs = time.time() - t0
         timings["cdc_apply_e2e"] = round(cdc_secs, 3)
         events_per_sec = n_events / cdc_secs
+
+        # ---- merge-on-read apply at the same scale ----
+        # compact_every=2 folds deltas TWICE across the 4 batches —
+        # deliberately fold-heavy vs the default cadence (8), so the
+        # number is an upper bound on steady-state MOR cost, not a
+        # compaction-free best case.
+        morp = CdcPipeline(
+            spark, f"{tmp}/mor_table", f"{tmp}/mor_ckpt",
+            n_buckets=max(cpus, 16), n_source_parts=spec.n_source_parts,
+            merge_mode="mor", compact_every=2,
+        )
+        t0 = time.time()
+        morp.run_feed(feed, spec.n_events, batch_size=max(n_events // 4, 1))
+        timings["cdc_apply_mor_e2e"] = round(time.time() - t0, 3)
+
+        # ---- write-amplification probe (expiry off so EVERY byte the
+        # mode ever wrote stays on disk and du-able) ----
+        def _du(path: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, fn))
+                    except OSError:
+                        pass
+            return total
+
+        wamp: dict[str, dict] = {}
+        n_small = max(n_events // 10, 20_000)
+        for mode_name, kw in (
+            ("cow", {}),
+            ("mor", dict(merge_mode="mor", compact_every=999)),
+        ):
+            p2 = CdcPipeline(
+                spark,
+                f"{tmp}/wamp_{mode_name}_table",
+                f"{tmp}/wamp_{mode_name}_ckpt",
+                n_buckets=max(cpus, 16),
+                n_source_parts=spec.n_source_parts,
+                expire_keep_last=None,
+                **kw,
+            )
+            t0 = time.time()
+            p2.run_feed(feed, n_small, batch_size=max(n_small // 4, 1))
+            secs = time.time() - t0
+            wamp[mode_name] = {
+                "events": n_small,
+                "secs": round(secs, 3),
+                "data_bytes_written": _du(
+                    f"{tmp}/wamp_{mode_name}_table/data"
+                ),
+            }
+        if wamp["mor"]["data_bytes_written"]:
+            wamp["cow_over_mor_bytes"] = round(
+                wamp["cow"]["data_bytes_written"]
+                / wamp["mor"]["data_bytes_written"],
+                2,
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -188,6 +246,7 @@ def main() -> None:
         "cdc_events": n_events,
         "cpus": cpus,
         "edi_deep": edi_stats,
+        "write_amplification": wamp,
     }
     print(json.dumps(out))
 
