@@ -1697,6 +1697,190 @@ def _dec_debezium(spark, sf_dir):
 
 
 @_q(
+    "decode_maxwell_envelope",
+    """
+    SELECT (event_id % 3 + 1) * 4294967296 + event_id AS offset,
+           CASE event_id % 4 WHEN 0 THEN 'I' WHEN 1 THEN 'U'
+                             WHEN 2 THEN 'D' ELSE 'I' END AS op,
+           'c' || user_id AS conv_id,
+           (event_id % 40)::INT AS turn_idx,
+           event_type AS role,
+           'msg ' || event_id AS text,
+           CASE WHEN event_id % 5 = 0 THEN 'search' ELSE NULL END AS tool,
+           CASE WHEN event_id % 2 = 0
+                THEN epoch_us(date_trunc('second', ts))
+                ELSE (epoch(date_trunc('second', ts))::BIGINT + 7)
+                     * 1000000
+                END AS ts_us,
+           CASE WHEN event_id % 4 = 1 THEN 'old msg ' || event_id
+                ELSE NULL END AS pre_text
+    FROM events
+    WHERE event_id % 19 <> 0 AND event_id % 29 <> 0
+    """,
+)
+def _dec_maxwell(spark, sf_dir):
+    """Maxwell CDC envelope ingest (sources/maxwell.py): full-row
+    `data` image for insert/update/delete, PARTIAL `old` pre-image
+    (only changed columns — pre_text is NULL except on updates),
+    epoch-second envelope ts with row-level RFC3339 ts preferred when
+    present (odd events omit it, exercising the +7s-skewed fallback),
+    and a monotonic offset derived as binlog file_seq * 2^32 + pos.
+    Control records (bootstrap-start, every 19th) and unparsable
+    positions (every 29th) are continuable quarantine rows."""
+    from omniparser_spark.sources.maxwell import decode_maxwell
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    row_ts = F.date_format(
+        F.date_trunc("second", F.col("ts").cast("timestamp")),
+        "yyyy-MM-dd'T'HH:mm:ssXXX",
+    )
+    nul = F.lit(None).cast("string")
+    image = F.struct(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias(
+            "conv_id"
+        ),
+        (eid % 40).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(F.lit("msg "), eid.cast("string")).alias("text"),
+        F.when(eid % 5 == 0, F.lit("search")).otherwise(F.lit("")).alias(
+            "tool"
+        ),
+        # odd events omit the row ts -> decoder falls back to the
+        # envelope's epoch-second ts (skewed +7s so the paths differ)
+        F.when(eid % 2 == 0, row_ts).otherwise(nul).alias("ts"),
+    )
+    # Maxwell `old` carries ONLY changed columns; ignoreNullFields in
+    # to_json drops the rest, exactly the partial pre-image shape
+    old_partial = F.struct(
+        nul.alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        nul.alias("role"),
+        F.concat(F.lit("old msg "), eid.cast("string")).alias("text"),
+        nul.alias("tool"), nul.alias("ts"),
+    )
+    mx_type = (
+        F.when(eid % 19 == 0, F.lit("bootstrap-start"))  # control
+        .when(eid % 4 == 0, F.lit("insert"))
+        .when(eid % 4 == 1, F.lit("update"))
+        .when(eid % 4 == 2, F.lit("delete"))
+        .otherwise(F.lit("bootstrap-insert"))
+    )
+    position = F.when(eid % 29 == 0, F.lit("garbage")).otherwise(
+        F.format_string(
+            "master.%06d:%d", (eid % 3 + 1).cast("int"), eid
+        )
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.lit("app").alias("database"),
+            F.lit("turns").alias("table"),
+            mx_type.alias("type"),
+            (
+                F.unix_timestamp(
+                    F.date_trunc("second", F.col("ts").cast("timestamp"))
+                )
+                + 7
+            ).alias("ts"),
+            eid.alias("xid"),
+            F.lit(True).alias("commit"),
+            position.alias("position"),
+            image.alias("data"),
+            F.when(eid % 4 == 1, old_partial).alias("old"),
+        )
+    )
+    feed = ev.select(envelope.alias("payload"))
+    decoded = decode_maxwell(feed, source_part_col=None)
+    return decoded.filter(F.col("_ok")).select(
+        "offset", "op", "conv_id", "turn_idx", "role", "text", "tool",
+        _us("ts").alias("ts_us"), "pre_text",
+    )
+
+
+@_q(
+    "decode_canal_envelope",
+    """
+    SELECT event_id * 4096 + idx AS offset,
+           CASE event_id % 4 WHEN 0 THEN 'I' WHEN 1 THEN 'U'
+                             WHEN 2 THEN 'D' ELSE 'I' END AS op,
+           'c' || user_id AS conv_id,
+           ((event_id + idx) % 40)::INT AS turn_idx,
+           event_type AS role,
+           'msg ' || event_id || '.' || idx AS text,
+           CASE WHEN event_id % 5 = 0 THEN 'search' ELSE NULL END AS tool,
+           epoch(date_trunc('second', ts))::BIGINT * 1000000 AS ts_us,
+           CASE WHEN event_id % 4 = 1 THEN 'old ' || event_id || '.' || idx
+                ELSE NULL END AS pre_text
+    FROM events CROSS JOIN (VALUES (0::BIGINT), (1::BIGINT)) t(idx)
+    WHERE event_id % 23 <> 0 AND event_id % 31 <> 0
+    """,
+)
+def _dec_canal(spark, sf_dir):
+    """Canal flatMessage CDC ingest (sources/maxwell.py decode_canal):
+    each envelope batches TWO row images in its `data` array (all
+    values strings, canal's flat codec), with the parallel `old` array
+    carrying partial pre-images on updates; rows posexplode to offset
+    = id * 4096 + row_index and event-time `es` (millis) stamps ts.
+    DDL envelopes (every 23rd) and unknown types (every 31st,
+    'ALTER') quarantine as single dead-letter rows."""
+    from omniparser_spark.sources.maxwell import decode_canal
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+
+    def row_map(idx: int):
+        return F.create_map(
+            F.lit("conv_id"),
+            F.concat(F.lit("c"), F.col("user_id").cast("string")),
+            F.lit("turn_idx"), ((eid + idx) % 40).cast("string"),
+            F.lit("role"), F.col("event_type"),
+            F.lit("text"),
+            F.concat(F.lit("msg "), eid.cast("string"),
+                     F.lit("."), F.lit(str(idx))),
+            F.lit("tool"),
+            F.when(eid % 5 == 0, F.lit("search")).otherwise(F.lit("")),
+        )
+
+    def old_map(idx: int):
+        return F.create_map(
+            F.lit("text"),
+            F.concat(F.lit("old "), eid.cast("string"),
+                     F.lit("."), F.lit(str(idx))),
+        )
+
+    cn_type = (
+        F.when(eid % 31 == 0, F.lit("ALTER"))  # unknown -> quarantine
+        .when(eid % 4 == 0, F.lit("INSERT"))
+        .when(eid % 4 == 1, F.lit("UPDATE"))
+        .when(eid % 4 == 2, F.lit("DELETE"))
+        .otherwise(F.lit("INSERT"))
+    )
+    envelope = F.to_json(
+        F.struct(
+            eid.alias("id"),
+            F.lit("app").alias("database"),
+            F.lit("turns").alias("table"),
+            F.array(F.lit("conv_id"), F.lit("turn_idx")).alias("pkNames"),
+            (eid % 23 == 0).alias("isDdl"),
+            cn_type.alias("type"),
+            F.unix_millis(
+                F.date_trunc("second", F.col("ts").cast("timestamp"))
+            ).alias("es"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),
+            F.array(row_map(0), row_map(1)).alias("data"),
+            F.when(
+                eid % 4 == 1, F.array(old_map(0), old_map(1))
+            ).alias("old"),
+        )
+    )
+    feed = ev.select(envelope.alias("payload"))
+    decoded = decode_canal(feed, source_part_col=None)
+    return decoded.filter(F.col("_ok")).select(
+        "offset", "op", "conv_id", "turn_idx", "role", "text", "tool",
+        _us("ts").alias("ts_us"), "pre_text",
+    )
+
+
+@_q(
     "decode_avro_wire",
     """
     SELECT event_id AS offset,

@@ -221,3 +221,104 @@ def test_debezium_envelope_semantics(spark):
     bad = [r for r in out if not r["_ok"]]
     assert {r["offset"] for r in bad} == {5, 6}
     assert all("debezium decode failed" in r["_error"] for r in bad)
+
+
+def test_maxwell_envelope_semantics(spark):
+    """Maxwell edge semantics: file-rotation-aware offset derivation
+    (file_seq * 2^32 + pos), PARTIAL `old` pre-image (pre_text NULL
+    unless text changed), epoch-second envelope ts fallback, control
+    records and garbage positions continuable."""
+    import json
+
+    from omniparser_spark.sources.maxwell import decode_maxwell
+
+    def env(typ, data=None, old=None, position="master.000002:100",
+            ts=1700000000):
+        return json.dumps({
+            "database": "app", "table": "turns", "type": typ,
+            "ts": ts, "xid": 9, "commit": True, "position": position,
+            "data": data, "old": old,
+        })
+
+    def img(text, ts="2024-01-02T03:04:05+00:00", tool=""):
+        return {"conv_id": "c1", "turn_idx": 0, "role": "user",
+                "text": text, "tool": tool, "ts": ts}
+
+    rows = [
+        (env("insert", img("a"), position="master.000002:100"),),
+        (env("update", img("b"), old={"text": "a"},
+             position="master.000002:101"),),
+        # update where text did NOT change: old lacks text entirely
+        (env("update", img("b"), old={"role": "user"},
+             position="master.000002:102"),),
+        (env("delete", img("b"), position="master.000003:5"),),
+        (env("bootstrap-insert", img("c"),
+             position="master.000003:6"),),
+        (env("bootstrap-start", position="master.000003:7"),),  # control
+        (env("insert", img("d"), position="garbage"),),         # bad pos
+        # no row ts -> epoch-second envelope ts
+        (env("insert", img("e", ts=None),
+             position="master.000003:8", ts=1700000123),),
+    ]
+    df = spark.createDataFrame(rows, "payload string")
+    out = decode_maxwell(df, source_part_col=None).collect()
+    by = {r["offset"]: r for r in out if r["offset"] is not None}
+
+    base2, base3 = 2 * (1 << 32), 3 * (1 << 32)
+    assert by[base2 + 100]["op"] == "I"
+    assert by[base2 + 101]["op"] == "U"
+    assert by[base2 + 101]["pre_text"] == "a"
+    assert by[base2 + 102]["pre_text"] is None     # partial old: no text
+    assert by[base3 + 5]["op"] == "D"
+    assert by[base3 + 6]["op"] == "I"              # bootstrap-insert
+    assert by[base3 + 8]["ts"].timestamp() == 1700000123.0
+    bad = [r for r in out if not r["_ok"]]
+    assert len(bad) == 2  # control record + garbage position
+    assert all("maxwell decode failed" in r["_error"] for r in bad)
+
+
+def test_canal_flatmessage_semantics(spark):
+    """Canal edge semantics: multi-row data arrays posexplode with
+    offset = id*4096+idx, string-typed values cast per row (malformed
+    turn_idx quarantines THAT row), parallel `old` pre-images, DDL /
+    unknown-type / empty-data envelopes quarantine as single rows."""
+    import json
+
+    from omniparser_spark.sources.maxwell import decode_canal
+
+    def env(id_, typ, data, old=None, ddl=False, es=1700000000000):
+        return json.dumps({
+            "id": id_, "database": "app", "table": "turns",
+            "pkNames": ["conv_id", "turn_idx"], "isDdl": ddl,
+            "type": typ, "es": es, "ts": es + 500,
+            "data": data, "old": old,
+        })
+
+    def row(text, turn="0", tool=""):
+        return {"conv_id": "c1", "turn_idx": turn, "role": "user",
+                "text": text, "tool": tool}
+
+    rows = [
+        (env(1, "INSERT", [row("a", "0"), row("b", "1")]),),
+        (env(2, "UPDATE", [row("n1", "0"), row("n2", "1")],
+             old=[{"text": "o1"}, {"text": "o2"}]),),
+        (env(3, "DELETE", [row("gone", "4")]),),
+        (env(4, "ALTER", [row("x", "0")]),),          # unknown type
+        (env(5, "INSERT", [row("x", "0")], ddl=True),),  # DDL
+        (env(6, "INSERT", [row("bad", "NaN")]),),     # bad turn_idx
+        (env(7, "INSERT", []),),                      # empty data
+    ]
+    df = spark.createDataFrame(rows, "payload string")
+    out = decode_canal(df, source_part_col=None).collect()
+    ok = {r["offset"]: r for r in out if r["_ok"]}
+
+    assert set(ok) == {4096, 4097, 8192, 8193, 12288}
+    assert ok[4096]["text"] == "a" and ok[4097]["text"] == "b"
+    assert ok[8192]["pre_text"] == "o1" and ok[8193]["pre_text"] == "o2"
+    assert ok[8192]["op"] == "U" and ok[12288]["op"] == "D"
+    assert ok[12288]["turn_idx"] == 4
+    assert ok[4096]["ts"].timestamp() == 1700000000.0  # es millis
+    bad = [r for r in out if not r["_ok"]]
+    # ALTER, DDL, bad turn_idx row, empty data: one dead-letter each
+    assert len(bad) == 4
+    assert all("canal decode failed" in r["_error"] for r in bad)
