@@ -5702,6 +5702,89 @@ def _repetition(spark, sf_dir):
 
 
 @_q(
+    "text_lm_perplexity",
+    """
+    WITH ref AS (
+      SELECT regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS ws
+      FROM documents WHERE doc_id % 2 = 0 AND length(trim(text)) > 0
+    ),
+    lm AS (
+      SELECT w AS token, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(ws) AS w FROM ref) GROUP BY 1
+    ),
+    tot AS (SELECT sum(cnt)::BIGINT AS n FROM lm),
+    surp AS (
+      SELECT token,
+             floor(ln(n::DOUBLE / cnt) * 1000)::BIGINT AS s
+      FROM lm, tot
+    ),
+    oov AS (SELECT floor(ln(2 * n::DOUBLE) * 1000)::BIGINT AS so FROM tot),
+    dtok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sc AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_tokens,
+             (count(*) FILTER (WHERE s IS NULL))::BIGINT AS oov_tokens,
+             (sum(coalesce(s, so)) // count(*))::BIGINT AS ppl_mnats
+      FROM dtok LEFT JOIN surp USING (token) CROSS JOIN oov
+      GROUP BY doc_id
+    ),
+    hist AS (SELECT ppl_mnats AS v, count(*)::BIGINT AS c FROM sc GROUP BY 1),
+    cum AS (
+      SELECT v, sum(c) OVER (ORDER BY v) AS cm FROM hist
+    ),
+    t2 AS (SELECT count(*)::BIGINT AS t FROM sc),
+    b1 AS (SELECT min(v) AS v FROM cum, t2 WHERE cm >= ceil(t / 3.0)),
+    b2 AS (SELECT min(v) AS v FROM cum, t2 WHERE cm >= ceil(2 * t / 3.0))
+    SELECT sc.doc_id, sc.n_tokens, sc.oov_tokens, sc.ppl_mnats,
+           (1 + (sc.ppl_mnats > b1.v)::INT + (sc.ppl_mnats > b2.v)::INT)
+             AS ppl_bucket
+    FROM sc, b1, b2
+    """,
+)
+def _lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/lm_score.py): a
+    unigram LM trains on the even-doc_id reference slice (exact token
+    counts; per-token surprisal in integer MILLI-NATS — the one float
+    op happens once per vocab entry, every aggregate after it is
+    integer-exact and order-invariant), every document scores by mean
+    surprisal with OOV tokens charged the add-half cost ln(2N), and
+    the head/middle/tail terciles come from a bounded-histogram
+    threshold (selection.py's shape), NOT a global ntile sort.
+
+    100 TB shape: vocab-sized broadcast join against a single corpus
+    scan + one per-doc aggregate; the bucket pass collects only the
+    ~10^4-value milli-nat histogram."""
+    from omniparser_spark.operators.lm_score import (
+        perplexity_buckets,
+        perplexity_score,
+        train_unigram_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lm = train_unigram_lm(d.filter(F.col("doc_id") % 2 == 0))
+    scored = perplexity_score(d, lm).persist()
+    try:
+        buckets = perplexity_buckets(scored)
+        out = scored.join(
+            buckets.select("doc_id", "ppl_bucket"), "doc_id"
+        ).select(
+            "doc_id", "n_tokens", "oov_tokens", "ppl_mnats", "ppl_bucket"
+        )
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        scored.unpersist()
+
+
+@_q(
     "decontaminate_ngrams",
     """
     WITH grams AS (

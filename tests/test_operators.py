@@ -551,3 +551,54 @@ def test_curation_funnel_stage_independence(spark):
     # at least two distinct stages (non-degenerate composition)
     failing_stages = {f for f in flags if any(not r[f] for r in rows.values())}
     assert len(failing_stages) >= 2, failing_stages
+
+
+def test_lm_perplexity_semantics(spark):
+    """LM scorer invariants: common-word docs score lower than
+    rare-word docs, OOV tokens are charged (and counted), scores are
+    integer-exact under repartitioning, and the histogram bucketer
+    puts the lowest scores in bucket 1."""
+    from omniparser_spark.operators.lm_score import (
+        perplexity_buckets,
+        perplexity_score,
+        train_unigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "the cat sat on the mat the end"),
+         (2, "the dog sat on the rug the end")],
+        "doc_id int, text string",
+    )
+    lm = train_unigram_lm(ref)
+    lm_rows = {r["token"]: r for r in lm.collect()}
+    assert lm_rows["the"]["cnt"] == 6
+    # surprisal of the most common token is the smallest
+    assert lm_rows["the"]["surprisal_mnats"] == min(
+        r["surprisal_mnats"] for r in lm_rows.values()
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the"),          # all head tokens
+         (2, "cat dog mat rug"),          # mid-frequency
+         (3, "zz qq xx vv"),              # all OOV
+         (4, "   ")],                     # empty: excluded
+        "doc_id int, text string",
+    )
+    scored = {r["doc_id"]: r for r in perplexity_score(docs, lm).collect()}
+    assert set(scored) == {1, 2, 3}
+    assert scored[1]["ppl_mnats"] < scored[2]["ppl_mnats"] < scored[3]["ppl_mnats"]
+    assert scored[3]["oov_tokens"] == 4 and scored[1]["oov_tokens"] == 0
+    # integer determinism: same scores whatever the partitioning
+    rep = {
+        r["doc_id"]: r["ppl_mnats"]
+        for r in perplexity_score(docs.repartition(7), lm).collect()
+    }
+    assert rep == {k: v["ppl_mnats"] for k, v in scored.items()}
+
+    b = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(
+            perplexity_score(docs, lm)
+        ).collect()
+    }
+    assert b[1] == 1 and b[3] == 3  # head is lowest perplexity
