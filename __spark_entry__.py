@@ -4998,6 +4998,130 @@ def _conversation_lint(spark, sf_dir):
     )
 
 
+_TRAJ_TURNS_SQL = """
+      SELECT user_id AS conv_id,
+             (row_number() OVER (
+                PARTITION BY user_id ORDER BY event_id) - 1)::INT
+               AS turn_idx,
+             CASE event_id % 5 WHEN 0 THEN 'search'
+                               WHEN 1 THEN 'python'
+                               WHEN 2 THEN 'browser'
+                               ELSE NULL END AS tool,
+             date_trunc('second', ts) AS ts,
+             event_id
+      FROM events
+"""
+
+
+def _traj_turns(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    eid = F.col("event_id")
+    return ev.select(
+        F.col("user_id").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(eid % 5 == 0, F.lit("search"))
+        .when(eid % 5 == 1, F.lit("python"))
+        .when(eid % 5 == 2, F.lit("browser"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tool"),
+        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
+        eid,
+    )
+
+
+@_q(
+    "transcript_trajectory_stats",
+    f"""
+    WITH t AS (
+{_TRAJ_TURNS_SQL}
+    ),
+    base AS (
+      SELECT conv_id,
+             count(*)::INT AS n_turns,
+             count(tool)::INT AS n_tool_calls,
+             count(DISTINCT tool)::INT AS n_distinct_tools,
+             min(CASE WHEN tool IS NOT NULL THEN turn_idx END)::INT
+               AS first_tool_turn,
+             sum(CASE WHEN tool IS NOT NULL AND event_id % 7 = 0
+                 THEN 1 ELSE 0 END)::INT AS n_tool_failures,
+             (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT
+               AS duration_us
+      FROM t GROUP BY conv_id
+    ),
+    isl AS (
+      SELECT conv_id,
+             turn_idx - row_number() OVER (
+               PARTITION BY conv_id ORDER BY turn_idx) AS grp
+      FROM t WHERE tool IS NOT NULL
+    ),
+    streak AS (
+      SELECT conv_id, max(c)::INT AS max_tool_streak FROM (
+        SELECT conv_id, grp, count(*) AS c FROM isl GROUP BY 1, 2
+      ) GROUP BY conv_id
+    )
+    SELECT b.conv_id, n_turns, n_tool_calls, n_distinct_tools,
+           first_tool_turn, n_tool_failures, duration_us,
+           CASE WHEN n_turns > 1 THEN duration_us // (n_turns - 1)
+                ELSE 0 END AS mean_gap_us,
+           coalesce(s.max_tool_streak, 0)::INT AS max_tool_streak
+    FROM base b LEFT JOIN streak s USING (conv_id)
+    """,
+)
+def _trajectory_stats(spark, sf_dir):
+    """Agent-trajectory profiling (operators/transcripts.py
+    trajectory_stats): per-conversation tool-call counts, distinct
+    tools, failure count (predicate-driven: every 7th event's tool
+    call 'fails'), first-tool latency, max consecutive-tool streak
+    (gaps-and-islands — the runaway-loop signal), and integer-exact
+    pacing stats (duration + mean inter-turn gap in micros). Every
+    aggregate keys on the conversation family: one shuffle family,
+    no global sort."""
+    from omniparser_spark.operators.transcripts import trajectory_stats
+
+    t = _traj_turns(spark, sf_dir)
+    return trajectory_stats(
+        t,
+        failed=F.col("tool").isNotNull() & (F.col("event_id") % 7 == 0),
+    ).select(
+        "conv_id", "n_turns", "n_tool_calls", "n_distinct_tools",
+        "first_tool_turn", "n_tool_failures", "duration_us",
+        "mean_gap_us", "max_tool_streak",
+    )
+
+
+@_q(
+    "transcript_tool_transitions",
+    f"""
+    WITH t AS (
+{_TRAJ_TURNS_SQL}
+    ),
+    tt AS (
+      SELECT conv_id, tool AS to_tool,
+             coalesce(lag(tool) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx), '<start>')
+               AS from_tool
+      FROM t WHERE tool IS NOT NULL
+    )
+    SELECT from_tool, to_tool, count(*)::BIGINT AS n
+    FROM tt GROUP BY 1, 2
+    """,
+)
+def _tool_transitions(spark, sf_dir):
+    """Tool-transition matrix (operators/transcripts.py
+    tool_transitions): corpus-level (from_tool, to_tool) counts over
+    consecutive tool-bearing turns, '<start>' sentinel for each
+    conversation's first call — the behavioral fingerprint that
+    surfaces degenerate search->search->search policies. One lag
+    window on the conv key + one count on the bounded tool-pair
+    domain."""
+    from omniparser_spark.operators.transcripts import tool_transitions
+
+    return tool_transitions(_traj_turns(spark, sf_dir))
+
+
 @_q(
     "transcript_tree_stats",
     f"""

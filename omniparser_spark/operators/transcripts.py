@@ -604,3 +604,122 @@ def tree_stats(
         F.coalesce("n_regens", F.lit(0)).alias("n_regens"),
         F.coalesce("max_siblings", F.lit(0)).alias("max_siblings"),
     )
+
+
+def trajectory_stats(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+    failed: Column | None = None,
+) -> DataFrame:
+    """Agent-trajectory profiling: per-conversation tool-use and
+    pacing statistics — the health metrics an agent-transcript
+    curation pass filters on (tool-spam loops, stalled sessions,
+    failing trajectories).
+
+    Per conversation:
+    - ``n_turns``, ``n_tool_calls`` (turns carrying a tool),
+      ``n_distinct_tools``;
+    - ``max_tool_streak`` — the longest run of CONSECUTIVE tool turns
+      (a long streak is the classic runaway-agent loop signal),
+      computed with the gaps-and-islands trick: among tool turns,
+      ``turn_idx - row_number()`` is constant within a consecutive
+      run, so one count per (conv, island) + one max collapses it —
+      no iterative logic;
+    - ``first_tool_turn`` — NULL for tool-free conversations;
+    - ``n_tool_failures`` — turns matching the caller's `failed`
+      predicate (an engine-agnostic Column, e.g. a status column or a
+      text prefix), 0 when not supplied;
+    - ``duration_us`` (last ts - first ts, epoch micros) and
+      ``mean_gap_us`` (integer mean inter-turn latency) — integer
+      microseconds end to end, no float drift.
+
+    Scale shape: every window/aggregate keys on the conversation-key
+    family (conv, or conv+island), so the whole profile is ONE
+    shuffle family; islands are derived from the per-conv turn order,
+    never a global sort.
+    """
+    from pyspark.sql import Window
+
+    fail = failed if failed is not None else F.lit(False)
+    base = turns.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+        F.count(F.col(tool_col)).cast("int").alias("n_tool_calls"),
+        F.count_distinct(F.col(tool_col)).cast("int").alias(
+            "n_distinct_tools"
+        ),
+        F.min(
+            F.when(F.col(tool_col).isNotNull(), F.col(order_col))
+        ).cast("int").alias("first_tool_turn"),
+        F.sum(F.when(fail, 1).otherwise(0)).cast("int").alias(
+            "n_tool_failures"
+        ),
+        (
+            F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+        ).alias("duration_us"),
+    ).withColumn(
+        "mean_gap_us",
+        F.when(
+            F.col("n_turns") > 1,
+            F.expr("duration_us DIV (n_turns - 1)"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    islands = (
+        turns.filter(F.col(tool_col).isNotNull())
+        .select(conv_col, F.col(order_col).alias("_o"))
+        .withColumn("_grp", F.col("_o") - F.row_number().over(
+            Window.partitionBy(conv_col).orderBy("_o")
+        ))
+        .groupBy(conv_col, "_grp")
+        .agg(F.count(F.lit(1)).alias("_len"))
+        .groupBy(conv_col)
+        .agg(F.max("_len").cast("int").alias("max_tool_streak"))
+    )
+    return base.join(islands, conv_col, "left").withColumn(
+        "max_tool_streak",
+        F.coalesce(F.col("max_tool_streak"), F.lit(0)),
+    )
+
+
+def tool_transitions(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Tool-transition profile: how often the agent follows tool A
+    with tool B (consecutive TOOL-BEARING turns within a
+    conversation; the first tool of a conversation transitions from
+    the sentinel ``<start>``). The corpus-level (from_tool, to_tool,
+    n) matrix is the behavioral fingerprint used to spot degenerate
+    policies (e.g. search->search->search loops) and to stratify
+    trajectory sampling.
+
+    One lag window over tool turns keyed by conversation + one
+    count aggregate keyed by the (bounded) tool-pair domain — the
+    corpus never shuffles twice, and the output is at most
+    |tools|^2 + |tools| rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    t = (
+        turns.filter(F.col(tool_col).isNotNull())
+        .select(
+            conv_col,
+            F.col(order_col),
+            F.col(tool_col).alias("to_tool"),
+        )
+        .withColumn(
+            "from_tool",
+            F.coalesce(
+                F.lag("to_tool").over(w), F.lit("<start>")
+            ),
+        )
+    )
+    return (
+        t.groupBy("from_tool", "to_tool")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -307,3 +307,76 @@ def test_tree_stats_counts_branches_and_leaves(spark):
     assert (c.n_leaves, c.n_branch_points, c.n_regens, c.max_siblings) == (
         3, 1, 2, 3,
     )
+
+
+def test_trajectory_stats_semantics(spark):
+    """Streak islands, failure predicate, tool-free conversations,
+    and integer pacing stats."""
+    import datetime as dt
+
+    from omniparser_spark.operators.transcripts import trajectory_stats
+
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # c1: tools at turns 1,2,3 (streak 3) and 5 (streak 1); turn 2 fails
+        ("c1", 0, None, ts(0), False),
+        ("c1", 1, "search", ts(10), False),
+        ("c1", 2, "search", ts(20), True),
+        ("c1", 3, "python", ts(30), False),
+        ("c1", 4, None, ts(40), False),
+        ("c1", 5, "browser", ts(100), False),
+        # c2: no tools at all
+        ("c2", 0, None, ts(0), False),
+        ("c2", 1, None, ts(7), False),
+        # c3: single turn
+        ("c3", 0, "search", ts(0), False),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool string, "
+              "ts timestamp, fail boolean",
+    )
+    out = {
+        r["conv_id"]: r
+        for r in trajectory_stats(df, failed=F.col("fail")).collect()
+    }
+    c1 = out["c1"]
+    assert c1["n_turns"] == 6 and c1["n_tool_calls"] == 4
+    assert c1["n_distinct_tools"] == 3
+    assert c1["max_tool_streak"] == 3
+    assert c1["first_tool_turn"] == 1
+    assert c1["n_tool_failures"] == 1
+    assert c1["duration_us"] == 100_000_000
+    assert c1["mean_gap_us"] == 20_000_000
+    c2 = out["c2"]
+    assert c2["n_tool_calls"] == 0 and c2["max_tool_streak"] == 0
+    assert c2["first_tool_turn"] is None
+    c3 = out["c3"]
+    assert c3["duration_us"] == 0 and c3["mean_gap_us"] == 0
+    assert c3["max_tool_streak"] == 1
+
+
+def test_tool_transitions_semantics(spark):
+    from omniparser_spark.operators.transcripts import tool_transitions
+
+    rows = [
+        ("c1", 0, "search"), ("c1", 1, None), ("c1", 2, "search"),
+        ("c1", 3, "python"),
+        ("c2", 0, "search"), ("c2", 1, "python"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool string"
+    )
+    got = {
+        (r["from_tool"], r["to_tool"]): r["n"]
+        for r in tool_transitions(df).collect()
+    }
+    # gaps (non-tool turns) do NOT reset the chain: search->search
+    assert got == {
+        ("<start>", "search"): 2,
+        ("search", "search"): 1,
+        ("search", "python"): 2,
+    }
