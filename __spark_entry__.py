@@ -5909,6 +5909,94 @@ def _lm_perplexity(spark, sf_dir):
 
 
 @_q(
+    "text_dedup_boilerplate_lines",
+    """
+    WITH src AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    lined AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 4 = 0
+              THEN 'subscribe to our newsletter today' || chr(10)
+              ELSE '' END)
+        || array_to_string(
+             list_transform(range(0, ceil(len(ws) / 8.0)::INT),
+               i -> array_to_string(ws[i*8+1 : i*8+8], ' ')),
+             chr(10))
+        || chr(10) || 'copyright acme corp all rights reserved' AS text
+      FROM src
+    ),
+    lns AS (
+      SELECT doc_id, i AS pos, l[i] AS line,
+             trim(regexp_replace(lower(l[i]), '\\s+', ' ', 'g')) AS key,
+             length(trim(l[i])) = 0 AS blank
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM lined),
+           unnest(range(1, len(l) + 1)) AS t(i)
+    ),
+    flag AS (
+      SELECT key FROM lns WHERE NOT blank
+      GROUP BY key HAVING count(DISTINCT doc_id) >= 3
+    ),
+    marked AS (
+      SELECT k.doc_id, k.pos, k.line,
+             (f.key IS NOT NULL AND NOT k.blank) AS rm
+      FROM lns k LEFT JOIN flag f USING (key)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT rm THEN line END,
+                               chr(10) ORDER BY pos), '') AS text,
+           count(*)::INT AS n_lines,
+           sum(rm::INT)::INT AS n_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def _dedup_boilerplate(spark, sf_dir):
+    """CCNet-style cross-document line dedup (dedup_text.py
+    dedup_boilerplate_lines): any line whose normalized form appears
+    in >= 3 distinct documents is boilerplate and removed from EVERY
+    document (nav bars, cookie banners, license footers — all copies
+    go, CCNet semantics). The corpus is deterministically re-lined
+    into 8-word chunks with a planted footer on every doc (df=500)
+    and a newsletter banner on every 4th (df=125); both must vanish
+    while content chunks survive and order is preserved.
+
+    100 TB shape: one line-hash count aggregate, a broadcast of the
+    (tiny) threshold-crossing set, one per-doc reassembly groupBy —
+    three bounded shuffles, no global sort."""
+    from omniparser_spark.operators.dedup_text import (
+        dedup_boilerplate_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * 8 + 1, 8), " "
+            ),
+        ),
+        "\n",
+    )
+    lined = d.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("subscribe to our newsletter today\n"),
+            ).otherwise(F.lit("")),
+            body,
+            F.lit("\ncopyright acme corp all rights reserved"),
+        ).alias("text"),
+    )
+    return dedup_boilerplate_lines(lined, min_df=3)
+
+
+@_q(
     "decontaminate_ngrams",
     """
     WITH grams AS (

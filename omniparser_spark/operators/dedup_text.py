@@ -444,3 +444,85 @@ def ngram_jaccard_pairs(
     return inter.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def dedup_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 3,
+) -> DataFrame:
+    """CCNet-style cross-document LINE deduplication: a line
+    (paragraph) whose normalized form appears in >= `min_df` DISTINCT
+    documents is boilerplate (nav bars, cookie banners, license
+    footers) and is removed from EVERY document — CCNet removes all
+    copies rather than keeping one, because a recurring line is noise
+    wherever it appears.
+
+    Returns ``(id_col, text, n_lines, n_removed)`` with `text`
+    reassembled from the surviving lines in original order (empty
+    string when everything was boilerplate). Blank/whitespace-only
+    lines are structural, never counted or removed.
+
+    Scale shape (three bounded shuffles, all O(corpus lines)):
+    1. posexplode lines (narrow) -> distinct (doc, line-md5) ->
+       count distinct docs per line hash (map-side combinable);
+    2. flagged set = hashes with df >= min_df — typically tiny
+       relative to the corpus (threshold-crossing lines only), so it
+       BROADCASTS to the line stream; a pathological flagged set
+       degrades to a shuffle hash join, never quadratic;
+    3. per-doc reassembly: one groupBy(id) with an in-aggregate
+       array_sort on (pos, line) — bounded by doc size, no global
+       sort.
+
+    The md5 is an internal shuffle-width optimization: equality on
+    the 16-byte digest stands in for equality on the normalized line.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn(
+        "_key",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("_line")), r"\s+", " "))
+        ),
+    ).withColumn(
+        "_blank",
+        F.length(F.trim(F.col("_line"))) == 0,
+    )
+    flagged = (
+        lines.filter(~F.col("_blank"))
+        .groupBy("_key")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_key", F.lit(True).alias("_boiler"))
+    )
+    marked = lines.join(F.broadcast(flagged), "_key", "left").withColumn(
+        "_rm", F.coalesce(F.col("_boiler"), F.lit(False)) & ~F.col("_blank")
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.sum(F.when(F.col("_rm"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_removed"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_rm"),
+                                F.struct(F.col("_pos"), F.col("_line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("_line"),
+                ),
+            ).alias(text_col),
+        )
+        .select(id_col, text_col, "n_lines", "n_removed")
+    )

@@ -602,3 +602,37 @@ def test_lm_perplexity_semantics(spark):
         ).collect()
     }
     assert b[1] == 1 and b[3] == 3  # head is lowest perplexity
+
+
+def test_dedup_boilerplate_lines_semantics(spark):
+    """All copies of a recurring line are removed (CCNet semantics),
+    blank lines are structural (kept, never flagged), order is
+    preserved, and a fully-boilerplate doc collapses to ''."""
+    from omniparser_spark.operators.dedup_text import (
+        dedup_boilerplate_lines,
+    )
+
+    footer = "copyright acme"
+    docs = [
+        (1, f"alpha one\n{footer}\nbeta two"),
+        (2, f"gamma three\n\n{footer}"),
+        (3, f"{footer}\ndelta four"),
+        (4, footer),                       # nothing but boilerplate
+        (5, "unique line\nanother unique"),
+        # normalization: case/whitespace variants count as the same line
+        (6, "COPYRIGHT   ACME\nepsilon five"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup_boilerplate_lines(df, min_df=3).collect()
+    }
+    assert out[1]["text"] == "alpha one\nbeta two"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    # blank line survives; boilerplate goes
+    assert out[2]["text"] == "gamma three\n"
+    assert out[3]["text"] == "delta four"
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 1
+    assert out[5]["n_removed"] == 0
+    # the normalized variant was both counted toward df AND removed
+    assert out[6]["text"] == "epsilon five"
