@@ -305,3 +305,47 @@ def test_erase_where_folds_touched_buckets_deltas(spark, tmp_path):
     # erased buckets' deltas were folded by the rewrite commit
     for b in res["touched_buckets"]:
         assert str(b) not in t.current().delta_dirs
+
+
+def test_streaming_apply_mor_converges(spark, tmp_path):
+    """The streaming front-end composes with merge-on-read: a MOR
+    pipeline driven by foreachBatch epochs (Observation stats off,
+    cloned session) converges to the batch COW state, with deltas
+    folding on the pipeline cadence."""
+    from omniparser_spark.sources.changefeed import materialize_feed
+    from omniparser_spark.streaming import run_streaming_apply
+
+    spec = FeedSpec(n_events=600, n_convs=20, seed=3)
+    feed_path = str(tmp_path / "feed")
+    feed = materialize_feed(spark, spec, feed_path, num_partitions=6)
+
+    pb = CdcPipeline(
+        spark, str(tmp_path / "bt"), str(tmp_path / "bc"), n_buckets=4
+    )
+    pb.run(
+        lambda s, e: feed.filter(
+            (F.col("offset") >= s) & (F.col("offset") <= e)
+        ),
+        spec.n_events,
+        batch_size=200,
+    )
+    want = sorted(
+        tuple(r)
+        for r in pb.read_table()
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    )
+
+    ps = CdcPipeline(
+        spark, str(tmp_path / "st"), str(tmp_path / "sc"), n_buckets=4,
+        merge_mode="mor", compact_every=2,
+    )
+    recs = run_streaming_apply(ps, feed_path, max_files_per_trigger=2)
+    assert recs, "stream should have applied at least one epoch"
+    got = sorted(
+        tuple(r)
+        for r in ps.read_table()
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    )
+    assert got == want
