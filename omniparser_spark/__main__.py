@@ -94,6 +94,11 @@ def main(argv: list[str] | None = None) -> int:
                          "each — also folds pending merge-on-read delta "
                          "files into the base; print the compaction "
                          "record, exit")
+    ap.add_argument("--meta", default=None, metavar="NAME",
+                    choices=("snapshots", "files", "partitions", "refs"),
+                    help="print an Iceberg-style metadata table "
+                         "(snapshots/files/partitions/refs) as JSON "
+                         "lines, exit")
     ap.add_argument("--merge-mode", choices=("cow", "mor"), default="cow",
                     help="write strategy: cow rewrites touched buckets "
                          "per batch; mor appends per-bucket delta files "
@@ -114,6 +119,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.create_view is not None
         or args.sync_view is not None
         or args.compact
+        or args.meta is not None
     )
     if not maintenance and not args.feed:
         ap.error("--feed is required for apply/streaming runs")
@@ -190,6 +196,10 @@ def main(argv: list[str] | None = None) -> int:
         compact_every=args.compact_every,
     )
 
+    if args.meta is not None:
+        for row in pipe.table.meta(args.meta).toJSON().toLocalIterator():
+            print(row)
+        return 0
     if args.changelog_since is not None:
         try:
             rows = pipe.table.changes_between_versions(args.changelog_since)

@@ -278,6 +278,118 @@ class LakeTable:
     def summary(self) -> dict[str, Any]:
         return dict(self.current().summary)
 
+    def meta(self, name: str) -> DataFrame:
+        """Iceberg metadata-table parity (`SELECT * FROM tbl.snapshots`
+        etc.) — the table's own bookkeeping surfaced as DataFrames for
+        ops queries and dashboards:
+
+        - ``snapshots``: one row per retained snapshot — version,
+          parent, batch fence, offset frontier, bucket/delta-file
+          counts, committed_at (metadata-file mtime), and whether the
+          snapshot is a pending WAP stage (version above the published
+          head);
+        - ``files``: one row per live data file of the CURRENT
+          snapshot — bucket, relative path, bytes, is_delta;
+        - ``partitions``: one row per bucket — base/delta file counts,
+          total bytes, and the max-offset pruning stat;
+        - ``refs``: the named refs — the published head plus every tag.
+
+        All of these are driver-side metadata walks (O(snapshots) /
+        O(files per current snapshot) — the same cost class as commit
+        bookkeeping), materialized into small DataFrames so they
+        compose with joins/filters like any other table.
+        """
+        import re as _re
+
+        if name == "snapshots":
+            head = self.current().version
+            rows = []
+            for fn in os.listdir(self._meta_dir):
+                m = _re.fullmatch(r"v(\d+)\.metadata\.json", fn)
+                if not m:
+                    continue
+                p = os.path.join(self._meta_dir, fn)
+                try:
+                    with open(p) as f:
+                        s = Snapshot.from_json(f.read())
+                    mtime = os.path.getmtime(p)
+                except (FileNotFoundError, ValueError):
+                    continue
+                rows.append((
+                    s.version,
+                    s.parent_version,
+                    int(s.summary.get("batch_id", -1)),
+                    int(s.summary.get("max_offset_applied", -1)),
+                    int(s.summary.get("n_buckets", 0)),
+                    len(s.bucket_dirs),
+                    sum(len(v) for v in s.delta_dirs.values()),
+                    float(mtime),
+                    s.version > head,
+                ))
+            return self.spark.createDataFrame(
+                sorted(rows),
+                "version long, parent_version long, batch_id long, "
+                "max_offset_applied long, n_buckets int, "
+                "n_bucket_dirs int, n_delta_dirs int, "
+                "committed_at double, is_staged boolean",
+            )
+        if name in ("files", "partitions"):
+            snap = self.current()
+            files = []
+            per_bucket: list[tuple[int, str, bool]] = [
+                *((int(b), d, False) for b, d in snap.bucket_dirs.items()),
+                *(
+                    (int(b), d, True)
+                    for b, lst in snap.delta_dirs.items()
+                    for d in lst
+                ),
+            ]
+            for b, rel, is_delta in per_bucket:
+                full = os.path.join(self.path, rel)
+                try:
+                    entries = os.listdir(full)
+                except FileNotFoundError:
+                    continue
+                for e in entries:
+                    if not e.endswith(".parquet") or e.startswith((".", "_")):
+                        continue
+                    try:
+                        sz = os.path.getsize(os.path.join(full, e))
+                    except OSError:
+                        continue
+                    files.append((b, os.path.join(rel, e), sz, is_delta))
+            if name == "files":
+                return self.spark.createDataFrame(
+                    sorted(files),
+                    "bucket int, path string, bytes long, is_delta boolean",
+                )
+            agg: dict[int, list[int]] = {}
+            for b, _p, sz, is_delta in files:
+                a = agg.setdefault(b, [0, 0, 0])
+                a[1 if is_delta else 0] += 1
+                a[2] += sz
+            stats = {int(k): int(v) for k, v in snap.bucket_stats.items()}
+            rows = [
+                (b, a[0], a[1], a[2], stats.get(b))
+                for b, a in sorted(agg.items())
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "bucket int, n_base_files int, n_delta_files int, "
+                "bytes long, max_offset_stat long",
+            )
+        if name == "refs":
+            rows = [("main", "branch", self.current().version)] + [
+                (n, "tag", v) for n, v in sorted(self.tags().items())
+            ]
+            return self.spark.createDataFrame(
+                rows, "name string, type string, version long"
+            )
+        raise ValueError(
+            f"unknown metadata table {name!r}; "
+            "one of: snapshots, files, partitions, refs"
+        )
+
     def history(self) -> list[Snapshot]:
         snaps, cur = [], self.current()
         while cur is not None:

@@ -1206,3 +1206,70 @@ def test_parallel_bootstrap_then_compact_cdf_neutral(spark, tmp_path):
         (r.conv_id, r.turn_idx): r.text for r in t.lookup("c0").collect()
     }
     assert got[("c0", 1)] == "t0-v2"
+
+
+def test_metadata_tables(spark, tmp_path):
+    """Iceberg metadata-table parity: snapshots / files / partitions /
+    refs reflect commits, MOR deltas, stats, and tags."""
+    import datetime as dt
+
+    from omniparser_spark.lake.merge import merge_into
+    from omniparser_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "meta_t"),
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+        key_col="conv_id", n_buckets=4,
+        merge_keys=("conv_id", "turn_idx"),
+    )
+    ts0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    b = spark.createDataFrame(
+        [("c1", 0, "user", "hi", None, ts0, 0, "I"),
+         ("c2", 0, "user", "yo", None, ts0, 1, "I")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, offset long, op string",
+    )
+    merge_into(t, b, batch_id=0, max_offset=1)            # COW commit
+    b2 = spark.createDataFrame(
+        [("c1", 1, "assistant", "hey", None, ts0, 2, "I")],
+        b.schema,
+    )
+    merge_into(t, b2, batch_id=1, max_offset=2, mode="mor")  # delta
+    t.create_tag("audit")
+
+    snaps = {r["version"]: r for r in t.meta("snapshots").collect()}
+    assert set(snaps) == {0, 1, 2}
+    assert snaps[1]["batch_id"] == 0 and snaps[2]["batch_id"] == 1
+    assert snaps[2]["n_delta_dirs"] == 1
+    assert not any(r["is_staged"] for r in snaps.values())
+
+    files = t.meta("files").collect()
+    assert all(f["bytes"] > 0 for f in files)
+    assert any(f["is_delta"] for f in files)
+    assert any(not f["is_delta"] for f in files)
+
+    parts = {r["bucket"]: r for r in t.meta("partitions").collect()}
+    assert sum(p["n_base_files"] for p in parts.values()) >= 1
+    assert sum(p["n_delta_files"] for p in parts.values()) == 1
+    assert all(p["max_offset_stat"] is not None for p in parts.values())
+
+    refs = {r["name"]: r for r in t.meta("refs").collect()}
+    assert refs["main"]["type"] == "branch"
+    assert refs["main"]["version"] == 2
+    assert refs["audit"]["type"] == "tag" and refs["audit"]["version"] == 2
+
+    # a pending WAP stage surfaces as is_staged
+    b3 = spark.createDataFrame(
+        [("c3", 0, "user", "st", None, ts0, 3, "I")], b.schema
+    )
+    merge_into(t, b3, batch_id=2, max_offset=3, stage=True)
+    staged = {
+        r["version"]: r["is_staged"]
+        for r in t.meta("snapshots").collect()
+    }
+    assert staged[3] is True and staged[2] is False
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        t.meta("nope")
