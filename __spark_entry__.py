@@ -1419,6 +1419,113 @@ def _cdc_mor_replay(spark, sf_dir):
 
 
 @_q(
+    "cdc_scd2_history",
+    f"""
+    WITH feed AS (
+{_CDC_FEED_SQL}
+    ),
+    v AS (
+      SELECT *,
+             row_number() OVER w AS version_number,
+             lead(ts) OVER w AS valid_to
+      FROM feed
+      WINDOW w AS (PARTITION BY conv_id, turn_idx
+                   ORDER BY ts, src_offset)
+    )
+    SELECT conv_id, turn_idx, role, text, tool,
+           (op = 'D') AS is_deleted,
+           version_number::INT AS version_number,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(valid_to) AS valid_to_us,
+           (valid_to IS NULL) AS is_current
+    FROM v
+    """,
+)
+def _scd2_history(spark, sf_dir):
+    """SCD Type-2 history table from the change feed
+    (operators/scd2.py): every change appends a version with a
+    half-open validity interval [valid_from, valid_to) in the SAME
+    (ts, offset) total order the LWW MERGE fences on, deletes open
+    tombstone versions, and the latest version per key is flagged
+    current — the audit/history sink consuming the identical feed the
+    current-state table does. One key-partitioned window family =
+    one hash shuffle; re-delivered events collapse before windowing
+    (idempotent history)."""
+    from omniparser_spark.operators.scd2 import scd2_from_changes
+
+    ev = _t(spark, sf_dir, "events")
+    changes = _events_change_fields(ev).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        "ts", "offset", "op",
+    )
+    h = scd2_from_changes(changes)
+    return h.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "is_deleted",
+        "version_number",
+        _us("valid_from").alias("valid_from_us"),
+        _us("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+@_q(
+    "cdc_scd2_lookup",
+    f"""
+    WITH feed AS (
+{_CDC_FEED_SQL}
+    ),
+    v AS (
+      SELECT *,
+             row_number() OVER w AS version_number,
+             lead(ts) OVER w AS valid_to
+      FROM feed
+      WINDOW w AS (PARTITION BY conv_id, turn_idx
+                   ORDER BY ts, src_offset)
+    ),
+    facts AS (
+      SELECT conv_id, turn_idx, ts AS at_ts
+      FROM feed WHERE src_offset % 5 = 0
+    )
+    SELECT f.conv_id, f.turn_idx, epoch_us(f.at_ts) AS at_us,
+           v.version_number::INT AS version_number,
+           v.text, (v.op = 'D') AS is_deleted
+    FROM facts f JOIN v
+      ON f.conv_id = v.conv_id AND f.turn_idx = v.turn_idx
+     AND f.at_ts >= v.ts
+     AND (v.valid_to IS NULL OR f.at_ts < v.valid_to)
+    """,
+)
+def _scd2_lookup(spark, sf_dir):
+    """Point-in-time (time-travel-by-ROW) join over the SCD2 history:
+    each fact row attaches the version whose validity interval covers
+    its timestamp — the warehouse answer to 'what did this turn say
+    when the user saw it?'. Equi-join on the key with the interval
+    predicate post-match: a hash join, never a range cross product;
+    half-open intervals make the match unique (empty intervals from
+    same-ts ties match nothing, both engines identically)."""
+    from omniparser_spark.operators.scd2 import (
+        scd2_from_changes,
+        scd2_lookup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    changes = _events_change_fields(ev).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        "ts", "offset", "op",
+    )
+    h = scd2_from_changes(changes)
+    facts = changes.filter(F.col("offset") % 5 == 0).select(
+        "conv_id", "turn_idx", F.col("ts").alias("at_ts")
+    )
+    out = scd2_lookup(facts, h)
+    return out.select(
+        "conv_id", "turn_idx",
+        _us("at_ts").alias("at_us"),
+        "version_number", "text", "is_deleted",
+    )
+
+
+@_q(
     "cdc_incremental_view",
     f"""
     WITH feed AS (

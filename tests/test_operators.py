@@ -636,3 +636,68 @@ def test_dedup_boilerplate_lines_semantics(spark):
     assert out[5]["n_removed"] == 0
     # the normalized variant was both counted toward df AND removed
     assert out[6]["text"] == "epsilon five"
+
+
+def test_scd2_history_and_lookup(spark):
+    """Version chaining, tombstones, re-delivery idempotency, and
+    point-in-time matching across the interval chain."""
+    import datetime as dt
+
+    from omniparser_spark.operators.scd2 import (
+        scd2_from_changes,
+        scd2_lookup,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        ("c1", 0, "v1", ts(10), 0, "I"),
+        ("c1", 0, "v2", ts(20), 1, "U"),
+        ("c1", 0, "v2", ts(20), 1, "U"),   # re-delivery: same offset
+        ("c1", 0, None, ts(30), 2, "D"),   # tombstone
+        ("c1", 0, "v3", ts(40), 3, "I"),   # re-insert
+        ("c2", 0, "solo", ts(5), 4, "I"),
+    ]
+    changes = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, "
+              "ts timestamp, offset long, op string",
+    )
+    h = scd2_from_changes(changes, keys=("conv_id", "turn_idx"))
+    c1 = sorted(
+        (r["version_number"], r["text"], r["is_deleted"],
+         r["valid_to"] is None, r["is_current"])
+        for r in h.filter(F.col("conv_id") == "c1").collect()
+    )
+    assert c1 == [
+        (1, "v1", False, False, False),
+        (2, "v2", False, False, False),   # re-delivery collapsed
+        (3, None, True, False, False),    # tombstone version
+        (4, "v3", False, True, True),
+    ]
+    solo = h.filter(F.col("conv_id") == "c2").collect()[0]
+    assert solo["is_current"] and solo["version_number"] == 1
+
+    facts = spark.createDataFrame(
+        [("c1", 0, ts(15)),   # inside v1
+         ("c1", 0, ts(20)),   # boundary: v2's valid_from (half-open)
+         ("c1", 0, ts(35)),   # inside the tombstone interval
+         ("c1", 0, ts(99)),   # current version
+         ("c1", 0, ts(1)),    # before history: no match
+         ("c9", 0, ts(15))],  # unknown key: no match
+        "conv_id string, turn_idx int, at_ts timestamp",
+    )
+    got = {
+        int(r["at_ts"].timestamp() - t0.timestamp()): (
+            r["version_number"], r["text"], r["is_deleted"]
+        )
+        for r in scd2_lookup(facts, h).collect()
+    }
+    assert got == {
+        15: (1, "v1", False),
+        20: (2, "v2", False),
+        35: (3, None, True),
+        99: (4, "v3", False),
+    }
