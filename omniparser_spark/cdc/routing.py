@@ -66,6 +66,8 @@ class RoutedPipeline:
         n_buckets: int = 8,
         n_source_parts: int | None = None,
         quarantine: bool = True,
+        merge_mode: str = "cow",
+        compact_every: int = 8,
     ):
         self.spark = spark
         self.routes = routes
@@ -77,6 +79,8 @@ class RoutedPipeline:
                 n_buckets=n_buckets,
                 n_source_parts=n_source_parts,
                 quarantine_path=(f"{base_path}/{name}/dead" if quarantine else None),
+                merge_mode=merge_mode,
+                compact_every=compact_every,
             )
             for name in routes
         }

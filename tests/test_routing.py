@@ -399,3 +399,33 @@ def test_routed_straddling_batch_does_not_requarantine_prefix(
         assert _sorted_rows(routed.read(name)) == _sorted_rows(
             fresh.read(name)
         ), name
+
+
+def test_routed_mor_union_equals_single_table(spark, feed, tmp_path):
+    """Routing composes with merge-on-read: per-destination delta
+    commits + periodic folds converge to the single-table COW state."""
+    routed = RoutedPipeline(
+        spark,
+        str(tmp_path / "routed_mor"),
+        routes={
+            "even": lambda: F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0,
+            "odd": lambda: F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1,
+        },
+        n_buckets=4,
+        n_source_parts=SPEC.n_source_parts,
+        merge_mode="mor",
+        compact_every=2,
+    )
+    routed.run_feed(feed, SPEC.n_events, batch_size=400)
+
+    single = CdcPipeline(
+        spark,
+        str(tmp_path / "single_mor_ref/table"),
+        str(tmp_path / "single_mor_ref/ckpt"),
+        n_buckets=4,
+        n_source_parts=SPEC.n_source_parts,
+    )
+    single.run_feed(feed, SPEC.n_events, batch_size=400)
+
+    union = routed.read("even").unionByName(routed.read("odd"))
+    assert _sorted_rows(union) == _sorted_rows(single.read_table())
