@@ -5878,6 +5878,87 @@ def _pack_split_oversize(spark, sf_dir):
 
 
 @_q(
+    "sketch_hll_distinct",
+    """
+    WITH vals AS (
+      SELECT (user_id % 10)::INT AS grp,
+             'v' || (event_id % 997) AS val
+      FROM events
+    ),
+    hashed AS (
+      SELECT grp,
+             ('0x' || substr(md5(val), 1, 2))::BIGINT AS b,
+             ('0x' || substr(md5(val), 3, 15))::BIGINT AS w
+      FROM vals
+    ),
+    regs AS (
+      SELECT grp, b,
+             max(CASE WHEN w = 0 THEN 61
+                      ELSE 61 - length(bin(w)) END) AS m
+      FROM hashed GROUP BY 1, 2
+    ),
+    pg AS (
+      SELECT grp, count(*)::INT AS hit,
+             sum(cast(pow(2, 61 - m) AS DECIMAL(38,0))) AS s_hit
+      FROM regs GROUP BY 1
+    ),
+    fin AS (
+      SELECT grp, hit, (256 - hit) AS v,
+             s_hit + cast(256 - hit AS DECIMAL(38,0))
+                   * cast(pow(2, 61) AS DECIMAL(38,0)) AS s
+      FROM pg
+    ),
+    rawed AS (
+      SELECT grp, v,
+             (cast(0.7213 as double) / (1 + cast(1.079 as double) / 256))
+               * 256 * 256 * pow(2, 61) / cast(s AS DOUBLE) AS raw
+      FROM fin
+    ),
+    ex AS (
+      SELECT (user_id % 10)::INT AS grp,
+             count(DISTINCT 'v' || (event_id % 997))::BIGINT
+               AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT r.grp,
+           round(CASE WHEN raw <= 2.5 * 256 AND v > 0
+                 THEN cast(256 as double) * ln(cast(256 as double) / v)
+                 ELSE raw END, 6) AS approx_distinct,
+           v::INT AS hll_zero_registers,
+           ex.exact_distinct
+    FROM rawed r JOIN ex USING (grp)
+    """,
+)
+def _hll_sketch(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-count sketch
+    (operators/sketches.py): md5-derived registers, integer-exact
+    leading-zero ranks, DECIMAL-exact harmonic denominator — the
+    estimate is a pure function of the value set, bit-identical in
+    Spark and DuckDB (the builtin approx_count_distinct on each side
+    is engine-private and uncomparable). The oracle rebuilds the whole
+    sketch in SQL and the per-group estimates hash-match; the exact
+    distinct rides along to document the ~6.5% error envelope.
+
+    100 TB shape: two bounded shuffles — values collapse to at most
+    256 registers per group map-side, then a group rollup — no
+    distinct shuffle of the raw values."""
+    from omniparser_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.select(
+        (F.col("user_id") % 10).cast("int").alias("grp"),
+        F.concat(
+            F.lit("v"), (F.col("event_id") % 997).cast("string")
+        ).alias("val"),
+    )
+    est = hll_distinct(vals, ["grp"], "val")
+    exact = vals.groupBy("grp").agg(
+        F.count_distinct("val").alias("exact_distinct")
+    )
+    return est.join(exact, "grp")
+
+
+@_q(
     "text_repetition_signals",
     """
     WITH base AS (

@@ -701,3 +701,32 @@ def test_scd2_history_and_lookup(spark):
         35: (3, None, True),
         99: (4, "v3", False),
     }
+
+
+def test_hll_distinct_accuracy_and_determinism(spark):
+    """The HLL estimate lands within the 256-register error envelope
+    (~6.5% sigma; assert 3 sigma), is invariant to partitioning and
+    duplication, and ignores NULLs."""
+    from omniparser_spark.operators.sketches import hll_distinct
+
+    n = 5000
+    df = spark.range(n * 3).select(
+        F.lit("g").alias("grp"),
+        F.concat(F.lit("u"), (F.col("id") % n).cast("string")).alias("v"),
+    )
+    est = hll_distinct(df, ["grp"], "v").collect()[0]
+    assert abs(est["approx_distinct"] - n) / n < 0.20
+    # duplication + partitioning invariance: identical estimate
+    est2 = hll_distinct(
+        df.union(df).repartition(13), ["grp"], "v"
+    ).collect()[0]
+    assert est2["approx_distinct"] == est["approx_distinct"]
+
+    small = spark.createDataFrame(
+        [("g", "a"), ("g", "b"), ("g", "a"), ("g", None)],
+        "grp string, v string",
+    )
+    s = hll_distinct(small, ["grp"], "v").collect()[0]
+    # linear-counting regime: tiny sets are near-exact
+    assert round(s["approx_distinct"]) == 2
+    assert s["hll_zero_registers"] == 254
