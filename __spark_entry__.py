@@ -1469,6 +1469,74 @@ def _scd2_history(spark, sf_dir):
 
 
 @_q(
+    "cdc_history_sink",
+    f"""
+    WITH feed AS (
+{_CDC_FEED_SQL}
+    ),
+    v AS (
+      SELECT *,
+             row_number() OVER w AS version_number,
+             lead(ts) OVER w AS valid_to
+      FROM feed
+      WINDOW w AS (PARTITION BY conv_id, turn_idx
+                   ORDER BY ts, src_offset)
+    )
+    SELECT conv_id, turn_idx, role, text, tool,
+           (op = 'D') AS is_deleted,
+           version_number::INT AS version_number,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(valid_to) AS valid_to_us,
+           (valid_to IS NULL) AS is_current
+    FROM v
+    """,
+)
+def _history_sink(spark, sf_dir):
+    """INCREMENTALLY-maintained SCD2 history (lake/history.py
+    HistorySink): the same change feed applied in 4 fenced micro-
+    batches — each batch chains its versions onto the stored current
+    version and closes the previous interval through the standard
+    fenced MERGE — must equal the one-pass scd2_from_changes build
+    (the oracle). The audit-sink pattern: current-state table and
+    history table consume one feed side by side, both exactly-once.
+    Per batch: one batch window + one bucket-pruned current-row read
+    + the merge — O(batch + touched buckets)."""
+    from omniparser_spark.lake.history import HistorySink
+
+    ev = _t(spark, sf_dir, "events")
+    changes = _events_change_fields(ev).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        "ts", "offset", "op",
+    ).persist()
+    try:
+        total = changes.agg(F.max("offset")).collect()[0][0] + 1
+        tmp = tempfile.mkdtemp(prefix="omniparser_spark_hist_")
+        sink = HistorySink(spark, f"{tmp}/history", n_buckets=8)
+        bs = (total + 3) // 4
+        for i in range(4):
+            lo, hi = i * bs, min((i + 1) * bs - 1, total - 1)
+            sink.apply_batch(
+                changes.filter(
+                    (F.col("offset") >= lo) & (F.col("offset") <= hi)
+                ),
+                batch_id=i,
+                max_offset=hi,
+            )
+        out = sink.read().select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            "is_deleted", "version_number",
+            _us("valid_from").alias("valid_from_us"),
+            _us("valid_to").alias("valid_to_us"),
+            "is_current",
+        )
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        changes.unpersist()
+
+
+@_q(
     "cdc_scd2_lookup",
     f"""
     WITH feed AS (

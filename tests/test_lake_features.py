@@ -1273,3 +1273,68 @@ def test_metadata_tables(spark, tmp_path):
 
     with _pt.raises(ValueError):
         t.meta("nope")
+
+
+def test_history_sink_edges(spark, tmp_path):
+    """Late cross-batch events excluded+counted, batch redelivery
+    fenced, tombstone versions visible, MOR mode composes."""
+    import datetime as dt
+
+    from omniparser_spark.lake.history import HistorySink
+
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [
+                (c, t, "user", txt, None,
+                 t0 + dt.timedelta(seconds=s), o, op)
+                for (c, t, s, o, op, txt) in rows
+            ],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp, offset long, op string",
+        )
+
+    sink = HistorySink(
+        spark, str(tmp_path / "hist"), n_buckets=4, merge_mode="mor"
+    )
+    r0 = sink.apply_batch(
+        batch([("c1", 0, 10, 0, "I", "v1"),
+               ("c1", 0, 20, 1, "U", "v2")]),
+        batch_id=0, max_offset=1,
+    )
+    assert r0["late_events"] == 0
+    # redelivery of the same batch id: complete no-op
+    assert sink.apply_batch(
+        batch([("c1", 0, 10, 0, "I", "v1")]), batch_id=0, max_offset=1
+    ) is None
+
+    r1 = sink.apply_batch(
+        batch([
+            ("c1", 0, 15, 2, "U", "late"),   # older than current v2
+            ("c1", 0, 30, 3, "D", None),     # tombstone version
+            ("c1", 0, 40, 4, "I", "v4"),     # re-insert after delete
+        ]),
+        batch_id=1, max_offset=4,
+    )
+    assert r1["late_events"] == 1
+
+    h = sorted(
+        (r["version_number"], r["text"], r["is_deleted"],
+         r["is_current"], r["valid_to"] is None)
+        for r in sink.read().filter(F.col("conv_id") == "c1").collect()
+    )
+    assert h == [
+        (1, "v1", False, False, False),
+        (2, "v2", False, False, False),
+        (3, None, True, False, False),   # visible tombstone version
+        (4, "v4", False, True, True),
+    ]
+    # interval chain is gapless: each valid_to equals the next
+    # version's valid_from
+    rows = sorted(
+        (r["version_number"], r["valid_from"], r["valid_to"])
+        for r in sink.read().filter(F.col("conv_id") == "c1").collect()
+    )
+    for (v_a, _f_a, t_a), (v_b, f_b, _t_b) in zip(rows, rows[1:]):
+        assert v_b == v_a + 1 and t_a == f_b
