@@ -942,6 +942,47 @@ class LakeTable:
             self._write_snapshot(snap, expected_parent=prev.version)
         return snap
 
+    def rollback(self, version: int) -> Snapshot:
+        """Iceberg ``rollback_to_snapshot`` parity: make `version`'s
+        STATE the new head by committing a fresh snapshot that
+        re-references that version's data dirs, deltas, schema,
+        summary, and stats verbatim. History is preserved (the bad
+        snapshots stay time-travelable until expiry) and the version
+        counter keeps moving forward — a rollback is an auditable
+        commit, not a pointer rewind, so expiry's keep-last window and
+        the parent chain stay coherent.
+
+        The summary carry includes the batch/offset FENCES as they
+        were at `version`: after rolling back a bad batch, re-driving
+        the feed from that frontier re-applies it exactly-once.
+        Refuses to roll back while a WAP stage is pending (same
+        pending-stage wedge rule as commit)."""
+        prev = self.current()
+        src = self.snapshot_at(version)
+        snap = Snapshot(
+            version=prev.version + 1,
+            schema_json=src.schema_json,
+            bucket_dirs=dict(src.bucket_dirs),
+            summary={
+                **src.summary,
+                "rolled_back_from": prev.version,
+                "rolled_back_to": version,
+            },
+            parent_version=prev.version,
+            bucket_stats=dict(src.bucket_stats),
+            delta_dirs={b: list(x) for b, x in src.delta_dirs.items()},
+        )
+        meta_path = os.path.join(
+            self._meta_dir, f"v{snap.version}.metadata.json"
+        )
+        if os.path.exists(meta_path):
+            raise ConcurrentCommitError(
+                f"a staged snapshot v{snap.version} is pending; publish "
+                "or abandon it before rolling back"
+            )
+        self._write_snapshot(snap, expected_parent=prev.version)
+        return snap
+
     def expire_snapshots(
         self, keep_last: int = 2, stage_grace_seconds: float = 24 * 3600.0
     ) -> int:

@@ -1338,3 +1338,75 @@ def test_history_sink_edges(spark, tmp_path):
     )
     for (v_a, _f_a, t_a), (v_b, f_b, _t_b) in zip(rows, rows[1:]):
         assert v_b == v_a + 1 and t_a == f_b
+
+
+def test_rollback_restores_state_and_fences(spark, tmp_path):
+    """rollback re-heads an old snapshot's state as a NEW auditable
+    commit: data, deltas, and the batch/offset fences all revert, so
+    re-driving the bad batch applies exactly-once; history survives
+    until expiry, and expiry keeps the re-referenced dirs."""
+    import datetime as dt
+
+    from omniparser_spark.lake.merge import merge_into
+    from omniparser_spark.lake.table import (
+        ConcurrentCommitError,
+        LakeTable,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "rb"),
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+        key_col="conv_id", n_buckets=4,
+        merge_keys=("conv_id", "turn_idx"),
+    )
+    ts0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def batch(rows, mode="cow"):
+        df = spark.createDataFrame(
+            [(c, i, "user", x, None, ts0, o, "I") for c, i, x, o in rows],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp, offset long, op string",
+        )
+        return df
+
+    merge_into(t, batch([("c1", 0, "good", 0)]), batch_id=0, max_offset=0)
+    good_v = t.current().version
+    merge_into(
+        t, batch([("c1", 1, "BAD", 1)]), batch_id=1, max_offset=1,
+        mode="mor",
+    )
+    assert t.read().count() == 2
+
+    snap = t.rollback(good_v)
+    assert snap.version == t.current().version
+    assert [r["text"] for r in t.read().collect()] == ["good"]
+    assert int(t.summary()["batch_id"]) == 0  # fence reverted
+    assert snap.summary["rolled_back_to"] == good_v
+
+    # the bad batch id is re-drivable, exactly-once
+    s = merge_into(
+        t, batch([("c1", 1, "fixed", 1)]), batch_id=1, max_offset=1
+    )
+    assert s is not None
+    got = {r["turn_idx"]: r["text"] for r in t.read().collect()}
+    assert got == {0: "good", 1: "fixed"}
+
+    # expiry keeps the rollback's re-referenced dirs
+    t.expire_snapshots(keep_last=2)
+    assert t.fsck(check_rows=True)["ok"]
+
+    # rolling back to an EXPIRED version fails loudly (time-travel
+    # contract), and a pending WAP stage wedges rollback to a
+    # retained one
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        t.rollback(good_v)
+    keep_v = t.current().version
+    merge_into(
+        t, batch([("c2", 0, "staged", 2)]), batch_id=2, max_offset=2,
+        stage=True,
+    )
+    with _pt.raises(ConcurrentCommitError):
+        t.rollback(keep_v)
