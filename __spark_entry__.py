@@ -6027,6 +6027,55 @@ def _hll_sketch(spark, sf_dir):
 
 
 @_q(
+    "sample_temperature_sources",
+    """
+    WITH d AS (
+      SELECT (user_id % 7)::INT AS src, 'k' || event_id AS k
+      FROM events
+    ),
+    cnt AS (SELECT src, count(*)::BIGINT AS n FROM d GROUP BY 1),
+    wts AS (SELECT src, n, pow(n, 1.0 / 3.0) AS w FROM cnt),
+    tot AS (
+      SELECT sum(w) AS tw, (SELECT sum(n) FROM cnt) AS tn FROM wts
+    ),
+    q AS (
+      SELECT src, least(n, round(tn * w / tw)::BIGINT) AS quota
+      FROM wts, tot
+    ),
+    r AS (
+      SELECT src, k,
+             row_number() OVER (
+               PARTITION BY src
+               ORDER BY ('0x' || substr(md5(k), 1, 6))::BIGINT
+                        / 16777216.0 ASC, k ASC) AS rk
+      FROM d
+    )
+    SELECT r.src, r.k FROM r JOIN q USING (src) WHERE rk <= quota
+    """,
+)
+def _temperature_sample(spark, sf_dir):
+    """Temperature-scaled source sampling (operators/sampling.py):
+    the multilingual-pretraining mix rule — stratum share proportional
+    to n^(1/T), T=3, integer quotas from one count aggregate, draw by
+    the deterministic smallest-hash rule (reproducible + exact, not
+    balanced-in-expectation). Oracle recomputes quotas and the hash
+    order in SQL; the selected SETS must hash-match, pinning quota
+    arithmetic, hash thresholds, and tie-breaks at once."""
+    from omniparser_spark.operators.sampling import (
+        temperature_sample_sources,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        (F.col("user_id") % 7).cast("int").alias("src"),
+        F.concat(F.lit("k"), F.col("event_id").cast("string")).alias("k"),
+    )
+    return temperature_sample_sources(
+        d, key_col="k", strata_col="src", temperature=3.0
+    )
+
+
+@_q(
     "text_repetition_signals",
     """
     WITH base AS (

@@ -234,3 +234,71 @@ def export_epoch(
         .parquet(path)
     )
     return path
+
+
+def temperature_sample_sources(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    temperature: float = 3.0,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-scaled source sampling — the standard multilingual
+    pretraining mix (mC4/UniMax lineage): target share of stratum i is
+    ``n_i^(1/T) / sum_j n_j^(1/T)``. T=1 keeps natural proportions,
+    T->inf approaches uniform; T≈3 is the common multilingual setting
+    that up-weights tail sources without flattening the head.
+
+    `budget` rows total (default: corpus size, i.e. pure reweighting);
+    each stratum's integer quota is min(n_i, round(share_i * budget)),
+    computed from ONE count aggregate on the driver (|strata| scalars
+    — the bounded mixture dimension, same as balanced_sample_sources).
+    The draw is the deterministic smallest-hash rule, so results are
+    reproducible and exact, not balanced-in-expectation. A stratum
+    short of its quota contributes everything it has (no oversampling
+    — repeat-epoch oversampling is epoch_shuffle's job).
+
+    Returns the sampled frame plus a ``_quota`` map accessible via
+    ``temperature_quotas`` for recipe auditing.
+    """
+    quotas = temperature_quotas(df, strata_col, temperature, budget)
+    u = hash_unit_interval(key_col)
+    w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(key_col).asc())
+    qcol = F.lit(None).cast("long")
+    for value, q in sorted(quotas.items()):
+        qcol = F.when(
+            F.col(strata_col) == value, F.lit(int(q))
+        ).otherwise(qcol)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= qcol)
+        .drop("_rk")
+    )
+
+
+def temperature_quotas(
+    df: DataFrame,
+    strata_col: str,
+    temperature: float = 3.0,
+    budget: int | None = None,
+) -> dict:
+    """The integer per-stratum quotas temperature_sample_sources
+    draws: min(n_i, round(budget * n_i^(1/T) / sum n_j^(1/T))).
+    Exposed separately so recipes can be audited/logged before the
+    (possibly expensive) draw runs."""
+    rows = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not rows:
+        return {}
+    inv_t = 1.0 / float(temperature)
+    weights = {r[strata_col]: float(r["n"]) ** inv_t for r in rows}
+    total_w = sum(weights.values())
+    n_by = {r[strata_col]: int(r["n"]) for r in rows}
+    b = int(budget) if budget is not None else sum(n_by.values())
+    return {
+        s: min(n_by[s], int(round(b * w / total_w)))
+        for s, w in weights.items()
+    }

@@ -185,3 +185,49 @@ def test_export_epoch_files_read_back_in_shuffle_order(spark, tmp_path):
         total += len(pdf)
     assert total == 600
     assert seen == expect
+
+
+def test_temperature_sampling_shares(spark):
+    """T=1 reproduces natural proportions; higher T flattens the mix
+    toward uniform; quotas never exceed stratum sizes; the draw is
+    partition-invariant."""
+    from omniparser_spark.operators.sampling import (
+        temperature_quotas,
+        temperature_sample_sources,
+    )
+
+    rows = (
+        [("head", f"h{i}") for i in range(900)]
+        + [("mid", f"m{i}") for i in range(90)]
+        + [("tail", f"t{i}") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "src string, k string")
+
+    q1 = temperature_quotas(df, "src", temperature=1.0)
+    assert q1 == {"head": 900, "mid": 90, "tail": 10}  # natural mix
+
+    q3 = temperature_quotas(df, "src", temperature=3.0, budget=500)
+    # flattening: tail share rises, head share falls vs natural
+    assert q3["tail"] / 500 > 10 / 1000
+    assert q3["head"] / 500 < 900 / 1000
+    assert all(
+        q3[s] <= n for s, n in (("head", 900), ("mid", 90), ("tail", 10))
+    )
+
+    out = temperature_sample_sources(
+        df, key_col="k", strata_col="src", temperature=3.0, budget=500
+    )
+    got = {r["src"]: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r["src"]] += 1
+    assert got == q3
+    # partition invariance: same selected set
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(
+        r["k"]
+        for r in temperature_sample_sources(
+            df.repartition(13), key_col="k", strata_col="src",
+            temperature=3.0, budget=500,
+        ).collect()
+    )
+    assert a == b
