@@ -6302,6 +6302,75 @@ def _dedup_boilerplate(spark, sf_dir):
 
 
 @_q(
+    "dedup_incremental_registry",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'dup pool ' || (doc_id % 7)
+                  ELSE text END AS text
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS content_hash
+      FROM d
+    ),
+    c AS (
+      SELECT content_hash, min(doc_id) AS canon FROM k GROUP BY 1
+    )
+    SELECT k.doc_id, k.content_hash,
+           (k.doc_id <> c.canon) AS is_dup,
+           c.canon AS canonical_id
+    FROM k JOIN c USING (content_hash)
+    """,
+)
+def _dedup_registry(spark, sf_dir):
+    """INCREMENTAL exact dedup against a persistent registry
+    (operators/dedup_registry.py): the corpus arrives in two fenced
+    batches; each checks in against the hash-bucketed registry lake
+    table (lookup pruned to the batch's OWN hash buckets — O(batch +
+    touched buckets), never a corpus rescan) and the second batch's
+    duplicates resolve to the FIRST batch's canonical ids. The union
+    of both annotated batches must equal the one-pass global dedup
+    (the oracle) — the identity that makes daily-delta dedup safe at
+    100 TB. Every 3rd doc is rewritten into one of 7 dup pools so
+    cross-batch duplicates actually occur."""
+    from omniparser_spark.operators.dedup_registry import DedupRegistry
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("dup pool "), (F.col("doc_id") % 7).cast("string")),
+        ).otherwise(F.col("text")).alias("text"),
+        (
+            F.lit("2026-01-01").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("ts"),
+    ).persist()
+    try:
+        mid = 250
+        tmp = tempfile.mkdtemp(prefix="omniparser_spark_reg_")
+        reg = DedupRegistry(spark, f"{tmp}/registry", n_buckets=8)
+        a = reg.check_in(
+            d.filter(F.col("doc_id") < mid), batch_id=0
+        ).select("doc_id", "content_hash", "is_dup", "canonical_id")
+        a = a.persist()
+        a.count()  # batch 0 must absorb before batch 1 checks in
+        b = reg.check_in(
+            d.filter(F.col("doc_id") >= mid), batch_id=1
+        ).select("doc_id", "content_hash", "is_dup", "canonical_id")
+        out = a.unionByName(b)
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        d.unpersist()
+
+
+@_q(
     "decontaminate_ngrams",
     """
     WITH grams AS (

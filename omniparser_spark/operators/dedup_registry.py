@@ -1,0 +1,149 @@
+"""Incremental exact-dedup registry (dedup the delta, not the corpus).
+
+Batch-mode exact dedup (``dedup_text.dedup_exact``) re-scans the whole
+corpus; at 100 TB with a daily ingest the real operation is "dedup
+TODAY'S batch against everything ever seen". This module keeps the
+seen-content state in a :class:`LakeTable` keyed by content hash, so
+each increment costs O(batch + touched buckets):
+
+- the registry table's bucket key IS the content hash — the lookup of
+  "which of this batch's hashes exist" prunes to the batch's own
+  buckets, exactly like the CDC merge's write-side pruning;
+- new hashes insert with their canonical (first-seen) doc id; existing
+  hashes are never updated, so replaying a batch is a natural no-op
+  at row level and the standard batch fence makes it a no-op at batch
+  level — exactly-once composes unchanged;
+- the batch comes back annotated: ``is_dup`` (content seen before —
+  in the registry OR earlier in the same batch, smallest id wins) and
+  ``canonical_id`` (the keeper to attribute/link to).
+
+Determinism: within a batch the canonical row is the smallest id for
+that hash — stable under partitioning; across batches, first-seen
+wins by construction (the registry already holds the earlier epoch's
+id).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omniparser_spark.lake.merge import merge_into
+from omniparser_spark.lake.table import LakeTable
+from omniparser_spark.operators.dedup_text import normalized_text
+
+REGISTRY_SCHEMA = (
+    "content_hash string, canonical_id long, first_seen_batch long, "
+    "ts timestamp"
+)
+
+
+class DedupRegistry:
+    """Persistent seen-content registry over a hash-bucketed lake
+    table. ``check_in`` is the one operation: annotate a batch and
+    absorb its new hashes, fenced per batch id."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, n_buckets: int = 16
+    ):
+        self.spark = spark
+        if LakeTable.exists(path):
+            self.table = LakeTable.load(spark, path)
+        else:
+            self.table = LakeTable.create(
+                spark,
+                path,
+                REGISTRY_SCHEMA,
+                key_col="content_hash",
+                n_buckets=n_buckets,
+                merge_keys=("content_hash",),
+            )
+
+    def check_in(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Annotate `batch` with ``is_dup`` / ``canonical_id`` and
+        merge its first-seen hashes into the registry (skipped if
+        `batch_id` is already committed — the annotation is still
+        computed, so a crashed-after-merge re-run returns the same
+        answer).
+
+        Returns the batch's columns + ``content_hash``, ``is_dup``,
+        ``canonical_id``.
+        """
+        from pyspark.sql import Window
+
+        hashed = batch.withColumn(
+            "content_hash", F.md5(normalized_text(F.col(text_col)))
+        )
+        # registry lookup, bucket-pruned to the batch's hash footprint
+        summary = self.table.summary()
+        from omniparser_spark.lake.table import bucket_expr
+
+        touched = sorted(
+            int(r["_b"])
+            for r in hashed.select(
+                bucket_expr("content_hash", int(summary["n_buckets"]))
+                .alias("_b")
+            ).distinct().collect()
+        )
+        seen = self.table.read(buckets=touched).select(
+            "content_hash",
+            F.col("canonical_id").alias("_reg_canon"),
+        )
+        w = Window.partitionBy("content_hash")
+        annotated = (
+            hashed.join(seen, "content_hash", "left")
+            .withColumn(
+                "_batch_canon", F.min(F.col(id_col)).over(w)
+            )
+            .withColumn(
+                "canonical_id",
+                F.coalesce(F.col("_reg_canon"), F.col("_batch_canon")),
+            )
+            .withColumn(
+                "is_dup", F.col(id_col) != F.col("canonical_id")
+            )
+            .drop("_reg_canon", "_batch_canon")
+        )
+        # absorb first-seen hashes (one row per new hash, smallest id)
+        new_rows = (
+            annotated.filter(~F.col("is_dup"))
+            .filter(
+                # a batch-canonical row whose hash the registry already
+                # holds is NOT new (its canonical came from the registry)
+                F.col("canonical_id") == F.col(id_col)
+            )
+            .groupBy("content_hash")
+            .agg(
+                F.min(F.col(id_col)).alias("canonical_id"),
+                F.min("ts").alias("ts"),
+            )
+            .select(
+                "content_hash",
+                "canonical_id",
+                F.lit(int(batch_id)).alias("first_seen_batch"),
+                "ts",
+                F.lit(int(batch_id)).cast("long").alias("offset"),
+                F.lit("I").alias("op"),
+            )
+        )
+        merge_into(
+            self.table,
+            new_rows,
+            batch_id=batch_id,
+            max_offset=batch_id,
+        )
+        return annotated
+
+    def stats(self) -> dict[str, Any]:
+        return {
+            "distinct_contents": self.table.read().count(),
+            "batches": int(self.table.summary().get("batch_id", -1)) + 1,
+        }

@@ -730,3 +730,49 @@ def test_hll_distinct_accuracy_and_determinism(spark):
     # linear-counting regime: tiny sets are near-exact
     assert round(s["approx_distinct"]) == 2
     assert s["hll_zero_registers"] == 254
+
+
+def test_dedup_registry_incremental(spark, tmp_path):
+    """Cross-batch duplicates resolve to the first batch's canonical
+    id, within-batch dups to the smallest id, re-checking a committed
+    batch is fenced (registry unchanged), and the registry lookup is
+    bucket-pruned state, not a corpus rescan."""
+    import datetime as dt
+
+    from omniparser_spark.operators.dedup_registry import DedupRegistry
+
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(i, txt, t0) for i, txt in rows],
+            "doc_id long, text string, ts timestamp",
+        )
+
+    reg = DedupRegistry(spark, str(tmp_path / "reg"), n_buckets=4)
+    a = reg.check_in(
+        batch([(1, "alpha"), (2, "beta"), (3, "Alpha")]), batch_id=0
+    )
+    got_a = {r["doc_id"]: (r["is_dup"], r["canonical_id"])
+             for r in a.collect()}
+    # normalization: "Alpha" == "alpha"; smallest id canonical
+    assert got_a == {1: (False, 1), 2: (False, 2), 3: (True, 1)}
+    assert reg.stats()["distinct_contents"] == 2
+
+    b = reg.check_in(
+        batch([(10, "alpha"), (11, "gamma")]), batch_id=1
+    )
+    got_b = {r["doc_id"]: (r["is_dup"], r["canonical_id"])
+             for r in b.collect()}
+    # cross-batch dup points at batch 0's canonical
+    assert got_b == {10: (True, 1), 11: (False, 11)}
+    assert reg.stats()["distinct_contents"] == 3
+
+    # fenced re-check: annotation still correct, registry unchanged
+    again = reg.check_in(
+        batch([(10, "alpha"), (11, "gamma")]), batch_id=1
+    )
+    assert {r["doc_id"]: r["canonical_id"] for r in again.collect()} == {
+        10: 1, 11: 11
+    }
+    assert reg.stats() == {"distinct_contents": 3, "batches": 2}
