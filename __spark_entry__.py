@@ -6075,6 +6075,72 @@ def _temperature_sample(spark, sf_dir):
     )
 
 
+def _fix_artifacts_sql(expr: str) -> str:
+    """DuckDB twin of functions.text.fix_text_artifacts, composed from
+    the SAME byte-accurate pair table (the pairs are constants/data;
+    the oracle still runs as independent SQL in DuckDB)."""
+    from omniparser_spark.functions.text import MOJIBAKE_PAIRS
+
+    s = expr
+    for bad, good in MOJIBAKE_PAIRS:
+        s = f"replace({s}, '{bad}', '{good}')"
+    s = f"replace({s}, chr(160), ' ')"
+    s = (
+        f"regexp_replace({s}, "
+        "'[​‌‍﻿]', '', 'g')"
+    )
+    s = (
+        f"regexp_replace({s}, "
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')"
+    )
+    return s
+
+
+_CORRUPTED_DOC_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "'cafÃ© â€œgreatâ€™ ' || chr(8203) || text || chr(160) || 'â€¦'"
+    " ELSE text END"
+)
+
+
+@_q(
+    "text_fix_artifacts",
+    f"""
+    SELECT doc_id,
+           {_fix_artifacts_sql(_CORRUPTED_DOC_SQL)} AS text,
+           ({_fix_artifacts_sql(_CORRUPTED_DOC_SQL)}
+             <> ({_CORRUPTED_DOC_SQL})) AS changed
+    FROM documents
+    """,
+)
+def _fix_artifacts(spark, sf_dir):
+    """ftfy-lite encoding repair (functions/text.py
+    fix_text_artifacts): cp1252 mojibake sequences restored to their
+    intended characters (byte-accurate pair table), zero-width/BOM
+    stripped, NBSP to space, C0 controls dropped — the standard
+    pre-tokenization cleanup for web-scraped corpora. Every 2nd doc
+    is deterministically corrupted (mojibake + U+200B + NBSP + 'â€¦')
+    and must come back clean; odd docs must pass through UNTOUCHED
+    (changed=false — the cleaner never rewrites well-formed text).
+    Pure chained replaces: scan-bound, shuffle-free."""
+    from omniparser_spark.functions.text import fix_text_artifacts
+
+    d = _t(spark, sf_dir, "documents")
+    corrupted = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("cafÃ© â€œgreatâ€™ ​"),
+            F.col("text"),
+            F.lit(" â€¦"),
+        ),
+    ).otherwise(F.col("text"))
+    return d.select(
+        "doc_id",
+        fix_text_artifacts(corrupted).alias("text"),
+        (fix_text_artifacts(corrupted) != corrupted).alias("changed"),
+    )
+
+
 @_q(
     "text_repetition_signals",
     """

@@ -191,3 +191,47 @@ def repetition_profile(
             F.when(nb > 0, F.col("_top_b") / nb).otherwise(0.0), 6
         ).alias("top_bigram_frac"),
     )
+
+
+# cp1252-mojibake repair pairs (artifact -> intended char): the
+# classic "UTF-8 bytes read as cp1252" corruption. Three-byte
+# punctuation artifacts are listed BEFORE two-byte accent artifacts —
+# replacement is sequential and 'â€x' must not be half-eaten by the
+# 'Ã?' rules. Pairs are generated as ch.encode('utf-8')
+# .decode('cp1252'), i.e. byte-accurate, not hand-typed.
+MOJIBAKE_PAIRS: list[tuple[str, str]] = [
+    ("â€™", "’"),  # ’
+    ("â€œ", "“"),  # “
+    ("â€“", "–"),  # –
+    ("â€”", "—"),  # —
+    ("â€¦", "…"),  # …
+    ("Ã©", "é"),  # é
+    ("Ã¨", "è"),  # è
+    ("Ã¼", "ü"),  # ü
+    ("Ã±", "ñ"),  # ñ
+    ("Ã¶", "ö"),  # ö
+    ("Ã¡", "á"),  # á
+]
+
+# zero-width + BOM characters and C0/DEL controls (except \t \n);
+# NBSP normalizes to a plain space
+_ZERO_WIDTH = "[​‌‍﻿]"
+_CONTROLS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def fix_text_artifacts(col) -> Column:
+    """ftfy-lite: repair the high-frequency encoding damage web-scale
+    text carries — cp1252 mojibake sequences back to their intended
+    characters, zero-width/BOM characters stripped, NBSP to plain
+    space, C0 controls (except tab/newline) stripped. A curated exact
+    table, not a heuristic: every rule is byte-accurate and
+    reversible-by-inspection, so the cleaner can never corrupt text
+    that was already well-formed. Pure chained replace/regexp_replace
+    column expressions — scan-bound, shuffle-free."""
+    c = _c(col)
+    for bad, good in MOJIBAKE_PAIRS:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    c = F.replace(c, F.lit(" "), F.lit(" "))
+    c = F.regexp_replace(c, _ZERO_WIDTH, "")
+    c = F.regexp_replace(c, _CONTROLS, "")
+    return c

@@ -140,3 +140,29 @@ def test_repetition_profile_signals(spark):
     assert out[2].top_word_frac == round(1 / 6, 6)
     assert out[3].n_words == 1
     assert out[3].top_bigram_frac == 0.0
+
+
+def test_fix_text_artifacts(spark):
+    """Mojibake repair, invisible-char stripping, NBSP normalization,
+    and the no-touch guarantee for well-formed text."""
+    from omniparser_spark.functions.text import fix_text_artifacts
+
+    rows = [
+        (1, "cafÃ© â€œgreatâ€™"),
+        (2, "a​b‌c﻿d"),
+        (3, "x y"),
+        (4, "ctl\x01\x02ok\ttab\nnl"),
+        (5, "already clean — café “fine”"),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    got = {
+        r["i"]: r["f"]
+        for r in df.select(
+            "i", fix_text_artifacts("t").alias("f")
+        ).collect()
+    }
+    assert got[1] == "café “great’"
+    assert got[2] == "abcd"
+    assert got[3] == "x y"
+    assert got[4] == "ctlok\ttab\nnl"   # tab/newline survive
+    assert got[5] == rows[4][1]          # well-formed text untouched
