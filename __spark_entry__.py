@@ -1805,6 +1805,25 @@ def _dec_debezium(spark, sf_dir):
     from omniparser_spark.sources.debezium import decode_debezium
 
     ev = _t(spark, sf_dir, "events")
+    feed = _debezium_envelopes(ev).select("payload")
+    decoded = decode_debezium(feed, source_part_col=None)
+    return decoded.filter(F.col("_ok")).select(
+        "offset",
+        "op",
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        _us("ts").alias("ts_us"),
+        "pre_text",
+        "src_table",
+    )
+
+
+def _debezium_envelopes(ev: DataFrame) -> DataFrame:
+    """Deterministic Debezium JSON envelope per event (shared by the
+    decode query and the full-pipeline apply query)."""
     eid = F.col("event_id")
     row_ts = F.date_format(
         F.date_trunc("second", F.col("ts").cast("timestamp")),
@@ -1855,20 +1874,87 @@ def _dec_debezium(spark, sf_dir):
             F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
         )
     )
-    feed = ev.select(envelope.alias("payload"))
-    decoded = decode_debezium(feed, source_part_col=None)
-    return decoded.filter(F.col("_ok")).select(
-        "offset",
-        "op",
-        "conv_id",
-        "turn_idx",
-        "role",
-        "text",
-        "tool",
-        _us("ts").alias("ts_us"),
-        "pre_text",
-        "src_table",
+    return ev.select(
+        envelope.alias("payload"),
+        (eid % 8).cast("int").alias("source_part"),
     )
+
+
+@_q(
+    "cdc_debezium_apply",
+    """
+    WITH feed AS (
+      SELECT event_id AS src_offset,
+             CASE WHEN event_id % 4 = 2 THEN 'D' ELSE 'I' END AS op,
+             'c' || user_id AS conv_id,
+             (event_id % 40)::INT AS turn_idx,
+             event_type AS role,
+             CASE WHEN event_id % 4 = 2 THEN 'old msg ' || event_id
+                  ELSE 'msg ' || event_id || ' v' || (event_id % 3)
+                  END AS text,
+             CASE WHEN event_id % 5 = 0 THEN 'search' ELSE NULL END
+               AS tool,
+             date_trunc('second', ts) AS ts
+      FROM events WHERE event_id % 23 <> 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, src_offset DESC) AS rn
+      FROM feed
+    )
+    SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def _cdc_debezium_apply(spark, sf_dir):
+    """A Debezium TOPIC drives the FULL apply loop
+    (normalize.canon_from_cdc_envelope): envelopes decode to the canon
+    frame, flow through apply_batch across 4 fenced micro-batches —
+    same quarantine capture (unknown-op rows dead-letter with the
+    original envelope JSON), same lineage observation, same LWW +
+    fenced MERGE — and the final table state equals the declarative
+    LWW oracle over the well-formed feed. The integration that turns
+    the dialect decoders from converters into first-class pipeline
+    sources."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.operators.normalize import (
+        canon_from_cdc_envelope,
+    )
+    from omniparser_spark.sources.debezium import decode_debezium
+
+    ev = _t(spark, sf_dir, "events")
+    feed = _debezium_envelopes(ev)
+    # the envelope's lsn IS the offset; decode once, slice per batch
+    canon_all = canon_from_cdc_envelope(
+        decode_debezium(feed), "debezium"
+    ).persist()
+    try:
+        total = canon_all.agg(F.max("offset")).collect()[0][0] + 1
+        tmp = tempfile.mkdtemp(prefix="omniparser_spark_dbz_")
+        pipe = CdcPipeline(
+            spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8,
+            n_source_parts=8, quarantine_path=f"{tmp}/dead",
+        )
+        bs = (total + 3) // 4
+        for i in range(4):
+            lo, hi = i * bs, min((i + 1) * bs - 1, total - 1)
+            sl = canon_all.filter(
+                (F.col("offset") >= lo) & (F.col("offset") <= hi)
+            )
+            pipe.apply_batch(
+                raw=None, batch_id=i, offset_start=lo, offset_end=hi,
+                _canon=sl,
+            )
+        out = pipe.read_table().select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            _us("ts").alias("ts_us"),
+        )
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        canon_all.unpersist()
 
 
 @_q(

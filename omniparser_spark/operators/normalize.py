@@ -80,7 +80,16 @@ def normalize_flagged(raw: DataFrame) -> DataFrame:
     )
 
     ok = F.col("_ok") & F.col("ts").isNotNull()
-    checksum = F.md5(
+    return canon.withColumn("_ok", ok).withColumn(
+        "event_checksum", F.when(ok, _event_checksum())
+    )
+
+
+def _event_checksum():
+    """Stable content hash per applied event (audit/idempotency;
+    reference RawRecord.Checksum() parity) — one expression, shared by
+    every canon producer."""
+    return F.md5(
         F.concat_ws(
             "\x1f",
             F.col("conv_id"),
@@ -92,8 +101,41 @@ def normalize_flagged(raw: DataFrame) -> DataFrame:
             F.col("ts").cast("string"),
         )
     )
-    return canon.withColumn("_ok", ok).withColumn(
-        "event_checksum", F.when(ok, checksum)
+
+
+def canon_from_cdc_envelope(
+    decoded: DataFrame, format_name: str
+) -> DataFrame:
+    """Adapt a CDC-dialect decoder's output (decode_debezium /
+    decode_maxwell / decode_canal — which already emit the canonical
+    change columns plus `_ok`/`_error` and the raw `payload`) into the
+    normalize_flagged frame shape, so a Debezium/Maxwell/Canal topic
+    drives the FULL apply loop via ``CdcPipeline.apply_batch(raw,
+    _canon=...)``: same quarantine capture (dead letters carry the
+    original envelope JSON for replay), same lineage observation, same
+    fenced MERGE. Zero extra passes — this is a projection."""
+    ok = (
+        F.col("_ok")
+        & F.col("ts").isNotNull()
+        & F.col("offset").isNotNull()
+    )
+    canon = decoded.select(
+        F.col("offset"),
+        F.col("op"),
+        F.col("source_part"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("role"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.col("tool"),
+        F.col("ts"),
+        ok.alias("_ok"),
+        F.col("_error"),
+        F.lit(format_name).alias("format"),
+        F.col("payload"),
+    )
+    return canon.withColumn(
+        "event_checksum", F.when(F.col("_ok"), _event_checksum())
     )
 
 

@@ -322,3 +322,62 @@ def test_canal_flatmessage_semantics(spark):
     # ALTER, DDL, bad turn_idx row, empty data: one dead-letter each
     assert len(bad) == 4
     assert all("canal decode failed" in r["_error"] for r in bad)
+
+
+def test_canon_adapter_quarantines_and_replays(spark, tmp_path):
+    """canon_from_cdc_envelope drives the full pipeline: bad envelopes
+    dead-letter with the ORIGINAL payload JSON, good rows merge, and
+    the batch fence covers the side outputs."""
+    import json
+
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.operators.normalize import (
+        canon_from_cdc_envelope,
+    )
+    from omniparser_spark.sources.maxwell import decode_maxwell
+
+    def env(typ, data, position, ts=1700000000):
+        return json.dumps({
+            "database": "app", "table": "turns", "type": typ,
+            "ts": ts, "xid": 1, "commit": True, "position": position,
+            "data": data, "old": None,
+        })
+
+    def img(conv, turn, text):
+        return {"conv_id": conv, "turn_idx": turn, "role": "user",
+                "text": text, "tool": "",
+                "ts": "2026-01-02T03:04:05+00:00"}
+
+    rows = [
+        (env("insert", img("c1", 0, "hi"), "master.000001:0"), 0),
+        (env("insert", img("c2", 0, "yo"), "master.000001:1"), 1),
+        (env("bootstrap-start", None, "master.000001:2"), 2),  # bad
+    ]
+    feed = spark.createDataFrame(rows, "payload string, source_part int")
+    canon = canon_from_cdc_envelope(decode_maxwell(feed), "maxwell")
+
+    base = 1 << 32
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "t"), str(tmp_path / "c"), n_buckets=4,
+        quarantine_path=str(tmp_path / "dead"),
+    )
+    rec = pipe.apply_batch(
+        raw=None, batch_id=0, offset_start=base, offset_end=base + 2,
+        _canon=canon,
+    )
+    assert rec["events_in"] == 2 and rec["quarantined"] == 1
+    assert sorted(
+        r["conv_id"] for r in pipe.read_table().collect()
+    ) == ["c1", "c2"]
+    dead = spark.read.parquet(str(tmp_path / "dead")).collect()
+    assert len(dead) == 1
+    assert "bootstrap-start" in dead[0]["payload"]  # original envelope
+    assert dead[0]["format"] == "maxwell"
+
+    # fenced re-delivery: no table movement, no duplicate dead letters
+    rec2 = pipe.apply_batch(
+        raw=None, batch_id=0, offset_start=base, offset_end=base + 2,
+        _canon=canon,
+    )
+    assert rec2["fenced"] is True
+    assert spark.read.parquet(str(tmp_path / "dead")).count() == 1
