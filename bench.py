@@ -193,6 +193,12 @@ def main() -> None:
         "kmeans_embedding_clusters",
         "semantic_dedup_embeddings",
         "cdc_incremental_view",
+        "cdc_scd2_history",
+        "text_lm_perplexity",
+        "text_dedup_boilerplate_lines",
+        "sketch_hll_distinct",
+        "transcript_trajectory_stats",
+        "decode_maxwell_envelope",
         # dedup_cluster_assign intentionally NOT benched: its iterative
         # rounds are driver-latency-bound (localCheckpoint per round),
         # so wall time tracks host scheduling noise more than engine

@@ -1410,3 +1410,89 @@ def test_rollback_restores_state_and_fences(spark, tmp_path):
     )
     with _pt.raises(ConcurrentCommitError):
         t.rollback(keep_v)
+
+
+def test_expectations_gate_wap(spark, tmp_path):
+    """Declarative audit: passing suite publishes, failing suite
+    abandons the stage (readers never see the bad batch), budgets are
+    honored, and the re-staged corrected batch goes through."""
+    import datetime as dt
+
+    from omniparser_spark.lake.expectations import (
+        RowRule,
+        audit_and_publish,
+    )
+    from omniparser_spark.lake.merge import merge_into
+    from omniparser_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "exp"),
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+        key_col="conv_id", n_buckets=4,
+        merge_keys=("conv_id", "turn_idx"),
+    )
+    ts0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(c, i, "user", x, None, ts0, o, "I") for c, i, x, o in rows],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp, offset long, op string",
+        )
+
+    rules = {
+        "text_nonempty": RowRule(lambda df: F.length("text") > 0),
+        "role_known": RowRule(
+            lambda df: F.col("role").isin("user", "assistant", "system")
+        ),
+    }
+
+    s0 = merge_into(
+        t, batch([("c1", 0, "hello", 0), ("c2", 0, "hey", 1)]),
+        batch_id=0, max_offset=1, stage=True,
+    )
+    ok, rep = audit_and_publish(t, s0["snapshot_version"], rules)
+    assert ok and rep.ok and rep.rows == 2
+    assert t.read().count() == 2
+
+    # a batch with an empty text fails the hard gate -> abandoned
+    s1 = merge_into(
+        t, batch([("c3", 0, "", 2)]), batch_id=1, max_offset=2,
+        stage=True,
+    )
+    ok, rep = audit_and_publish(t, s1["snapshot_version"], rules)
+    assert not ok
+    assert rep.row_rules["text_nonempty"]["violations"] == 1
+    assert t.read().count() == 2  # readers never saw it
+    assert int(t.summary()["batch_id"]) == 0  # fence unmoved
+
+    # the corrected batch re-stages under the SAME id and publishes
+    s1b = merge_into(
+        t, batch([("c3", 0, "fixed", 2)]), batch_id=1, max_offset=2,
+        stage=True,
+    )
+    ok, _ = audit_and_publish(t, s1b["snapshot_version"], rules)
+    assert ok and t.read().count() == 3
+
+    # violation budget: 1 bad row out of 4 passes a 30% budget
+    soft = {"text_nonempty": RowRule(
+        lambda df: F.length("text") > 0, max_frac=0.3)}
+    s2 = merge_into(
+        t, batch([("c4", 0, "", 3), ("c5", 0, "a", 4),
+                  ("c6", 0, "b", 5), ("c7", 0, "c", 6)]),
+        batch_id=2, max_offset=6, stage=True,
+    )
+    ok, rep = audit_and_publish(t, s2["snapshot_version"], soft)
+    assert ok and rep.row_rules["text_nonempty"]["frac"] <= 0.3
+
+    # drift guard: a staged snapshot that would 100x the table fails
+    s3 = merge_into(
+        t, batch([(f"g{i}", 0, "x", 100 + i) for i in range(700)]),
+        batch_id=3, max_offset=806, stage=True,
+    )
+    ok, rep = audit_and_publish(
+        t, s3["snapshot_version"], None, max_growth=50.0
+    )
+    assert not ok
+    assert not rep.table_rules["row_count_drift"]["ok"]
