@@ -6228,6 +6228,63 @@ def _fix_artifacts(spark, sf_dir):
 
 
 @_q(
+    "embedding_group_pooling",
+    """
+    WITH g AS (
+      SELECT vec_id % 40 AS conv_id, vec_id, embedding FROM embeddings
+    ),
+    agg AS (
+      SELECT conv_id, count(*)::INT AS n_members,
+             list(embedding ORDER BY vec_id) AS vecs
+      FROM g GROUP BY 1
+    )
+    SELECT conv_id, n_members,
+           round(list_sum(list_transform(vecs, v -> v[1]::DOUBLE))
+                 / n_members, 6) AS m0,
+           round(list_sum(list_transform(vecs, v -> v[2]::DOUBLE))
+                 / n_members, 6) AS m1,
+           round(list_sum(list_transform(vecs, v -> v[3]::DOUBLE))
+                 / n_members, 6) AS m2,
+           round(list_sum(list_transform(vecs, v -> v[4]::DOUBLE))
+                 / n_members, 6) AS m3,
+           round(list_sum(list_transform(vecs, v -> v[5]::DOUBLE))
+                 / n_members, 6) AS m4,
+           round(list_sum(list_transform(vecs, v -> v[6]::DOUBLE))
+                 / n_members, 6) AS m5,
+           round(list_sum(list_transform(vecs, v -> v[7]::DOUBLE))
+                 / n_members, 6) AS m6,
+           round(list_sum(list_transform(vecs, v -> v[8]::DOUBLE))
+                 / n_members, 6) AS m7
+    FROM agg
+    """,
+)
+def _embedding_pooling(spark, sf_dir):
+    """Group-level embedding pooling (operators/similarity.py
+    pool_embeddings): member vectors mean-pooled in fixed vec_id
+    order — sequential fold, so the float summation sequence is
+    partition-invariant and SQL-reproducible (rounded to 6; the first
+    8 pooled components surface as scalar columns, the array-column
+    canonicalizer limit). The conversation-embedding primitive that
+    feeds group-level semantic dedup/retrieval. One groupBy on the
+    group key, fold inside the aggregate row — no explode, no second
+    shuffle."""
+    from omniparser_spark.operators.similarity import pool_embeddings
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 40).alias("conv_id"), "vec_id", "embedding"
+    )
+    p = pool_embeddings(e, "conv_id")
+    return p.select(
+        "conv_id",
+        "n_members",
+        *[
+            F.round(F.col("pooled")[i], 6).alias(f"m{i}")
+            for i in range(8)
+        ],
+    )
+
+
+@_q(
     "text_repetition_signals",
     """
     WITH base AS (

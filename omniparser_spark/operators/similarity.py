@@ -397,3 +397,52 @@ def embedding_near_dups(
         "id_b",
         F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    order_col: str = "vec_id",
+) -> DataFrame:
+    """Mean-pool member embeddings per group in a FIXED member order —
+    the conversation/document-group embedding used for group-level
+    semantic dedup and retrieval (e.g. pool a conversation's turn
+    embeddings into one vector, then run semantic_dedup on those).
+
+    Determinism: members fold in `order_col` order (collect ->
+    array_sort -> sequential zip_with fold), so the float summation
+    sequence — hence the result — is identical under any partitioning
+    and reproducible in SQL. Returns (group_col, n_members, pooled:
+    array<double>).
+
+    One groupBy on the group key; the fold runs inside the aggregate's
+    output row — no per-element explode, no second shuffle.
+    """
+    member = F.struct(
+        F.col(order_col).alias("_o"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    dim = F.size(F.col("_vecs")[0])
+    zero = F.array_repeat(F.lit(0.0), dim)
+    summed = F.aggregate(
+        F.col("_vecs"),
+        zero,
+        lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
+    )
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(member)),
+                lambda s: s.getField("_v"),
+            ).alias("_vecs")
+        )
+        .select(
+            group_col,
+            F.size(F.col("_vecs")).cast("int").alias("n_members"),
+            F.transform(
+                summed, lambda x: x / F.size(F.col("_vecs"))
+            ).alias("pooled"),
+        )
+    )

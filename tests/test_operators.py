@@ -776,3 +776,28 @@ def test_dedup_registry_incremental(spark, tmp_path):
         10: 1, 11: 11
     }
     assert reg.stats() == {"distinct_contents": 3, "batches": 2}
+
+
+def test_pool_embeddings_order_and_invariance(spark):
+    from omniparser_spark.operators.similarity import pool_embeddings
+
+    rows = [
+        ("c1", 2, [1.0, 0.0]),
+        ("c1", 1, [0.0, 2.0]),
+        ("c1", 3, [2.0, 4.0]),
+        ("c2", 1, [5.0, 5.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, vec_id int, embedding array<double>"
+    )
+    got = {
+        r["conv_id"]: (r["n_members"], r["pooled"])
+        for r in pool_embeddings(df, "conv_id").collect()
+    }
+    assert got["c1"][0] == 3 and got["c1"][1] == [1.0, 2.0]
+    assert got["c2"] == (1, [5.0, 5.0])
+    rep = {
+        r["conv_id"]: r["pooled"]
+        for r in pool_embeddings(df.repartition(5), "conv_id").collect()
+    }
+    assert rep == {k: v for k, (_n, v) in got.items()}
