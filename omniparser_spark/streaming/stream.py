@@ -98,3 +98,95 @@ def run_streaming_apply(
         pipeline.n_source_parts = saved_parts
         pipeline.observe_merge = saved_observe
     return results
+
+
+def run_streaming_cdc_topic(
+    pipeline: CdcPipeline,
+    feed_path: str,
+    dialect: str = "debezium",
+    feed_schema: str = "payload string, source_part int",
+    max_files_per_trigger: int = 4,
+) -> list[dict[str, Any]]:
+    """Tail a CDC DIALECT topic (Debezium / Maxwell / Canal JSON
+    envelopes) as a stream and drive the full apply loop per epoch —
+    the Kafka-connect deployment shape: transport gives epochs and
+    at-least-once delivery; the dialect decoder supplies offsets
+    (lsn / binlog position / event id) and ops from inside the
+    envelopes; the engine's batch + row fences make the composition
+    exactly-once.
+
+    Mechanics mirror :func:`run_streaming_apply`: each epoch's frames
+    decode once via the dialect decoder, adapt to the canon frame
+    (``canon_from_cdc_envelope`` — same quarantine capture with the
+    original envelope JSON, same lineage), and apply under the
+    epoch-derived batch id. Offset bounds come from the DECODED
+    offsets, so the checkpoint records the true source positions.
+    """
+    from omniparser_spark.operators.normalize import (
+        canon_from_cdc_envelope,
+    )
+
+    decoders = {"debezium": None, "maxwell": None, "canal": None}
+    if dialect == "debezium":
+        from omniparser_spark.sources.debezium import decode_debezium
+
+        decoders[dialect] = decode_debezium
+    elif dialect == "maxwell":
+        from omniparser_spark.sources.maxwell import decode_maxwell
+
+        decoders[dialect] = decode_maxwell
+    elif dialect == "canal":
+        from omniparser_spark.sources.maxwell import decode_canal
+
+        decoders[dialect] = decode_canal
+    else:
+        raise ValueError(
+            f"unknown dialect {dialect!r}: one of debezium/maxwell/canal"
+        )
+    decode = decoders[dialect]
+
+    spark = pipeline.spark
+    results: list[dict[str, Any]] = []
+    saved_parts = pipeline.n_source_parts
+    saved_observe = pipeline.observe_merge
+    pipeline.n_source_parts = None
+    pipeline.observe_merge = False
+
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(feed_path)
+    )
+    base_batch_id = pipeline.checkpoints.next_batch_id()
+
+    def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        canon = canon_from_cdc_envelope(decode(batch_df), dialect)
+        bounds = canon.agg(
+            F.min("offset").alias("lo"), F.max("offset").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return
+        rec = pipeline.apply_batch(
+            raw=None,
+            batch_id=base_batch_id + epoch_id,
+            offset_start=int(bounds["lo"]),
+            offset_end=int(bounds["hi"]),
+            _canon=canon,
+        )
+        results.append(rec)
+
+    try:
+        q = (
+            stream.writeStream.foreachBatch(apply_epoch)
+            .option(
+                "checkpointLocation",
+                f"{pipeline.checkpoints.path}/_stream_checkpoint",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        pipeline.n_source_parts = saved_parts
+        pipeline.observe_merge = saved_observe
+    return results

@@ -415,3 +415,77 @@ def test_interval_join_matches_across_epochs(spark, tmp_path):
         out, "append", checkpoint_dir=str(tmp_path / "ckpt")
     ).collect()
     assert [(r.event_id, r.event_id_r) for r in rows] == [(10, 20)]
+
+
+def test_streaming_cdc_topic_converges(spark, tmp_path):
+    """A Maxwell topic tailed as a stream (dialect decode inside
+    foreachBatch, epoch-derived batch ids, decoded-offset bounds)
+    converges to the single-batch reference state; bad envelopes
+    dead-letter."""
+    import json
+
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.operators.normalize import (
+        canon_from_cdc_envelope,
+    )
+    from omniparser_spark.sources.maxwell import decode_maxwell
+    from omniparser_spark.streaming import run_streaming_cdc_topic
+
+    def env(i, typ, conv, turn, text, ts):
+        data = None if typ.startswith("bootstrap-s") else {
+            "conv_id": conv, "turn_idx": turn, "role": "user",
+            "text": text, "tool": "",
+            "ts": f"2026-01-01T00:00:{ts:02d}+00:00",
+        }
+        return (json.dumps({
+            "database": "app", "table": "turns", "type": typ,
+            "ts": 1700000000 + ts, "xid": i, "commit": True,
+            "position": f"master.000001:{i}",
+            "data": data, "old": None,
+        }), i % 4)
+
+    rows = (
+        [env(i, "insert", f"c{i % 7}", i % 5, f"v{i}", i % 50)
+         for i in range(60)]
+        + [env(100 + i, "update", f"c{i % 7}", i % 5, f"u{i}", 50 + i % 9)
+           for i in range(20)]
+        + [env(200, "delete", "c0", 0, "gone", 59),
+           env(201, "bootstrap-start", "", 0, "", 0)]  # dead letter
+    )
+    feed_path = str(tmp_path / "topic")
+    spark.createDataFrame(
+        rows, "payload string, source_part int"
+    ).repartition(6).write.parquet(feed_path)
+
+    # reference: one batch through the same adapter
+    ref = CdcPipeline(
+        spark, str(tmp_path / "rt"), str(tmp_path / "rc"), n_buckets=4
+    )
+    feed_df = spark.read.parquet(feed_path)
+    canon = canon_from_cdc_envelope(decode_maxwell(feed_df), "maxwell")
+    base = 1 << 32
+    ref.apply_batch(
+        raw=None, batch_id=0, offset_start=base,
+        offset_end=base + 201, _canon=canon,
+    )
+    want = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in ref.read_table().collect()
+    )
+
+    sp = CdcPipeline(
+        spark, str(tmp_path / "st"), str(tmp_path / "sc"), n_buckets=4,
+        quarantine_path=str(tmp_path / "dead"),
+    )
+    recs = run_streaming_cdc_topic(
+        sp, feed_path, dialect="maxwell", max_files_per_trigger=2
+    )
+    assert len(recs) >= 2, "expected multiple epochs"
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in sp.read_table().collect()
+    )
+    assert got == want
+    dead = spark.read.parquet(str(tmp_path / "dead"))
+    assert dead.count() == 1
+    assert "bootstrap-start" in dead.collect()[0]["payload"]
