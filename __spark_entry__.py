@@ -5384,6 +5384,55 @@ def _tool_transitions(spark, sf_dir):
 
 
 @_q(
+    "transcript_sessions",
+    f"""
+    WITH t AS (
+{_TRAJ_TURNS_SQL}
+    ),
+    s AS (
+      SELECT conv_id, turn_idx, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM t
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ),
+    x AS (
+      SELECT conv_id, turn_idx, ts,
+             (sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING))::INT
+               AS session_idx
+      FROM s
+    )
+    SELECT conv_id, session_idx,
+           count(*)::INT AS n_turns,
+           min(turn_idx)::INT AS first_turn,
+           max(turn_idx)::INT AS last_turn,
+           (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS span_us
+    FROM x GROUP BY 1, 2
+    """,
+)
+def _transcript_sessions(spark, sf_dir):
+    """Idle-gap sessionization of long-running transcripts
+    (operators/transcripts.py segment_sessions + session_stats): a new
+    session starts where the gap to the previous turn exceeds 30 min —
+    the batch twin of the streaming sessionizer, so training examples
+    never cross a cold boundary. One lag + one running sum + one
+    rollup, all on the conversation key: a single shuffle family."""
+    from omniparser_spark.operators.transcripts import (
+        segment_sessions,
+        session_stats,
+    )
+
+    t = _traj_turns(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    s = segment_sessions(t, gap_seconds=1800)
+    return session_stats(s).select(
+        "conv_id", "session_idx", "n_turns", "first_turn",
+        "last_turn", "span_us",
+    )
+
+
+@_q(
     "transcript_tree_stats",
     f"""
     WITH base AS (

@@ -723,3 +723,56 @@ def tool_transitions(
         t.groupBy("from_tool", "to_tool")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def segment_sessions(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Split long-running conversations into SESSIONS at idle gaps —
+    the batch twin of the streaming sessionizer, for transcript
+    corpora where one conv_id spans days of agent activity and
+    training examples should not cross a cold boundary.
+
+    Adds ``session_idx`` (0-based per conversation): a new session
+    starts where the gap to the previous turn exceeds `gap_seconds`.
+    One lag + one running-sum window on the same (conv, order) key —
+    a single shuffle, no iteration.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.lag(ts_col).over(w)
+    )
+    new_session = F.when(
+        gap > gap_seconds * 1_000_000, 1
+    ).otherwise(0)
+    return turns.withColumn(
+        "session_idx",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("int"),
+    )
+
+
+def session_stats(
+    sessioned: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-(conversation, session) rollup over a
+    :func:`segment_sessions` frame: turn count, span in integer
+    micros, and first/last turn indexes. One groupBy on the
+    conversation-key family."""
+    return sessioned.groupBy(conv_col, "session_idx").agg(
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+        F.min("turn_idx").cast("int").alias("first_turn"),
+        F.max("turn_idx").cast("int").alias("last_turn"),
+        (
+            F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+        ).alias("span_us"),
+    )

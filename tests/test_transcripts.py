@@ -380,3 +380,43 @@ def test_tool_transitions_semantics(spark):
         ("search", "search"): 1,
         ("search", "python"): 2,
     }
+
+
+def test_segment_sessions_gaps(spark):
+    import datetime as dt
+
+    from omniparser_spark.operators.transcripts import (
+        segment_sessions,
+        session_stats,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        ("c1", 0, ts(0)), ("c1", 1, ts(5)),          # session 0
+        ("c1", 2, ts(90)), ("c1", 3, ts(95)),        # gap 85m -> s1
+        ("c1", 4, ts(200)),                          # gap 105m -> s2
+        ("c2", 0, ts(0)),                            # single turn
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp"
+    )
+    s = segment_sessions(df, gap_seconds=1800)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["session_idx"]
+        for r in s.collect()
+    }
+    assert got == {
+        ("c1", 0): 0, ("c1", 1): 0, ("c1", 2): 1, ("c1", 3): 1,
+        ("c1", 4): 2, ("c2", 0): 0,
+    }
+    st = {
+        (r["conv_id"], r["session_idx"]): (r["n_turns"], r["span_us"])
+        for r in session_stats(s).collect()
+    }
+    assert st[("c1", 0)] == (2, 5 * 60 * 1_000_000)
+    assert st[("c1", 2)] == (1, 0)
+    assert st[("c2", 0)] == (1, 0)
