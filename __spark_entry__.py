@@ -6629,6 +6629,94 @@ def _dedup_registry(spark, sf_dir):
 
 
 @_q(
+    "text_lm_bigram_perplexity",
+    """
+    WITH refd AS (
+      SELECT regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS ws
+      FROM documents WHERE doc_id % 2 = 0 AND length(trim(text)) > 0
+    ),
+    uni AS (
+      SELECT w AS token, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(ws) AS w FROM refd) GROUP BY 1
+    ),
+    tot AS (SELECT sum(cnt)::BIGINT AS n FROM uni),
+    big AS (
+      SELECT prev, token, count(*)::BIGINT AS cnt2
+      FROM (
+        SELECT l[i-1] AS prev, l[i] AS token
+        FROM (SELECT ws AS l FROM refd WHERE len(ws) >= 2),
+             unnest(range(2, len(l) + 1)) AS t(i)
+      ) GROUP BY 1, 2
+    ),
+    bigh AS (
+      SELECT b.prev, b.token, b.cnt2, u.cnt AS cnt_prev
+      FROM big b JOIN uni u ON u.token = b.prev
+    ),
+    dtok AS (
+      SELECT doc_id, i,
+             CASE WHEN i > 1 THEN l[i-1] END AS prev,
+             l[i] AS token, (i = 1) AS frst
+      FROM (
+        SELECT doc_id, regexp_split_to_array(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                 ' ') AS l
+        FROM documents WHERE length(trim(text)) > 0
+      ), unnest(range(1, len(l) + 1)) AS t(i)
+    ),
+    costed AS (
+      SELECT d.doc_id, d.frst,
+             (bh.cnt2 IS NOT NULL) AS hit,
+             CASE
+               WHEN d.frst THEN
+                 CASE WHEN u.cnt IS NOT NULL
+                      THEN floor(ln(tot.n::DOUBLE / u.cnt) * 1000)
+                      ELSE floor(ln(2 * tot.n::DOUBLE) * 1000) END
+               WHEN bh.cnt2 IS NOT NULL THEN
+                 floor(ln(bh.cnt_prev::DOUBLE / bh.cnt2) * 1000)
+               ELSE
+                 CASE WHEN u.cnt IS NOT NULL
+                      THEN floor(ln(tot.n::DOUBLE
+                                    / (0.4::DOUBLE * u.cnt)) * 1000)
+                      ELSE floor(ln(2 * tot.n::DOUBLE / 0.4::DOUBLE)
+                                 * 1000) END
+             END::BIGINT AS cost
+      FROM dtok d
+      LEFT JOIN uni u USING (token)
+      LEFT JOIN bigh bh ON bh.prev = d.prev AND bh.token = d.token
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           (count(*) FILTER (WHERE NOT frst AND hit))::BIGINT
+             AS bigram_hits,
+           (sum(cost) // count(*))::BIGINT AS ppl_mnats
+    FROM costed GROUP BY doc_id
+    """,
+)
+def _lm_bigram(spark, sf_dir):
+    """Bigram LM with stupid backoff (operators/lm_score.py
+    train_bigram_lm + bigram_perplexity_score): token i costs
+    ln(c(prev)/c(prev,token)) milli-nats when its bigram was seen in
+    the reference slice, else the 0.4-discounted unigram backoff —
+    each branch one ln expression quantized once, so every aggregate
+    stays integer-exact. The CCNet scorer's n-gram upgrade: context-
+    aware fluency instead of bag-of-words frequency. Joins are
+    vocab/bigram-table-sized broadcasts against one corpus scan."""
+    from omniparser_spark.operators.lm_score import (
+        bigram_perplexity_score,
+        train_bigram_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    uni, big = train_bigram_lm(d.filter(F.col("doc_id") % 2 == 0))
+    return bigram_perplexity_score(d, uni, big).select(
+        "doc_id", "n_tokens", "bigram_hits", "ppl_mnats"
+    )
+
+
+@_q(
     "decontaminate_ngrams",
     """
     WITH grams AS (

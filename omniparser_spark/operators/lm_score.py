@@ -170,3 +170,138 @@ def perplexity_buckets(
     return scored.select(
         id_col, "ppl_mnats", bucket.cast("int").alias("ppl_bucket")
     )
+
+
+def train_bigram_lm(
+    ref: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Bigram LM with exact counts over the reference corpus.
+
+    Returns (unigrams, bigrams): ``unigrams`` is the
+    :func:`train_unigram_lm` table (token, cnt, surprisal_mnats,
+    ref_total); ``bigrams`` carries (prev, token, cnt2, cnt_prev) —
+    each bigram row pre-joined with its history count so scoring
+    needs ONE bigram join, not two. Pair extraction is a higher-order
+    array transform (shuffle-free); the counts are one aggregate
+    each."""
+    uni = train_unigram_lm(ref, text_col)
+    ws = _words(text_col)
+    # guard: sequence(2, 1) DESCENDS for single-token docs — emit no
+    # pairs instead
+    pair_idx = F.when(
+        F.size(ws) >= 2, F.sequence(F.lit(2), F.size(ws))
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = (
+        ref.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at(ws, i - 1).alias("prev"),
+                        F.element_at(ws, i).alias("token"),
+                    ),
+                )
+            ).alias("_p")
+        )
+        .select("_p.prev", "_p.token")
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("cnt2"))
+    )
+    hist = uni.select(
+        F.col("token").alias("prev"), F.col("cnt").alias("cnt_prev")
+    )
+    bigrams = pairs.join(hist, "prev")
+    return uni, bigrams
+
+
+def bigram_perplexity_score(
+    docs: DataFrame,
+    uni: DataFrame,
+    bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score candidates under the bigram LM with STUPID BACKOFF
+    (Brants et al.): token i is charged
+
+    - ``ln(cnt_prev / cnt2)`` milli-nats when its bigram was seen;
+    - else the backed-off unigram cost ``ln(N / (0.4 * cnt))``
+      (``ln(2N / 0.4)`` for OOV) — each branch ONE ln expression
+      quantized once, so aggregation stays integer-exact;
+    - the document's first token is charged its plain unigram cost.
+
+    Returns (id, n_tokens, bigram_hits, ppl_mnats). Joins: one on the
+    bigram key, one on the token — both broadcastable while the vocab
+    fits (the common case), shuffle hash joins beyond that; the
+    corpus itself is scanned once."""
+    ws = _words(text_col)
+    toks = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws)),
+                    lambda i: F.struct(
+                        F.when(i > 1, F.element_at(ws, i - 1)).alias(
+                            "prev"
+                        ),
+                        F.element_at(ws, i).alias("token"),
+                        (i == 1).alias("first"),
+                    ),
+                )
+            ).alias("_p")
+        )
+        .select(id_col, "_p.prev", "_p.token", "_p.first")
+    )
+    n_lit = F.col("ref_total").cast("double")
+    uni_side = F.broadcast(
+        uni.select("token", "cnt", "ref_total")
+    )
+    big_side = F.broadcast(bigrams)
+    j = toks.join(uni_side, "token", "left").join(
+        big_side, ["prev", "token"], "left"
+    )
+    first_cost = F.when(
+        F.col("cnt").isNotNull(),
+        F.floor(F.log(n_lit / F.col("cnt")) * 1000),
+    ).otherwise(F.floor(F.log(F.lit(2.0) * n_lit) * 1000))
+    hit_cost = F.floor(
+        F.log(F.col("cnt_prev").cast("double") / F.col("cnt2")) * 1000
+    )
+    backoff_cost = F.when(
+        F.col("cnt").isNotNull(),
+        F.floor(
+            F.log(n_lit / (F.lit(0.4) * F.col("cnt"))) * 1000
+        ),
+    ).otherwise(
+        F.floor(F.log(F.lit(2.0) * n_lit / F.lit(0.4)) * 1000)
+    )
+    # OOV rows missed the unigram join, so ref_total is NULL there —
+    # recover it from any joined row via a 1-row broadcast constant
+    n_const = uni.select(
+        F.first("ref_total").alias("_n")
+    ).limit(1)
+    j = j.crossJoin(F.broadcast(n_const)).withColumn(
+        "ref_total", F.coalesce(F.col("ref_total"), F.col("_n"))
+    )
+    cost = F.when(F.col("first"), first_cost).when(
+        F.col("cnt2").isNotNull(), hit_cost
+    ).otherwise(backoff_cost)
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(
+                F.when(~F.col("first") & F.col("cnt2").isNotNull(), 1)
+            ).alias("bigram_hits"),
+            F.sum(cost.cast("long")).alias("_sum"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "bigram_hits",
+            F.expr("_sum DIV n_tokens").alias("ppl_mnats"),
+        )
+    )

@@ -801,3 +801,50 @@ def test_pool_embeddings_order_and_invariance(spark):
         for r in pool_embeddings(df.repartition(5), "conv_id").collect()
     }
     assert rep == {k: v for k, (_n, v) in got.items()}
+
+
+def test_bigram_lm_stupid_backoff(spark):
+    """Fluent (reference-like) sequences score lower than shuffled
+    ones with identical unigram mass; first-token and OOV charging;
+    single-token docs produce no bigrams."""
+    from omniparser_spark.operators.lm_score import (
+        bigram_perplexity_score,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "the cat sat on the mat"),
+         (2, "the cat ran to the mat")],
+        "doc_id int, text string",
+    )
+    uni, big = train_bigram_lm(ref)
+    bigs = {(r["prev"], r["token"]): (r["cnt2"], r["cnt_prev"])
+            for r in big.collect()}
+    assert bigs[("the", "cat")] == (2, 4)
+    assert ("cat", "the") not in bigs
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),   # all bigrams hit
+         (2, "mat the on sat cat the"),   # same unigrams, shuffled
+         (3, "zz qq"),                    # all OOV
+         (4, "the")],                     # single token
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in bigram_perplexity_score(docs, uni, big).collect()
+    }
+    assert got[1]["bigram_hits"] == 5
+    assert got[2]["bigram_hits"] < got[1]["bigram_hits"]
+    # context sensitivity: the fluent order is cheaper
+    assert got[1]["ppl_mnats"] < got[2]["ppl_mnats"]
+    assert got[3]["ppl_mnats"] > got[2]["ppl_mnats"]  # OOV worst
+    assert got[4]["n_tokens"] == 1 and got[4]["bigram_hits"] == 0
+    # determinism under partitioning
+    rep = {
+        r["doc_id"]: r["ppl_mnats"]
+        for r in bigram_perplexity_score(
+            docs.repartition(7), uni, big
+        ).collect()
+    }
+    assert rep == {k: v["ppl_mnats"] for k, v in got.items()}
