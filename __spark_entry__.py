@@ -6226,7 +6226,7 @@ def _fix_artifacts_sql(expr: str) -> str:
     )
     s = (
         f"regexp_replace({s}, "
-        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')"
+        "'[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g')"
     )
     return s
 

@@ -216,7 +216,7 @@ MOJIBAKE_PAIRS: list[tuple[str, str]] = [
 # zero-width + BOM characters and C0/DEL controls (except \t \n);
 # NBSP normalizes to a plain space
 _ZERO_WIDTH = "[​‌‍﻿]"
-_CONTROLS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+_CONTROLS = "[\\x00-\\x08\\x0b-\\x1f\\x7f]"
 
 
 def fix_text_artifacts(col) -> Column:

@@ -117,7 +117,11 @@ class HistorySink:
                 F.col("_last_offset").alias("_cur_off"),
             )
         )
-        joined = changes.join(cur, k, "left")
+        # persist the batch-to-current join: late counting, version
+        # chaining, and interval closing all read it (without the
+        # cache each pass re-runs the join AND the pruned table read —
+        # review finding); O(batch) rows, dropped before returning
+        joined = changes.join(cur, k, "left").persist()
         pos = F.struct(F.col("ts"), F.col("offset").cast("long"))
         cur_pos = F.struct(
             F.col("_cur_ts"), F.col("_cur_off").cast("long")
@@ -176,14 +180,23 @@ class HistorySink:
         )
         batch = versions.unionByName(closing)
         # NOTE op is never 'D': history rows are all VISIBLE —
-        # is_deleted is a data column, not the engine tombstone
-        stats = merge_into(
-            self.table,
-            batch,
-            batch_id=batch_id,
-            max_offset=max_offset,
-            mode=self.merge_mode,
-        )
+        # is_deleted is a data column, not the engine tombstone.
+        # observe_stats=False: an all-late batch produces an EMPTY
+        # merge write, and a write Observation never completes on an
+        # empty relation (obs.get would hang — review finding); the
+        # fence must still advance so the replayed slice stays
+        # exactly-once.
+        try:
+            stats = merge_into(
+                self.table,
+                batch,
+                batch_id=batch_id,
+                max_offset=max_offset,
+                mode=self.merge_mode,
+                observe_stats=False,
+            )
+        finally:
+            joined.unpersist()
         if stats is not None:
             stats["late_events"] = int(late_count)
         return stats

@@ -287,15 +287,17 @@ def merge_into(
         # comparisons).
         import os as _os
 
-        mode = _os.environ.get("OMNIPARSER_PRUNE_MODE", "auto")
+        # NB: named prune_mode, not mode — `mode` is this function's
+        # cow/mor merge-strategy parameter
+        prune_mode = _os.environ.get("OMNIPARSER_PRUNE_MODE", "auto")
         uniform_batch = (
             expected_rows is not None and expected_rows >= 3 * n_buckets
         )
-        if mode == "always":
+        if prune_mode == "always":
             prune_exact = n_buckets > 1
-        elif mode == "never":
+        elif prune_mode == "never":
             prune_exact = False
-        elif mode == "legacy":
+        elif prune_mode == "legacy":
             prune_exact = not uniform_batch
         else:
             # "bootstrap" = the table holds at most ~4 batches of

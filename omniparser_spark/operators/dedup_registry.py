@@ -110,15 +110,15 @@ class DedupRegistry:
             .withColumn(
                 "is_dup", F.col(id_col) != F.col("canonical_id")
             )
-            .drop("_reg_canon", "_batch_canon")
         )
-        # absorb first-seen hashes (one row per new hash, smallest id)
+        # absorb first-seen hashes (one row per new hash, smallest id).
+        # The gate is "the REGISTRY had no row" (_reg_canon IS NULL) —
+        # NOT canonical_id == id, which is also true for a re-delivered
+        # canonical document and would rewrite its registry row,
+        # breaking the first-seen invariant (review finding).
         new_rows = (
-            annotated.filter(~F.col("is_dup"))
-            .filter(
-                # a batch-canonical row whose hash the registry already
-                # holds is NOT new (its canonical came from the registry)
-                F.col("canonical_id") == F.col(id_col)
+            annotated.filter(
+                ~F.col("is_dup") & F.col("_reg_canon").isNull()
             )
             .groupBy("content_hash")
             .agg(
@@ -134,13 +134,17 @@ class DedupRegistry:
                 F.lit("I").alias("op"),
             )
         )
+        # observe_stats=False: a fully-replayed delta yields ZERO new
+        # hashes, and a merge-write Observation never completes on an
+        # empty relation (the obs.get hang class erase_where documents)
         merge_into(
             self.table,
             new_rows,
             batch_id=batch_id,
             max_offset=batch_id,
+            observe_stats=False,
         )
-        return annotated
+        return annotated.drop("_reg_canon", "_batch_canon")
 
     def stats(self) -> dict[str, Any]:
         return {

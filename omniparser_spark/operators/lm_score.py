@@ -19,8 +19,13 @@ DataFrame ops:
   out-of-vocabulary tokens the add-half surprisal ``ln(2N)`` (an
   unseen token is charged as probability 0.5/N), and emit per-doc
   mean surprisal (= ln(perplexity)) in milli-nats plus OOV counts.
-- :func:`perplexity_buckets` — CCNet's head/middle/tail terciles via
-  ``ntile(3)`` over the deterministic total order (score, doc id).
+- :func:`perplexity_buckets` — CCNet's head/middle/tail split via
+  VALUE-level quantile boundaries from a bounded histogram (ties
+  share a bucket; deliberately NOT an ntile window — see its
+  docstring for the scale argument).
+- :func:`train_bigram_lm` / :func:`bigram_perplexity_score` — the
+  n-gram upgrade: bigram costs with stupid backoff, context-aware
+  fluency instead of bag-of-words frequency.
 
 Scale shape: training is one explode + one token-count aggregate
 (map-side combinable) + a 1-row total broadcast; scoring is a scan +
@@ -256,12 +261,16 @@ def bigram_perplexity_score(
         .select(id_col, "_p.prev", "_p.token", "_p.first")
     )
     n_lit = F.col("ref_total").cast("double")
+    # uni is vocab-sized: a safe broadcast. The BIGRAM table scales
+    # with the reference corpus (can be 100x the vocab), so no forced
+    # hint — the planner broadcasts under the threshold and falls back
+    # to a shuffle hash join beyond it (review finding: a hard
+    # F.broadcast here OOMs the driver at reference scale).
     uni_side = F.broadcast(
         uni.select("token", "cnt", "ref_total")
     )
-    big_side = F.broadcast(bigrams)
     j = toks.join(uni_side, "token", "left").join(
-        big_side, ["prev", "token"], "left"
+        bigrams, ["prev", "token"], "left"
     )
     first_cost = F.when(
         F.col("cnt").isNotNull(),

@@ -258,14 +258,18 @@ def temperature_sample_sources(
     short of its quota contributes everything it has (no oversampling
     — repeat-epoch oversampling is epoch_shuffle's job).
 
-    Returns the sampled frame plus a ``_quota`` map accessible via
-    ``temperature_quotas`` for recipe auditing.
+    Rows with a NULL stratum have no place in a source mix and are
+    EXCLUDED (loudly documented rather than silently: a NULL source
+    tag is an upstream data bug — route those through the quarantine
+    path, not a sampler). Quotas are auditable via
+    ``temperature_quotas``.
     """
     quotas = temperature_quotas(df, strata_col, temperature, budget)
+    df = df.filter(F.col(strata_col).isNotNull())
     u = hash_unit_interval(key_col)
     w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(key_col).asc())
     qcol = F.lit(None).cast("long")
-    for value, q in sorted(quotas.items()):
+    for value, q in sorted(quotas.items(), key=lambda kv: str(kv[0])):
         qcol = F.when(
             F.col(strata_col) == value, F.lit(int(q))
         ).otherwise(qcol)
@@ -286,8 +290,11 @@ def temperature_quotas(
     draws: min(n_i, round(budget * n_i^(1/T) / sum n_j^(1/T))).
     Exposed separately so recipes can be audited/logged before the
     (possibly expensive) draw runs."""
+    import math
+
     rows = (
-        df.groupBy(strata_col)
+        df.filter(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
@@ -298,7 +305,10 @@ def temperature_quotas(
     total_w = sum(weights.values())
     n_by = {r[strata_col]: int(r["n"]) for r in rows}
     b = int(budget) if budget is not None else sum(n_by.values())
+    # floor(x + 0.5), NOT Python round(): round() is banker's rounding
+    # and diverges from SQL round() (half away from zero) exactly at
+    # .5 quotas — the engines would select different row sets
     return {
-        s: min(n_by[s], int(round(b * w / total_w)))
+        s: min(n_by[s], int(math.floor(b * w / total_w + 0.5)))
         for s, w in weights.items()
     }

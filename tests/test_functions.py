@@ -151,7 +151,7 @@ def test_fix_text_artifacts(spark):
         (1, "cafÃ© â€œgreatâ€™"),
         (2, "a​b‌c﻿d"),
         (3, "x y"),
-        (4, "ctl\x01\x02ok\ttab\nnl"),
+        (4, "ctl\x01\x02ok\ttab\nnl\rcr"),
         (5, "already clean — café “fine”"),
     ]
     df = spark.createDataFrame(rows, "i int, t string")
@@ -164,5 +164,5 @@ def test_fix_text_artifacts(spark):
     assert got[1] == "café “great’"
     assert got[2] == "abcd"
     assert got[3] == "x y"
-    assert got[4] == "ctlok\ttab\nnl"   # tab/newline survive
+    assert got[4] == "ctlok\ttab\nnlcr"  # tab/newline survive, \r stripped
     assert got[5] == rows[4][1]          # well-formed text untouched

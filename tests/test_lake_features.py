@@ -1496,3 +1496,35 @@ def test_expectations_gate_wap(spark, tmp_path):
     )
     assert not ok
     assert not rep.table_rules["row_count_drift"]["ok"]
+
+
+def test_history_sink_all_late_batch_returns_and_fences(spark, tmp_path):
+    """Review regression: a batch whose every event is late must
+    RETURN (no empty-write Observation hang), report the late count,
+    and still advance the batch fence."""
+    import datetime as dt
+
+    from omniparser_spark.lake.history import HistorySink
+
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(c, t, "user", txt, None,
+              t0 + dt.timedelta(seconds=s), o, op)
+             for (c, t, s, o, op, txt) in rows],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp, offset long, op string",
+        )
+
+    sink = HistorySink(spark, str(tmp_path / "hl"), n_buckets=4)
+    sink.apply_batch(
+        batch([("c1", 0, 100, 0, "I", "v1")]), batch_id=0, max_offset=0
+    )
+    rec = sink.apply_batch(
+        batch([("c1", 0, 50, 1, "U", "older")]), batch_id=1,
+        max_offset=1,
+    )
+    assert rec is not None and rec["late_events"] == 1
+    assert int(sink.table.summary()["batch_id"]) == 1
+    assert sink.read().count() == 1  # history unchanged

@@ -848,3 +848,56 @@ def test_bigram_lm_stupid_backoff(spark):
         ).collect()
     }
     assert rep == {k: v["ppl_mnats"] for k, v in got.items()}
+
+
+def test_dedup_registry_review_findings(spark, tmp_path):
+    """Review regressions: a fully-duplicate batch (zero new hashes)
+    returns instead of hanging on an empty-write Observation, and a
+    re-delivered canonical doc does NOT rewrite its registry row's
+    first-seen facts."""
+    import datetime as dt
+
+    from omniparser_spark.operators.dedup_registry import DedupRegistry
+
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(i, txt, t0) for i, txt in rows],
+            "doc_id long, text string, ts timestamp",
+        )
+
+    reg = DedupRegistry(spark, str(tmp_path / "reg2"), n_buckets=4)
+    reg.check_in(batch([(1, "alpha"), (2, "beta")]), batch_id=0)
+    first = {
+        r["content_hash"]: (r["canonical_id"], r["first_seen_batch"])
+        for r in reg.table.read().collect()
+    }
+    # batch 1: everything already seen, INCLUDING the canonical doc 1
+    out = reg.check_in(batch([(1, "alpha"), (9, "beta")]), batch_id=1)
+    got = {r["doc_id"]: r["is_dup"] for r in out.collect()}
+    assert got == {1: False, 9: True}
+    after = {
+        r["content_hash"]: (r["canonical_id"], r["first_seen_batch"])
+        for r in reg.table.read().collect()
+    }
+    assert after == first  # first-seen facts untouched
+    assert int(reg.table.summary()["batch_id"]) == 1  # but fenced
+
+
+def test_temperature_sampling_null_strata(spark):
+    from omniparser_spark.operators.sampling import (
+        temperature_quotas,
+        temperature_sample_sources,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "k1"), ("a", "k2"), (None, "k3"), ("b", "k4")],
+        "src string, k string",
+    )
+    q = temperature_quotas(df, "src", temperature=2.0)
+    assert None not in q and set(q) == {"a", "b"}
+    out = temperature_sample_sources(
+        df, key_col="k", strata_col="src", temperature=2.0
+    )
+    assert sorted(r["k"] for r in out.collect()) == ["k1", "k2", "k4"]
