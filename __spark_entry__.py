@@ -7035,6 +7035,67 @@ def _pack_sequences(spark, sf_dir):
 
 
 @_q(
+    "pack_sequences_nfd",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens,
+             row_number() OVER (PARTITION BY doc_id % 8
+                                ORDER BY CASE WHEN length(trim(text)) = 0
+                                              THEN 0
+                                              ELSE len(regexp_split_to_array(
+                                                     trim(text), '\\s+')) END
+                                         DESC, doc_id)
+               AS rn
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, shard, n_tokens, rn,
+             0::BIGINT AS pack_seq, n_tokens AS acc
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.doc_id, d.shard, d.n_tokens, d.rn,
+             CASE WHEN p.acc + d.n_tokens > 256
+                  THEN p.pack_seq + 1 ELSE p.pack_seq END,
+             CASE WHEN p.acc + d.n_tokens > 256
+                  THEN d.n_tokens ELSE p.acc + d.n_tokens END
+      FROM d JOIN p ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, pack_seq, n_tokens,
+           (n_tokens > 256) AS oversize
+    FROM p
+    """,
+)
+def _pack_sequences_nfd(spark, sf_dir):
+    """NEXT-fit-DECREASING packing: the same sequential next-fit
+    recurrence, in-shard order = (n_tokens DESC, doc_id). NFD's
+    asymptotic waste bound (~1.691x OPT) beats arrival-order next-fit
+    (2x OPT), though not pointwise on every instance — the trade is
+    prefix-stability: an appended doc can reorder a shard, so NFD
+    suits FROZEN epoch exports while arrival-order packing suits
+    incremental ones; both live behind pack_sequences' `order_col`
+    knob. The oracle replays the DESC-ordered recurrence as a
+    recursive CTE; determinism of the length-descending sort is
+    exactly the id tiebreak pack_sequences already pins."""
+    from omniparser_spark.functions.text import token_count
+    from omniparser_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    ).withColumn("_ffd", -F.col("n_tokens"))
+    return pack_sequences(
+        d,
+        budget=256,
+        tokens_col="n_tokens",
+        id_col="doc_id",
+        shard=F.col("doc_id") % 8,
+        order_col="_ffd",
+    ).drop("_ord")
+
+
+@_q(
     "multimodal_audio_features",
     """
     WITH params AS (
