@@ -3199,6 +3199,38 @@ def _minhash_lsh(spark, sf_dir):
     return minhash_lsh_candidates(d2, num_hashes=16, bands=4, k=3)
 
 
+@_q("dedup_neardup_registry", _minhash_lsh_oracle_sql(16, 4))
+def _neardup_registry(spark, sf_dir):
+    """INCREMENTAL near-dup detection vs a persistent banded-LSH index
+    (operators/dedup_registry.py NearDupRegistry): the doubled corpus
+    arrives as two fenced batches (originals, then the +1M copies);
+    each batch probes the band-keyed lake table — pruned to the
+    batch's own band buckets, never a corpus self-join — then extends
+    it. The UNION of the two increments' pairs must hash-equal the
+    one-pass global LSH oracle: the identity that lets daily deltas
+    near-dedup against 100 TB of history at O(delta) probe cost."""
+    from omniparser_spark.operators.dedup_registry import NearDupRegistry
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (
+            F.lit("2026-01-01").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("ts"),
+    )
+    copies = d.withColumn("doc_id", F.col("doc_id") + 1000000)
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_ndreg_")
+    reg = NearDupRegistry(
+        spark, f"{tmp}/index", n_buckets=8, num_hashes=16, bands=4, k=3
+    )
+    p1 = reg.check_in(d, batch_id=0)
+    p2 = reg.check_in(copies, batch_id=1)
+    out = p1.unionByName(p2).persist()
+    out.count()
+    return out
+
+
 def _hyperplane_comp(seed: int, bit: int, j: int) -> float:
     import hashlib as _hl
 

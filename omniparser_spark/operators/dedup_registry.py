@@ -151,3 +151,171 @@ class DedupRegistry:
             "distinct_contents": self.table.read().count(),
             "batches": int(self.table.summary().get("batch_id", -1)) + 1,
         }
+
+
+NEARDUP_SCHEMA = (
+    "band_key string, doc_id long, sig array<bigint>, ts timestamp"
+)
+
+
+class NearDupRegistry:
+    """Incremental NEAR-duplicate detection against a persistent
+    banded-LSH index — the MinHash complement of :class:`DedupRegistry`:
+    instead of re-running LSH over the whole corpus per ingest, each
+    batch's band buckets probe (and then extend) a lake table keyed by
+    the band bucket itself.
+
+    The table's bucket key IS the band key, so the probe prunes to the
+    batch's own band buckets: per increment the cost is O(batch bands
+    + touched buckets + candidate pairs), never a corpus self-join.
+    Emitted pairs are (id_a < id_b, est_jaccard from full-signature
+    agreement) covering new-vs-seen AND new-vs-new; a pair of two
+    already-seen documents was emitted by the increment that completed
+    it and is never re-emitted. Batches must be disjoint document
+    sets in feed order (the pipeline's slice contract); insertion is
+    batch-fenced.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 16,
+        num_hashes: int = 16,
+        bands: int = 4,
+        k: int = 3,
+    ):
+        assert num_hashes % bands == 0
+        self.spark = spark
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.k = k
+        if LakeTable.exists(path):
+            self.table = LakeTable.load(spark, path)
+        else:
+            self.table = LakeTable.create(
+                spark,
+                path,
+                NEARDUP_SCHEMA,
+                key_col="band_key",
+                n_buckets=n_buckets,
+                merge_keys=("band_key", "doc_id"),
+            )
+
+    def _banded(self, batch: DataFrame, id_col: str, text_col: str):
+        from omniparser_spark.operators.dedup_text import (
+            with_minhash_signature,
+        )
+
+        r = self.num_hashes // self.bands
+        base = with_minhash_signature(
+            batch.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(text_col),
+                F.col("ts"),
+            ),
+            text_col=text_col,
+            out_col="sig",
+            num_hashes=self.num_hashes,
+            k=self.k,
+        )
+        return base.select(
+            "doc_id",
+            "sig",
+            "ts",
+            F.posexplode(
+                F.array(*[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.md5(
+                            F.array_join(
+                                F.slice("sig", b * r + 1, r), ","
+                            )
+                        ),
+                    )
+                    for b in range(self.bands)
+                ])
+            ).alias("_band_idx", "band_key"),
+        ).drop("_band_idx")
+
+    def check_in(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Probe + extend. Returns (id_a, id_b, est_jaccard) for every
+        candidate pair the batch completes. The pair frame is computed
+        against the registry state BEFORE this batch's insertion (read
+        pins the snapshot), so re-running a fenced batch returns the
+        same pairs without duplicating index rows."""
+        from omniparser_spark.lake.table import bucket_expr
+
+        new = self._banded(batch, id_col, text_col).persist()
+        try:
+            summary = self.table.summary()
+            touched = sorted(
+                int(r["_b"])
+                for r in new.select(
+                    bucket_expr(
+                        "band_key", int(summary["n_buckets"])
+                    ).alias("_b")
+                ).distinct().collect()
+            )
+            old = self.table.read(buckets=touched).join(
+                new.select("band_key").distinct(), "band_key", "leftsemi"
+            )
+            cross = new.alias("n").join(
+                old.alias("o"), "band_key"
+            ).select(
+                F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("id_a"),
+                F.greatest(
+                    F.col("n.doc_id"), F.col("o.doc_id")
+                ).alias("id_b"),
+                F.col("n.sig").alias("sig_a"),
+                F.col("o.sig").alias("sig_b"),
+            )
+            intra = new.alias("a").join(
+                new.alias("b"),
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            ).select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
+            )
+            pairs = cross.unionByName(intra).dropDuplicates(
+                ["id_a", "id_b"]
+            )
+            est = (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            "sig_a", "sig_b", lambda x, y: x == y
+                        ),
+                        lambda v: v,
+                    )
+                )
+                / F.lit(self.num_hashes)
+            )
+            out = pairs.select(
+                "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
+            )
+            out = out.persist()
+            out.count()  # pin pairs against the pre-insert snapshot
+            merge_into(
+                self.table,
+                new.select(
+                    "band_key", "doc_id", "sig", "ts",
+                    F.lit(int(batch_id)).cast("long").alias("offset"),
+                    F.lit("I").alias("op"),
+                ),
+                batch_id=batch_id,
+                max_offset=batch_id,
+                observe_stats=False,
+            )
+            return out
+        finally:
+            new.unpersist()

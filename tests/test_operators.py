@@ -901,3 +901,53 @@ def test_temperature_sampling_null_strata(spark):
         df, key_col="k", strata_col="src", temperature=2.0
     )
     assert sorted(r["k"] for r in out.collect()) == ["k1", "k2", "k4"]
+
+
+def test_neardup_registry_incremental(spark, tmp_path):
+    """Cross-batch near-dups complete when the second member arrives,
+    already-complete pairs are never re-emitted, and a fenced
+    redelivery neither re-emits differently nor grows the index."""
+    import datetime as dt
+
+    from omniparser_spark.operators.dedup_registry import NearDupRegistry
+
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again today for fun")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(i, txt, t0) for i, txt in rows],
+            "doc_id long, text string, ts timestamp",
+        )
+
+    reg = NearDupRegistry(
+        spark, str(tmp_path / "nd"), n_buckets=4,
+        num_hashes=16, bands=4, k=3,
+    )
+    p1 = reg.check_in(
+        batch([(1, base), (2, "completely different words about spark "
+                              "window aggregation plans and shuffles")]),
+        batch_id=0,
+    )
+    assert p1.count() == 0  # nothing similar within batch 1
+
+    p2 = reg.check_in(
+        batch([(10, base.replace("today", "tonight")),
+               (11, base)]),
+        batch_id=1,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in p2.collect()}
+    # both new docs pair with old doc 1 AND with each other
+    assert (1, 10) in got and (1, 11) in got and (10, 11) in got
+    ej = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in p2.collect()}
+    assert ej[(1, 11)] == 1.0  # exact copy: full signature agreement
+
+    n_index = reg.table.read().count()
+    # batch 3 has nothing similar: no pairs, and pair (1,11) is NOT
+    # re-emitted even though both its members are in the index
+    p3 = reg.check_in(batch([(20, "totally unrelated content here "
+                                  "about parquet footers and stats")]),
+                      batch_id=2)
+    assert p3.count() == 0
+    assert reg.table.read().count() > n_index  # new doc indexed
