@@ -179,6 +179,14 @@ def merge_into(
     :meth:`LakeTable.publish`. The batch fence still reads the
     PUBLISHED head, so a crashed (never-published) stage is simply
     re-staged on re-delivery — exactly-once composes with WAP.
+
+    `observe_stats=True` (the default) REQUIRES the commit write to be
+    non-empty: a CollectMetrics node on an empty relation never fires
+    and ``obs.get`` blocks forever. Callers whose batches can
+    legitimately be empty (registries under full replay, view syncs
+    over changelog-neutral version ranges, all-late history batches,
+    foreachBatch clones) must pass ``observe_stats=False``; the batch
+    fence and the commit itself work fine on empty writes.
     """
     summary = table.summary()
     if batch_id <= int(summary.get("batch_id", -1)):

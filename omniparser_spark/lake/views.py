@@ -213,8 +213,12 @@ def create_rollup_view(
             F.lit("U").alias("op"),
         )
     )
+    # observe_stats=False: a view bootstrapped over an EMPTY source
+    # produces an empty commit write, and a write Observation never
+    # completes on an empty relation (the obs.get hang class)
     merge_into(
-        view, rows, batch_id=0, keys=(group_col,), max_offset=src_version
+        view, rows, batch_id=0, keys=(group_col,),
+        max_offset=src_version, observe_stats=False,
     )
     table.create_tag(_view_tag(path), src_version)
     return view
@@ -348,12 +352,16 @@ def sync_rollup_view(
         # a group whose live-row count reaches zero leaves the view
         F.when(new_n <= 0, "D").otherwise("U").alias("op"),
     )
+    # observe_stats=False: a version range whose commits are all
+    # changelog-neutral (compaction, erasure) yields ZERO changed
+    # groups — an empty merge write would hang its Observation
     rec = merge_into(
         view,
         rows,
         batch_id=int(vsum.get("batch_id", -1)) + 1,
         keys=(group_col,),
         max_offset=to_v,
+        observe_stats=False,
     )
     if rec is not None:
         # hand off: advance the primary pin to the new frontier (ONE
@@ -369,5 +377,7 @@ def sync_rollup_view(
         "fenced": rec is None,
         "from_version": from_version,
         "to_version": to_v,
-        "groups_touched": rec.get("rows_written", 0) if rec else 0,
+        # counted directly (the merge's Observation is off — see above);
+        # one extra action over the O(changed groups) delta frame
+        "groups_touched": rows.count() if rec is not None else 0,
     }

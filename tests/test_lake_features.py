@@ -1528,3 +1528,56 @@ def test_history_sink_all_late_batch_returns_and_fences(spark, tmp_path):
     assert rec is not None and rec["late_events"] == 1
     assert int(sink.table.summary()["batch_id"]) == 1
     assert sink.read().count() == 1  # history unchanged
+
+
+def test_view_sync_over_changelog_neutral_commits_returns(
+    spark, tmp_path
+):
+    """Review-class regression: a sync whose version range contains
+    only changelog-neutral commits (compaction) produces ZERO changed
+    groups and must RETURN (no empty-write Observation hang) while
+    still advancing the view frontier."""
+    from omniparser_spark.lake.views import (
+        create_rollup_view,
+        sync_rollup_view,
+    )
+
+    t = _make(spark, tmp_path)  # 2 batches applied
+    view = create_rollup_view(
+        spark, str(tmp_path / "v"), t, group_col="conv_id"
+    )
+    # bootstrap + split each bucket into extra files, then compact:
+    # a version advance with zero changelog rows
+    t.compact_buckets(min_files=1, buckets=None)  # may no-op
+    # force a neutral commit even when compaction found nothing:
+    # rewrite bucket 0's content verbatim
+    cur = t.current()
+    from pyspark.sql import functions as F
+
+    from omniparser_spark.lake.table import bucket_expr
+
+    content = t.read(buckets=[0], include_hidden=True).withColumn(
+        "_bucket", bucket_expr("conv_id", int(t.summary()["n_buckets"]))
+    )
+    t.commit(
+        content,
+        touched_buckets=[0],
+        summary_updates={},
+        bucket_stats_updates={
+            0: cur.bucket_stats.get("0", 10**9)
+        },
+    )
+    rec = sync_rollup_view(t, view, group_col="conv_id")
+    assert rec["fenced"] is False
+    assert rec["groups_touched"] == 0
+    assert rec["to_version"] == t.current().version
+    # and the view still matches a full recompute
+    want = sorted(
+        (r["conv_id"], r["count"])
+        for r in t.read().groupBy("conv_id").count().collect()
+    )
+    got = sorted(
+        (r["conv_id"], r["n_rows"])
+        for r in view.read().select("conv_id", "n_rows").collect()
+    )
+    assert got == want
