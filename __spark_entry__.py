@@ -6315,28 +6315,39 @@ def _fix_artifacts(spark, sf_dir):
       SELECT vec_id % 40 AS conv_id, vec_id, embedding FROM embeddings
     ),
     agg AS (
-      SELECT conv_id, count(*)::INT AS n_members,
-             list(embedding ORDER BY vec_id) AS vecs
+      SELECT conv_id, list(embedding ORDER BY vec_id) AS all_vecs
       FROM g GROUP BY 1
+    ),
+    dimd AS (
+      SELECT conv_id, all_vecs,
+             len(list_filter(all_vecs, v -> v IS NOT NULL)[1]) AS dim
+      FROM agg
+    ),
+    kept AS (
+      SELECT conv_id, len(all_vecs) AS n_all,
+             list_filter(all_vecs,
+                         v -> v IS NOT NULL AND len(v) = dim) AS vecs
+      FROM dimd
     )
-    SELECT conv_id, n_members,
+    SELECT conv_id, len(vecs)::INT AS n_members,
+           (n_all - len(vecs))::INT AS n_dropped,
            round(list_sum(list_transform(vecs, v -> v[1]::DOUBLE))
-                 / n_members, 6) AS m0,
+                 / len(vecs), 6) AS m0,
            round(list_sum(list_transform(vecs, v -> v[2]::DOUBLE))
-                 / n_members, 6) AS m1,
+                 / len(vecs), 6) AS m1,
            round(list_sum(list_transform(vecs, v -> v[3]::DOUBLE))
-                 / n_members, 6) AS m2,
+                 / len(vecs), 6) AS m2,
            round(list_sum(list_transform(vecs, v -> v[4]::DOUBLE))
-                 / n_members, 6) AS m3,
+                 / len(vecs), 6) AS m3,
            round(list_sum(list_transform(vecs, v -> v[5]::DOUBLE))
-                 / n_members, 6) AS m4,
+                 / len(vecs), 6) AS m4,
            round(list_sum(list_transform(vecs, v -> v[6]::DOUBLE))
-                 / n_members, 6) AS m5,
+                 / len(vecs), 6) AS m5,
            round(list_sum(list_transform(vecs, v -> v[7]::DOUBLE))
-                 / n_members, 6) AS m6,
+                 / len(vecs), 6) AS m6,
            round(list_sum(list_transform(vecs, v -> v[8]::DOUBLE))
-                 / n_members, 6) AS m7
-    FROM agg
+                 / len(vecs), 6) AS m7
+    FROM kept
     """,
 )
 def _embedding_pooling(spark, sf_dir):
@@ -6358,6 +6369,7 @@ def _embedding_pooling(spark, sf_dir):
     return p.select(
         "conv_id",
         "n_members",
+        "n_dropped",
         *[
             F.round(F.col("pooled")[i], 6).alias(f"m{i}")
             for i in range(8)

@@ -26,9 +26,11 @@ Exactly-once contract (mirrors the ingest side's batch fence):
   bookkeeping.
 - Each export batch writes to its own `batch-<from>-<to>` directory;
   the directory is written BEFORE the manifest advances (a crash
-  between the two leaves an orphan directory that the next export of
-  the same range simply overwrites — re-export is idempotent because
-  frames are a deterministic function of the rows).
+  between the two leaves an orphan directory).  On export start, any
+  `batch-*` directory the manifest doesn't list is deleted, so orphans
+  are reclaimed even when the frontier moved between crash and retry
+  and the retry's range (hence dir name) differs; re-export is
+  idempotent because frames are a deterministic function of the rows.
 - A re-delivered `export()` call after the manifest advanced is a
   fenced no-op (returns `fenced: True`, writes nothing).
 
@@ -163,6 +165,20 @@ def export_changelog(
             "to_offset": to_offset,
             "n_records": 0,
         }
+
+    # Reclaim orphans from crashed exports: if the table frontier
+    # advanced between a crash and this retry, the retry writes
+    # batch-<from>-<newTo> and the old batch-<from>-<oldTo> dir would
+    # never be overwritten, manifest-listed, or cleaned (an unbounded
+    # disk leak in a crash loop).  Delete any batch dir the manifest
+    # doesn't own before writing the new one — consumers only read
+    # manifest-listed dirs, so this is invisible to them.
+    import shutil
+
+    owned = {b["dir"] for b in manifest["batches"]}
+    for name in os.listdir(out_dir):
+        if name.startswith("batch-") and name not in owned:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
 
     changes = table.read_changes(from_offset, to_offset)
     frames = encoder(changes)

@@ -152,6 +152,51 @@ class DedupRegistry:
             "batches": int(self.table.summary().get("batch_id", -1)) + 1,
         }
 
+    def maintain(
+        self,
+        retention_batches: int | None = None,
+        min_files: int = 2,
+    ) -> dict[str, Any]:
+        """Registry lifecycle maintenance — run at the ingest loop's
+        tail (daily / every K batches), like the CDC loop's expiry.
+
+        The registry grows monotonically by design (it IS the seen
+        set), but without maintenance two things rot at 100 TB scale:
+
+        - every check-in leaves one more file per touched bucket, so
+          after N batches a probe opens O(N) files per bucket —
+          ``compact_buckets`` folds each back to ONE file, restoring
+          probe cost to O(batch + touched buckets) regardless of how
+          many batches ever ran;
+        - each merge snapshot retains the previous copy of every
+          touched bucket — ``expire_snapshots`` reclaims them.
+
+        `retention_batches` optionally bounds the registry's MEMORY:
+        hashes first seen more than that many batches ago are
+        physically erased (dedup-against-a-horizon, e.g. "dedup within
+        the last 90 daily batches"). The documented trade: content
+        older than the horizon re-entering the corpus is no longer
+        flagged — it re-registers as first-seen. Omit for the
+        full-history registry. The erasure rewrites every bucket
+        (the predicate is on a non-key column) — an O(table)
+        maintenance pass, amortized across the retention window.
+        """
+        out: dict[str, Any] = {}
+        if retention_batches is not None:
+            cutoff = (
+                int(self.table.summary().get("batch_id", -1))
+                - int(retention_batches)
+                + 1
+            )
+            erased = self.table.erase_where(
+                F.col("first_seen_batch") < cutoff
+            )
+            out["expired_hashes"] = erased["rows_erased"]
+            out["retention_cutoff_batch"] = cutoff
+        out["compaction"] = self.table.compact_buckets(min_files=min_files)
+        out["snapshots_expired"] = self.table.expire_snapshots(keep_last=1)
+        return out
+
 
 NEARDUP_SCHEMA = (
     "band_key string, doc_id long, sig array<bigint>, ts timestamp"
@@ -319,3 +364,51 @@ class NearDupRegistry:
             return out
         finally:
             new.unpersist()
+
+    def maintain(
+        self,
+        cap_band_size: int | None = None,
+        min_files: int = 2,
+    ) -> dict[str, Any]:
+        """Index lifecycle maintenance — the band-bucket table is the
+        registry that actually threatens to become the biggest table
+        in the lake (num_bands rows per document, forever), so it gets
+        the same fold/expire tail as the exact registry plus one LSH-
+        specific guard:
+
+        `cap_band_size`: band keys matched by more than this many
+        documents are SATURATED — boilerplate bands (empty docs,
+        templated headers) whose members are near-dups of everything
+        and each other, exactly the stop-shingle phenomenon
+        ``dedup_text.minhash`` df-caps at signature time. A saturated
+        band contributes O(band²) candidate pairs per probe while
+        carrying almost no signal (its members' OTHER bands still
+        match any genuinely similar pair). Maintenance erases the
+        saturated bands' rows — bucket-pruned via the band keys, so
+        the rewrite is O(saturated buckets) — and reports which keys
+        were dropped so the operator can alert on them.
+
+        Compaction + snapshot expiry then restore one file per bucket
+        (probe cost back to O(batch bands + touched buckets) no matter
+        how many check-ins ran) and reclaim superseded snapshot dirs.
+        """
+        out: dict[str, Any] = {}
+        if cap_band_size is not None:
+            hot = [
+                r["band_key"]
+                for r in self.table.read()
+                .groupBy("band_key")
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("n") > int(cap_band_size))
+                .select("band_key")
+                .collect()
+            ]
+            if hot:
+                erased = self.table.erase_where(
+                    F.col("band_key").isin(hot), key_values=hot
+                )
+                out["saturated_rows_erased"] = erased["rows_erased"]
+            out["saturated_band_keys"] = sorted(hot)
+        out["compaction"] = self.table.compact_buckets(min_files=min_files)
+        out["snapshots_expired"] = self.table.expire_snapshots(keep_last=1)
+        return out

@@ -413,8 +413,17 @@ def pool_embeddings(
     Determinism: members fold in `order_col` order (collect ->
     array_sort -> sequential zip_with fold), so the float summation
     sequence — hence the result — is identical under any partitioning
-    and reproducible in SQL. Returns (group_col, n_members, pooled:
-    array<double>).
+    and reproducible in SQL. Returns (group_col, n_members, n_dropped,
+    pooled: array<double>).
+
+    Ragged members: the group's dimension is the first (by order_col)
+    non-NULL member's size; members with a NULL vector or a different
+    size are EXCLUDED from the pool and counted in `n_dropped` instead
+    of silently NULLing the pooled tail (zip_with pads the shorter
+    array with NULLs — one bad member would corrupt the whole group's
+    vector). `n_members` counts only pooled members; an all-bad group
+    surfaces n_members=0 with a NULL pooled. Continuable-error
+    posture: bad members are loud in the counts, never fatal.
 
     One groupBy on the group key; the fold runs inside the aggregate's
     output row — no per-element explode, no second shuffle.
@@ -423,10 +432,15 @@ def pool_embeddings(
         F.col(order_col).alias("_o"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    dim = F.size(F.col("_vecs")[0])
+    # F.get (not [0]): NULL on empty under ANSI, no fault
+    dim = F.size(F.get(F.filter(F.col("_all"), lambda v: v.isNotNull()), 0))
+    vecs = F.filter(
+        F.col("_all"), lambda v: v.isNotNull() & (F.size(v) == dim)
+    )
+    n_members = F.size(vecs)
     zero = F.array_repeat(F.lit(0.0), dim)
     summed = F.aggregate(
-        F.col("_vecs"),
+        vecs,
         zero,
         lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
     )
@@ -436,13 +450,17 @@ def pool_embeddings(
             F.transform(
                 F.array_sort(F.collect_list(member)),
                 lambda s: s.getField("_v"),
-            ).alias("_vecs")
+            ).alias("_all")
         )
         .select(
             group_col,
-            F.size(F.col("_vecs")).cast("int").alias("n_members"),
-            F.transform(
-                summed, lambda x: x / F.size(F.col("_vecs"))
+            n_members.cast("int").alias("n_members"),
+            (F.size(F.col("_all")) - n_members)
+            .cast("int")
+            .alias("n_dropped"),
+            F.when(
+                n_members > 0,
+                F.transform(summed, lambda x: x / n_members),
             ).alias("pooled"),
         )
     )

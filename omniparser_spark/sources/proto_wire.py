@@ -258,9 +258,12 @@ def encode_wire(
     if not msg_indexes:
         out.append(0)  # Confluent shorthand for path [0]
     else:
-        write_uvarint(len(msg_indexes), out)
+        # Confluent framing zigzag-encodes the message-index count and
+        # each index (they're non-negative, so zigzag = n*2); a genuine
+        # Kafka Connect frame with path [1] is bytes 0x02 0x02.
+        write_uvarint(_zigzag(len(msg_indexes)), out)
         for i in msg_indexes:
-            write_uvarint(i, out)
+            write_uvarint(_zigzag(i), out)
     out.extend(encode_message(fields, record))
     return bytes(out)
 
@@ -277,9 +280,11 @@ def decode_wire(
     if fields is None:
         raise ProtoError(f"unknown schema id {schema_id}")
     pos = 5
+    # message-index count + values are ZIGZAG varints (0x00 doubles as
+    # the shorthand for path [0]: zigzag(0) == 0).
     n_idx, pos = read_uvarint(payload, pos)
-    for _ in range(n_idx):
-        _, pos = read_uvarint(payload, pos)  # message-index path
+    for _ in range(_unzigzag(n_idx)):
+        _, pos = read_uvarint(payload, pos)  # zigzag index, skipped
     rec = decode_message(fields, payload, pos)
     rec["_schema_id"] = schema_id
     return rec

@@ -18,12 +18,44 @@ runs unwatermarked with complete per-epoch application.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from omniparser_spark.cdc.pipeline import CdcPipeline
+
+
+def _stable_base_batch_id(pipeline: CdcPipeline, checkpoint_dir: str) -> int:
+    """Batch-id base for this stream, persisted ONCE at stream creation.
+
+    Batch ids must be a pure function of the Structured Streaming epoch
+    id so that a replayed epoch re-presents its ORIGINAL batch id and
+    trips the table-side batch fence (a complete no-op, side outputs
+    included). Re-reading ``checkpoints.next_batch_id()`` on every
+    (re)start breaks that: after a crash between the pipeline's commit
+    of an epoch and the stream checkpoint's commit, the restart re-reads
+    a HIGHER base, the replayed epoch gets a fresh batch id, and the
+    quarantine/metrics side outputs double-count. So the base is read
+    from the pipeline checkpoint only the first time this stream
+    checkpoint dir is used, then pinned in a marker file alongside it.
+
+    Interleaving batch-mode ``apply_batch`` calls with a live stream
+    checkpoint would make pinned ids collide with batch-mode ids; that
+    mixing is unsupported (one writer per pipeline checkpoint).
+    """
+    marker = os.path.join(checkpoint_dir, "_base_batch_id")
+    if os.path.exists(marker):
+        with open(marker, "r", encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    base = pipeline.checkpoints.next_batch_id()
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(base))
+    os.replace(tmp, marker)
+    return base
 
 
 def run_streaming_apply(
@@ -65,9 +97,11 @@ def run_streaming_apply(
         .parquet(feed_path)
     )
 
-    # offset the epoch by any batches the checkpoint already applied so
-    # a restarted stream keeps monotonic batch ids
-    base_batch_id = pipeline.checkpoints.next_batch_id()
+    # base pinned at stream creation (NOT re-read per restart): batch id
+    # = base + epoch_id stays stable across crash replays, so the batch
+    # fence makes a re-delivered epoch a complete no-op.
+    stream_cp = f"{pipeline.checkpoints.path}/_stream_checkpoint"
+    base_batch_id = _stable_base_batch_id(pipeline, stream_cp)
 
     def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         bounds = batch_df.agg(
@@ -86,10 +120,7 @@ def run_streaming_apply(
     try:
         q = (
             stream.writeStream.foreachBatch(apply_epoch)
-            .option(
-                "checkpointLocation",
-                f"{pipeline.checkpoints.path}/_stream_checkpoint",
-            )
+            .option("checkpointLocation", stream_cp)
             .trigger(availableNow=True)
             .start()
         )
@@ -157,7 +188,10 @@ def run_streaming_cdc_topic(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(feed_path)
     )
-    base_batch_id = pipeline.checkpoints.next_batch_id()
+    # same pinned-base discipline as run_streaming_apply: replayed
+    # epochs must re-present their original batch id to the fence.
+    stream_cp = f"{pipeline.checkpoints.path}/_stream_checkpoint"
+    base_batch_id = _stable_base_batch_id(pipeline, stream_cp)
 
     def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         canon = canon_from_cdc_envelope(decode(batch_df), dialect)
@@ -178,10 +212,7 @@ def run_streaming_cdc_topic(
     try:
         q = (
             stream.writeStream.foreachBatch(apply_epoch)
-            .option(
-                "checkpointLocation",
-                f"{pipeline.checkpoints.path}/_stream_checkpoint",
-            )
+            .option("checkpointLocation", stream_cp)
             .trigger(availableNow=True)
             .start()
         )

@@ -91,3 +91,49 @@ def test_export_round_trips_and_fences(spark, tmp_path):
     manifest = read_export_manifest(out)
     assert manifest["frontier"] == 4
     assert len(manifest["batches"]) == 2
+
+
+def test_export_reclaims_orphans_after_crash_with_moved_frontier(
+    spark, tmp_path
+):
+    """Crash after the batch dir write but before the manifest advance,
+    then the table frontier moves: the retry's range (hence dir name)
+    differs, so the orphan can never be overwritten — export must
+    delete un-manifested batch dirs on start (consumers only read
+    manifest-listed dirs, so reclamation is invisible to them)."""
+    import os
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="conv_id",
+        n_buckets=4, merge_keys=("conv_id", "turn_idx"),
+    )
+    merge_into(
+        t, _b(spark, [("a", 1, "a1", 0, "I")]), batch_id=0, max_offset=0
+    )
+    out = str(tmp_path / "sink")
+    os.makedirs(out, exist_ok=True)
+    # simulate the crash artifact: batch dir exists, manifest never
+    # advanced past it (and would name a narrower range than the retry)
+    orphan = os.path.join(out, "batch-0-0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "wb") as f:
+        f.write(b"crashed partial write")
+
+    # frontier moves before the retry
+    merge_into(
+        t, _b(spark, [("b", 1, "b1", 1, "I")]), batch_id=1, max_offset=1
+    )
+    rec = export_changelog(t, out)
+    assert (rec["from_offset"], rec["to_offset"]) == (0, 1)
+    assert not os.path.exists(orphan)  # reclaimed, not leaked
+
+    manifest = read_export_manifest(out)
+    dirs_on_disk = sorted(
+        d for d in os.listdir(out) if d.startswith("batch-")
+    )
+    assert dirs_on_disk == sorted(b["dir"] for b in manifest["batches"])
+    # and a healthy re-run never deletes manifest-owned dirs
+    export_changelog(t, out)
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("batch-")
+    ) == dirs_on_disk

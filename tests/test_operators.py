@@ -803,6 +803,31 @@ def test_pool_embeddings_order_and_invariance(spark):
     assert rep == {k: v for k, (_n, v) in got.items()}
 
 
+def test_pool_embeddings_ragged_members_quarantined(spark):
+    """A NULL or wrong-dimension member must be dropped and counted,
+    not silently NULL the pooled tail for the whole group (zip_with
+    pads short arrays with NULLs)."""
+    from omniparser_spark.operators.similarity import pool_embeddings
+
+    rows = [
+        ("c1", 1, [2.0, 4.0]),
+        ("c1", 2, [6.0]),            # ragged: shorter
+        ("c1", 3, [4.0, 8.0, 1.0]),  # ragged: longer
+        ("c1", 4, None),             # NULL member
+        ("c1", 5, [4.0, 0.0]),
+        ("c2", 1, None),             # all-bad group
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, vec_id int, embedding array<double>"
+    )
+    got = {
+        r["conv_id"]: (r["n_members"], r["n_dropped"], r["pooled"])
+        for r in pool_embeddings(df, "conv_id").collect()
+    }
+    assert got["c1"] == (2, 3, [3.0, 2.0])
+    assert got["c2"] == (0, 1, None)
+
+
 def test_bigram_lm_stupid_backoff(spark):
     """Fluent (reference-like) sequences score lower than shuffled
     ones with identical unigram mass; first-token and OOV charging;
@@ -951,3 +976,136 @@ def test_neardup_registry_incremental(spark, tmp_path):
                       batch_id=2)
     assert p3.count() == 0
     assert reg.table.read().count() > n_index  # new doc indexed
+
+
+def _snapshot_files_per_bucket(table):
+    """Probe cost proxy: parquet files per bucket in the CURRENT
+    snapshot (what a bucket-pruned read actually opens)."""
+    from collections import Counter
+
+    counts = Counter()
+    for r in table.meta("files").collect():
+        counts[r["bucket"]] += 1
+    return counts
+
+
+def _disk_parquet_files(table_path):
+    """Disk-growth proxy: every parquet file under the table dir,
+    superseded snapshots included."""
+    import glob as g
+
+    return len(g.glob(f"{table_path}/data/**/*.parquet", recursive=True))
+
+
+def test_dedup_registry_maintain_lifecycle(spark, tmp_path):
+    """After N check-ins the probe cost must not degrade to O(N) files
+    per bucket: maintain() folds every bucket back to one file and
+    expires superseded snapshots, with probe answers unchanged; the
+    retention knob physically erases hashes older than the horizon
+    (re-entering content re-registers — the documented trade)."""
+    import datetime as dt
+
+    from omniparser_spark.operators.dedup_registry import DedupRegistry
+
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(i, txt, t0) for i, txt in rows],
+            "doc_id long, text string, ts timestamp",
+        )
+
+    reg = DedupRegistry(spark, str(tmp_path / "reg"), n_buckets=4)
+    n_batches = 6
+    for b in range(n_batches):
+        reg.check_in(
+            batch([(b * 10 + j, f"doc {b} {j}") for j in range(8)]),
+            batch_id=b,
+        )
+    # COW merges keep the CURRENT snapshot at one file per touched
+    # bucket, but every batch leaves a superseded copy on disk
+    disk_before = _disk_parquet_files(str(tmp_path / "reg"))
+    assert disk_before > len(_snapshot_files_per_bucket(reg.table))
+
+    rec = reg.maintain()
+    after = _snapshot_files_per_bucket(reg.table)
+    assert after and set(after.values()) == {1}  # probe: 1 file/bucket
+    # superseded snapshots physically reclaimed
+    assert _disk_parquet_files(str(tmp_path / "reg")) == sum(after.values())
+    assert rec["snapshots_expired"] >= 1
+    assert rec["compaction"]["files_after"] <= rec["compaction"]["files_before"]
+
+    # probe answers unchanged after maintenance
+    out = {
+        r["doc_id"]: (r["is_dup"], r["canonical_id"])
+        for r in reg.check_in(
+            batch([(100, "doc 0 0"), (101, "brand new")]),
+            batch_id=n_batches,
+        ).collect()
+    }
+    assert out == {100: (True, 0), 101: (False, 101)}
+
+    # retention horizon: only hashes first seen in the last 3 batches
+    # (cutoff excludes batches 0..3 given head batch_id=6) survive
+    n_all = reg.stats()["distinct_contents"]
+    rec2 = reg.maintain(retention_batches=3)
+    assert rec2["expired_hashes"] > 0
+    assert reg.stats()["distinct_contents"] == n_all - rec2["expired_hashes"]
+    # expired content re-registers as first-seen (not flagged dup)
+    out2 = {
+        r["doc_id"]: r["is_dup"]
+        for r in reg.check_in(
+            batch([(200, "doc 0 1")]), batch_id=n_batches + 1
+        ).collect()
+    }
+    assert out2 == {200: False}
+
+
+def test_neardup_registry_maintain_saturated_bands(spark, tmp_path):
+    """Compaction restores one file per bucket, and cap_band_size
+    erases boilerplate bands (the stop-shingle analogue) so a probe
+    into a saturated band stops paying O(band^2) candidates."""
+    import datetime as dt
+
+    from omniparser_spark.operators.dedup_registry import NearDupRegistry
+
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    boiler = "lorem ipsum dolor sit amet the same header every time"
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(i, txt, t0) for i, txt in rows],
+            "doc_id long, text string, ts timestamp",
+        )
+
+    reg = NearDupRegistry(
+        spark, str(tmp_path / "nd"), n_buckets=4,
+        num_hashes=16, bands=4, k=3,
+    )
+    # 3 batches of identical boilerplate docs -> every band saturates
+    for b in range(3):
+        reg.check_in(
+            batch([(b * 10 + j, boiler) for j in range(4)]), batch_id=b
+        )
+    disk_before = _disk_parquet_files(str(tmp_path / "nd"))
+    assert disk_before > len(_snapshot_files_per_bucket(reg.table))
+
+    rec = reg.maintain(cap_band_size=8)
+    assert rec["saturated_band_keys"]  # the boilerplate bands
+    assert rec["saturated_rows_erased"] > 0
+    after = _snapshot_files_per_bucket(reg.table)
+    assert not after or set(after.values()) == {1}
+    assert _disk_parquet_files(str(tmp_path / "nd")) == sum(after.values())
+
+    # a new boilerplate doc no longer drowns in O(band) candidates —
+    # the saturated bands are gone from the index
+    pairs = reg.check_in(batch([(90, boiler)]), batch_id=3)
+    assert pairs.count() == 0
+    # while genuinely-new similar content still pairs via live bands
+    novel = ("completely fresh sentence with distinctive tokens about "
+             "arrow batches and bucket pruning in the lake")
+    reg.check_in(batch([(91, novel)]), batch_id=4)
+    p = reg.check_in(
+        batch([(92, novel.replace("fresh", "new"))]), batch_id=5
+    )
+    assert {(r["id_a"], r["id_b"]) for r in p.collect()} == {(91, 92)}

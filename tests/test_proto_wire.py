@@ -97,10 +97,15 @@ def test_wire_framing():
     out = decode_wire(msg, CHANGE_REGISTRY)
     assert out["offset"] == 5 and out["tool"] == "search"
     assert out["_schema_id"] == 7
-    # explicit message-index path [1, 3]
+    # explicit message-index path [1, 3]: Confluent framing zigzag-
+    # encodes count and indexes (count 2 -> 0x04, 1 -> 0x02, 3 -> 0x06)
     msg2 = encode_wire(7, CHANGE_FIELDS, rec, msg_indexes=(1, 3))
-    assert msg2[5:8] == b"\x02\x01\x03"
+    assert msg2[5:9] == b"\x04\x02\x06"
     assert decode_wire(msg2, CHANGE_REGISTRY)["offset"] == 5
+    # a genuine Kafka Connect frame with path [1] is 0x02 0x02
+    msg3 = encode_wire(7, CHANGE_FIELDS, rec, msg_indexes=(1,))
+    assert msg3[5:7] == b"\x02\x02"
+    assert decode_wire(msg3, CHANGE_REGISTRY)["offset"] == 5
     with pytest.raises(ProtoError, match="bad magic"):
         decode_wire(b"\x01" + msg[1:], CHANGE_REGISTRY)
     with pytest.raises(ProtoError, match="unknown schema id"):

@@ -150,3 +150,65 @@ def test_unparseable_payload_ts_is_continuable(spark, tmp_path):
     assert t.count() == 2
     fallback = t.filter(F.col("turn_idx") == 1).collect()[0]
     assert fallback["ts"] == ts  # envelope ts won the coalesce
+
+
+def test_stream_epoch_replay_is_noop_including_side_outputs(
+    spark, tmp_path
+):
+    """Crash between the pipeline's commit of an epoch and the stream
+    checkpoint's commit: the restarted query replays that epoch with
+    the SAME epoch id. The batch id must be a pure function of the
+    epoch id (base pinned at stream creation, not re-read per restart),
+    so the replay trips the table-side batch fence and is a complete
+    no-op — quarantine dirs and metrics included, not just the MERGE."""
+    from omniparser_spark.sources.changefeed import FeedSpec, materialize_feed
+    from omniparser_spark.streaming import run_streaming_apply
+
+    feed_path = str(tmp_path / "feed")
+    materialize_feed(
+        spark, FeedSpec(n_events=300, n_convs=10, seed=7), feed_path,
+        num_partitions=4,
+    )
+    # one malformed row per file-epoch region so the replayed epoch
+    # would re-write its quarantine dir if the fence missed
+    ts = datetime.datetime(2024, 7, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(1000 + i, "U", "json", "{not json", ts, 0) for i in range(4)],
+        "offset long, op string, format string, payload string, "
+        "ts timestamp, source_part int",
+    ).coalesce(1).write.mode("append").parquet(feed_path)
+
+    qp = str(tmp_path / "dead")
+    ps = CdcPipeline(
+        spark, str(tmp_path / "st"), str(tmp_path / "sc"),
+        n_buckets=4, quarantine_path=qp,
+    )
+    recs1 = run_streaming_apply(ps, feed_path, max_files_per_trigger=2)
+    assert len(recs1) >= 2 and not any(r["fenced"] for r in recs1)
+    q_dirs_1 = sorted(glob.glob(f"{qp}/batch_id=*"))
+    n_quarantined_1 = sum(r["quarantined"] for r in recs1)
+    assert q_dirs_1 and n_quarantined_1 == 4
+
+    # simulate the crash: drop the stream checkpoint's commit marker
+    # for the last epoch (its pipeline-side commit already happened)
+    commits = sorted(
+        f
+        for f in os.listdir(f"{tmp_path}/sc/_stream_checkpoint/commits")
+        if not f.startswith(".")
+    )
+    os.remove(f"{tmp_path}/sc/_stream_checkpoint/commits/{commits[-1]}")
+    crc = f"{tmp_path}/sc/_stream_checkpoint/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    recs2 = run_streaming_apply(ps, feed_path, max_files_per_trigger=2)
+    # the replayed epoch re-presents its ORIGINAL batch id -> fenced
+    assert recs2 and all(r["fenced"] for r in recs2)
+    assert all(r["quarantined"] == 0 for r in recs2)
+    # side outputs did not double: same quarantine dirs, no new ones
+    assert sorted(glob.glob(f"{qp}/batch_id=*")) == q_dirs_1
+    # and the table is still the converged final state
+    n_turns = ps.read_table().count()
+    recs3 = run_streaming_apply(ps, feed_path, max_files_per_trigger=2)
+    assert not recs3  # nothing new to process
+    assert ps.read_table().count() == n_turns
