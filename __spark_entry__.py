@@ -7838,6 +7838,111 @@ def _multimodal_jpeg(spark, sf_dir):
     )
 
 
+@_q(
+    "multimodal_jpeg_color_features",
+    """
+    WITH params AS (
+      SELECT i AS media_id, 1 + i % 2 AS wm, 1 + (i * 2) % 3 AS hm
+      FROM generate_series(0, 49) t(i)
+    ),
+    mcus AS (
+      SELECT p.media_id, p.wm, p.hm,
+             (128 + 2 * (((mx.v * 31 + my.v * 17 + p.media_id) % 64)
+                         - 32))::DOUBLE AS yv,
+             (128 + 2 * (((mx.v * 13 + my.v * 7 + p.media_id) % 64)
+                         - 32))::DOUBLE AS cb,
+             (128 + 2 * (((mx.v * 5 + my.v * 23 + p.media_id) % 64)
+                         - 32))::DOUBLE AS cr
+      FROM params p
+      JOIN generate_series(0, 1) mx(v) ON mx.v < p.wm
+      JOIN generate_series(0, 2) my(v) ON my.v < p.hm
+    ),
+    chan AS (
+      SELECT media_id,
+             greatest(least(round(yv + 1.402 * (cr - 128)), 255),
+                      0)::INT AS r,
+             greatest(least(round(yv - 0.344136 * (cb - 128)
+                                  - 0.714136 * (cr - 128)), 255),
+                      0)::INT AS g,
+             greatest(least(round(yv + 1.772 * (cb - 128)), 255),
+                      0)::INT AS b
+      FROM mcus
+    ),
+    vals AS (SELECT media_id, unnest([r, g, b]) AS v FROM chan),
+    counts AS (
+      SELECT media_id, v // 16 AS bkt, 256 * count(*) AS c
+      FROM vals GROUP BY 1, 2
+    ),
+    buckets AS (SELECT v AS bkt FROM generate_series(0, 15) t(v)),
+    dense AS (
+      SELECT p.media_id, p.wm, p.hm, bu.bkt, coalesce(c.c, 0) AS c
+      FROM params p CROSS JOIN buckets bu
+      LEFT JOIN counts c ON c.media_id = p.media_id AND c.bkt = bu.bkt
+    )
+    SELECT media_id, (16 * wm)::INT AS width, (16 * hm)::INT AS height,
+           max(CASE WHEN bkt = 0 THEN c END)::BIGINT AS b0,
+           max(CASE WHEN bkt = 1 THEN c END)::BIGINT AS b1,
+           max(CASE WHEN bkt = 2 THEN c END)::BIGINT AS b2,
+           max(CASE WHEN bkt = 3 THEN c END)::BIGINT AS b3,
+           max(CASE WHEN bkt = 4 THEN c END)::BIGINT AS b4,
+           max(CASE WHEN bkt = 5 THEN c END)::BIGINT AS b5,
+           max(CASE WHEN bkt = 6 THEN c END)::BIGINT AS b6,
+           max(CASE WHEN bkt = 7 THEN c END)::BIGINT AS b7,
+           max(CASE WHEN bkt = 8 THEN c END)::BIGINT AS b8,
+           max(CASE WHEN bkt = 9 THEN c END)::BIGINT AS b9,
+           max(CASE WHEN bkt = 10 THEN c END)::BIGINT AS b10,
+           max(CASE WHEN bkt = 11 THEN c END)::BIGINT AS b11,
+           max(CASE WHEN bkt = 12 THEN c END)::BIGINT AS b12,
+           max(CASE WHEN bkt = 13 THEN c END)::BIGINT AS b13,
+           max(CASE WHEN bkt = 14 THEN c END)::BIGINT AS b14,
+           max(CASE WHEN bkt = 15 THEN c END)::BIGINT AS b15
+    FROM dense GROUP BY media_id, wm, hm
+    """,
+)
+def _multimodal_jpeg_color(spark, sf_dir):
+    """REAL baseline COLOR JPEG decode (operators/multimodal.py
+    make_jpeg_color + decode_jpeg_pixels): valid YCbCr 4:2:0 JFIF
+    streams — three components, two quant tables, class-0/1 Huffman
+    slots, interleaved MCU scan with per-component DC predictors —
+    decoded through Huffman + dequant + IDCT + chroma upsample + JFIF
+    RGB conversion inside the mapInPandas feature extractor. The
+    constant-MCU mosaic quantizes losslessly, so the RGB-byte
+    histogram must equal the oracle's closed-form YCbCr->RGB
+    replication (floor(x+0.5) rounding == SQL round() after the 0..255
+    clamp); a byte-level shortcut on the compressed stream cannot
+    reproduce the counts. Closes the r5 verdict's 'color JPEG is the
+    one user-visible codec gap' item."""
+    from omniparser_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        make_jpeg_color,
+    )
+
+    rows = []
+    for i in range(50):
+        w, h = 16 * (1 + i % 2), 16 * (1 + (i * 2) % 3)
+        rows.append(
+            (i, "image", bytearray(make_jpeg_color(w, h, seed=i)),
+             ("image/jpeg", w, h, 0))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media)
+    wm = 1 + F.col("media_id") % 2
+    hm = 1 + (F.col("media_id") * 2) % 3
+    width = (16 * wm).cast("int")
+    height = (16 * hm).cast("int")
+    total = (3 * width * height).cast("double")
+    return feats.select(
+        "media_id",
+        width.alias("width"),
+        height.alias("height"),
+        *[
+            F.round(F.col("features")[i] * total).cast("long").alias(f"b{i}")
+            for i in range(16)
+        ],
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

@@ -1018,20 +1018,29 @@ def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
     return encode_jpeg_blocks(width, height, blocks, quant)
 
 
-def decode_jpeg_quantized(blob: bytes):
-    """Parse + entropy-decode a baseline grayscale JPEG down to its
-    QUANTIZED coefficient blocks (natural order) — the lossless half of
-    the decoder, exactly invertible against encode_jpeg_blocks.
-    Returns (width, height, quant[64], blocks)."""
+def _parse_jpeg_stream(blob: bytes):
+    """Parse + entropy-decode a baseline JPEG (grayscale OR interleaved
+    multi-component) down to QUANTIZED coefficient blocks per
+    component — the lossless half of the decoder.
+
+    Returns ``(width, height, comps)`` where each comp is a dict:
+    ``id``, ``h``/``v`` (sampling factors), ``quant`` (natural order),
+    ``bpr`` (blocks per row in the component's own grid) and
+    ``blocks`` (64-lists, natural order, the component's raster block
+    order). Supported: baseline sequential (SOF0), 8-bit, one scan,
+    grayscale / 4:4:4 / 4:2:0; everything else raises loudly
+    (progressive, restart intervals, 16-bit quant, 4:2:2/4:1:1,
+    multi-scan) — honest gates, never a wrong decode.
+    """
     import struct
 
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
-    quant: list[int] | None = None
-    dc_tab: dict | None = None
-    ac_tab: dict | None = None
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict] = {}
     w = h = None
+    specs: list[dict] | None = None
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1055,14 +1064,34 @@ def decode_jpeg_quantized(blob: bytes):
                 nat = [0] * 64
                 for k in range(64):
                     nat[_ZIGZAG[k]] = tbl[k]
-                if pq_tq & 0xF == 0:
-                    quant = nat
+                qtabs[pq_tq & 0xF] = nat
                 i += 65
         elif code == 0xFFC0:  # SOF0 baseline
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG")
+            specs = []
+            for i in range(ncomp):
+                spec = body[6 + 3 * i : 9 + 3 * i]
+                if len(spec) < 3:
+                    raise ValueError("truncated SOF component spec")
+                specs.append(
+                    {
+                        "id": spec[0],
+                        "h": spec[1] >> 4,
+                        "v": spec[1] & 0xF,
+                        "tq": spec[2],
+                    }
+                )
+            samplings = sorted((c["h"], c["v"]) for c in specs)
+            if ncomp == 3 and samplings not in (
+                [(1, 1), (1, 1), (1, 1)],   # 4:4:4
+                [(1, 1), (1, 1), (2, 2)],   # 4:2:0
+            ):
                 raise NotImplementedError(
-                    "multi-component JPEG (color) not supported"
+                    "unsupported chroma sampling "
+                    + str([(c["h"], c["v"]) for c in specs])
+                    + " (only 4:4:4 and 4:2:0)"
                 )
         elif code in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                       0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
@@ -1076,27 +1105,45 @@ def decode_jpeg_quantized(blob: bytes):
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
-                tab = _huff_decode_map(bits, vals)
-                if tc_th >> 4 == 0:
-                    dc_tab = tab
-                else:
-                    ac_tab = tab
+                htabs[(tc_th >> 4, tc_th & 0xF)] = _huff_decode_map(
+                    bits, vals
+                )
                 i += 17 + n
         elif code == 0xFFDD:
             raise NotImplementedError("restart intervals not supported")
         elif code == 0xFFDA:  # SOS
-            if None in (quant, dc_tab, ac_tab, w, h):
-                raise ValueError("SOS before DQT/DHT/SOF0")
+            if specs is None or w is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            if ns != len(specs):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan JPEG"
+                )
+            scan_tabs: dict[int, tuple[dict, dict]] = {}
+            for i in range(ns):
+                cid, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                dc = htabs.get((0, tdta >> 4))
+                ac = htabs.get((1, tdta & 0xF))
+                if dc is None or ac is None:
+                    raise ValueError("scan references undeclared DHT")
+                scan_tabs[cid] = (dc, ac)
+            comps = []
+            for c in specs:
+                q = qtabs.get(c["tq"])
+                if q is None:
+                    raise ValueError("component references undeclared DQT")
+                comps.append({**c, "quant": q, "blocks": []})
             r = _BitReader(blob, pos)
-            nbx, nby = (w + 7) // 8, (h + 7) // 8
-            blocks = []
-            prev_dc = 0
-            for _ in range(nbx * nby):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            preds = {c["id"]: 0 for c in comps}
+
+            def one_block(c) -> list[int]:
+                dc_tab, ac_tab = scan_tabs[c["id"]]
                 zz = [0] * 64
                 s = r.symbol(dc_tab)
-                diff = _extend(r.bits(s), s)
-                prev_dc += diff
-                zz[0] = prev_dc
+                preds[c["id"]] += _extend(r.bits(s), s)
+                zz[0] = preds[c["id"]]
                 k = 1
                 while k < 64:
                     rs = r.symbol(ac_tab)
@@ -1114,30 +1161,189 @@ def decode_jpeg_quantized(blob: bytes):
                 nat = [0] * 64
                 for i in range(64):
                     nat[_ZIGZAG[i]] = zz[i]
-                blocks.append(nat)
-            return w, h, quant, blocks
+                return nat
+
+            if len(comps) == 1:
+                c = comps[0]
+                c["bpr"] = (w + 7) // 8
+                nblk = c["bpr"] * ((h + 7) // 8)
+                for _ in range(nblk):
+                    c["blocks"].append(one_block(c))
+            else:
+                # interleaved MCUs: per MCU, each component contributes
+                # its h x v blocks in row-major order (T.81 A.2.3)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                for c in comps:
+                    c["bpr"] = mcux * c["h"]
+                    c["blocks"] = [None] * (c["bpr"] * mcuy * c["v"])
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for c in comps:
+                            for dv in range(c["v"]):
+                                for dh in range(c["h"]):
+                                    by = my * c["v"] + dv
+                                    bx = mx * c["h"] + dh
+                                    c["blocks"][by * c["bpr"] + bx] = (
+                                        one_block(c)
+                                    )
+            return w, h, comps
     raise ValueError("no SOS segment")
 
 
-def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, bytes]:
-    """Full baseline grayscale decode: entropy decode -> dequantize ->
-    IDCT (float64, T.81 A.3.3) -> level shift -> clamp -> crop.
-    Returns (width, height, pixels row-major)."""
+def decode_jpeg_quantized(blob: bytes):
+    """Parse + entropy-decode a baseline GRAYSCALE JPEG down to its
+    quantized coefficient blocks (natural order) — exactly invertible
+    against encode_jpeg_blocks. Returns (width, height, quant[64],
+    blocks). Multi-component streams raise (use
+    :func:`decode_jpeg_pixels`, which handles color)."""
+    w, h, comps = _parse_jpeg_stream(blob)
+    if len(comps) != 1:
+        raise NotImplementedError(
+            "multi-component JPEG: decode_jpeg_quantized is the "
+            "grayscale half — decode_jpeg_pixels handles color"
+        )
+    c = comps[0]
+    return w, h, c["quant"], c["blocks"]
+
+
+def _idct_plane(comp, pad_w: int, pad_h: int):
+    """Dequantize + IDCT one component's blocks into a uint8 plane of
+    (pad_h, pad_w) — the shared back half of both decode paths."""
     import numpy as np
 
-    w, h, quant, blocks = decode_jpeg_quantized(blob)
-    q = np.array(quant, dtype=np.float64).reshape(8, 8)
+    q = np.array(comp["quant"], dtype=np.float64).reshape(8, 8)
     # orthonormal DCT-II basis: C[u, x] = a(u) cos((2x+1) u pi / 16)
     u = np.arange(8).reshape(8, 1)
     x = np.arange(8).reshape(1, 8)
     c = np.cos((2 * x + 1) * u * np.pi / 16) * np.sqrt(2.0 / 8.0)
     c[0, :] = np.sqrt(1.0 / 8.0)
-    nbx = (w + 7) // 8
-    out = np.zeros(((h + 7) // 8 * 8, nbx * 8), dtype=np.uint8)
-    for i, blk in enumerate(blocks):
+    bpr = comp["bpr"]
+    out = np.zeros((pad_h, pad_w), dtype=np.uint8)
+    for i, blk in enumerate(comp["blocks"]):
         coef = np.array(blk, dtype=np.float64).reshape(8, 8) * q
         pix = c.T @ coef @ c + 128.0
         pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
-        by, bx = divmod(i, nbx)
+        by, bx = divmod(i, bpr)
         out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-    return w, h, out[:h, :w].tobytes()
+    return out
+
+
+def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, bytes]:
+    """Full baseline decode: entropy decode -> dequantize -> IDCT
+    (float64, T.81 A.3.3) -> level shift -> clamp -> crop; for color,
+    nearest-neighbor chroma upsample + JFIF YCbCr->RGB.
+
+    Returns (width, height, pixels): row-major grayscale bytes for a
+    1-component stream, interleaved RGB (3 bytes/pixel) for a
+    3-component one. Color conversion is the JFIF matrix (R = Y +
+    1.402 Cr', G = Y - 0.344136 Cb' - 0.714136 Cr', B = Y + 1.772 Cb')
+    with floor(x + 0.5) rounding — identical to SQL round() after the
+    0..255 clamp, so the result is oracle-reproducible."""
+    import numpy as np
+
+    w, h, comps = _parse_jpeg_stream(blob)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if len(comps) == 1:
+        plane = _idct_plane(
+            comps[0], comps[0]["bpr"] * 8, ((h + 7) // 8) * 8
+        )
+        return w, h, plane[:h, :w].tobytes()
+
+    # padded full-res geometry (MCU-aligned)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comps:
+        p = _idct_plane(c, c["bpr"] * 8, mcuy * c["v"] * 8).astype(
+            np.float64
+        )
+        # nearest-neighbor upsample to full resolution
+        p = np.repeat(
+            np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes.append(p[:h, :w])
+    y, cb, cr = planes  # component order per SOF (Y, Cb, Cr)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [
+            np.clip(np.floor(ch + 0.5), 0, 255).astype(np.uint8)
+            for ch in (r, g, b)
+        ],
+        axis=-1,
+    )
+    return w, h, rgb.tobytes()
+
+
+def make_jpeg_color(width: int, height: int, seed: int = 0) -> bytes:
+    """A complete, valid baseline YCbCr 4:2:0 color JPEG: SOF0 with
+    three components (Y sampling 2x2, Cb/Cr 1x1), two quant tables,
+    class-0 and class-1 Huffman table slots, interleaved MCU scan —
+    the exact stream shape Kafka's most common real-world image
+    payload carries. The image is a mosaic of constant 16x16 MCU
+    tiles:
+
+        Y (mx, my) = 128 + 2 * (((mx*31 + my*17 + seed) % 64) - 32)
+        Cb(mx, my) = 128 + 2 * (((mx*13 + my*7  + seed) % 64) - 32)
+        Cr(mx, my) = 128 + 2 * (((mx*5  + my*23 + seed) % 64) - 32)
+
+    Constant tiles have only DC coefficients and (value-128) is even
+    with DC quantizer 16, so the quantization is LOSSLESS — decoded
+    YCbCr equals the closed form exactly, and the RGB result is the
+    deterministic JFIF conversion of it: the same
+    compression-invariant-oracle pattern as make_jpeg, now through
+    the interleaved-MCU + chroma path."""
+    import struct
+
+    assert width % 16 == 0 and height % 16 == 0, "pad to full MCUs"
+    quant = [16] * 64
+    dc_map = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_map = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    wtr = _BitWriter()
+    prev = {1: 0, 2: 0, 3: 0}
+
+    def put_dc_only(comp_id: int, dc: int) -> None:
+        diff = dc - prev[comp_id]
+        prev[comp_id] = dc
+        s = _category(diff)
+        code, ln = dc_map[s]
+        wtr.put(code, ln)
+        if s:
+            amp = diff if diff >= 0 else diff + (1 << s) - 1
+            wtr.put(amp, s)
+        code, ln = ac_map[0x00]  # EOB
+        wtr.put(code, ln)
+
+    for my in range(height // 16):
+        for mx in range(width // 16):
+            yv = 128 + 2 * (((mx * 31 + my * 17 + seed) % 64) - 32)
+            cbv = 128 + 2 * (((mx * 13 + my * 7 + seed) % 64) - 32)
+            crv = 128 + 2 * (((mx * 5 + my * 23 + seed) % 64) - 32)
+            for _ in range(4):  # Y blocks, 2x2 row-major
+                put_dc_only(1, (yv - 128) // 2)
+            put_dc_only(2, (cbv - 128) // 2)
+            put_dc_only(3, (crv - 128) // 2)
+    entropy = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_q = bytes(quant[_ZIGZAG[i]] for i in range(64))
+    dqt = seg(0xFFDB, bytes([0]) + zz_q + bytes([1]) + zz_q)
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    huff = (
+        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)
+        + bytes([0x01]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + bytes([0x11]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)
+    )
+    dht = seg(0xFFC4, huff)
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"

@@ -388,13 +388,16 @@ def test_jpeg_idct_matches_direct_formula():
 
 
 def test_jpeg_honest_gates():
-    """Progressive / color / restart-interval JPEGs must refuse loudly,
-    never decode wrong."""
+    """Progressive / unsupported-sampling / restart-interval JPEGs must
+    refuse loudly, never decode wrong; the grayscale quantized API
+    refuses color (decode_jpeg_pixels is the color path)."""
     import pytest as _pytest
 
     from omniparser_spark.operators.multimodal import (
+        decode_jpeg_pixels,
         decode_jpeg_quantized,
         make_jpeg,
+        make_jpeg_color,
     )
 
     good = bytearray(make_jpeg(8, 8, 1))
@@ -403,12 +406,53 @@ def test_jpeg_honest_gates():
     prog[sof + 1] = 0xC2  # SOF2 progressive
     with _pytest.raises(NotImplementedError):
         decode_jpeg_quantized(bytes(prog))
-    color = bytearray(good)
-    color[sof + 9] = 3  # ncomp=3
-    with _pytest.raises(NotImplementedError):
-        decode_jpeg_quantized(bytes(color))
+    # decode_jpeg_quantized stays the grayscale half by contract
+    with _pytest.raises(NotImplementedError, match="multi-component"):
+        decode_jpeg_quantized(make_jpeg_color(16, 16, 1))
+    # 4:2:2 (Y 2x1) is a real format the decoder does NOT implement —
+    # it must gate, not mis-tile the MCUs
+    c422 = bytearray(make_jpeg_color(16, 16, 1))
+    sof = c422.find(b"\xff\xc0")
+    assert c422[sof + 11] == 0x22  # Y sampling byte
+    c422[sof + 11] = 0x21
+    with _pytest.raises(NotImplementedError, match="sampling"):
+        decode_jpeg_pixels(bytes(c422))
     with _pytest.raises(ValueError):
         decode_jpeg_quantized(b"\x00\x01not a jpeg")
+
+
+def test_jpeg_color_roundtrip_exact():
+    """4:2:0 YCbCr decode — interleaved MCUs, per-component DC
+    predictors, chroma upsample, JFIF conversion — equals the closed
+    form on every pixel (the mosaic quantizes losslessly)."""
+    import numpy as np
+
+    from omniparser_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg_color,
+    )
+
+    for w, h, seed in ((16, 16, 0), (48, 32, 7), (32, 48, 11)):
+        gw, gh, rgb = decode_jpeg_pixels(make_jpeg_color(w, h, seed))
+        assert (gw, gh, len(rgb)) == (w, h, 3 * w * h)
+        a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+        for my in range(h // 16):
+            for mx in range(w // 16):
+                yv = 128 + 2 * (((mx * 31 + my * 17 + seed) % 64) - 32)
+                cb = 128 + 2 * (((mx * 13 + my * 7 + seed) % 64) - 32)
+                cr = 128 + 2 * (((mx * 5 + my * 23 + seed) % 64) - 32)
+
+                def px(v):
+                    return min(max(int(np.floor(v + 0.5)), 0), 255)
+
+                want = (
+                    px(yv + 1.402 * (cr - 128.0)),
+                    px(yv - 0.344136 * (cb - 128.0)
+                       - 0.714136 * (cr - 128.0)),
+                    px(yv + 1.772 * (cb - 128.0)),
+                )
+                tile = a[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
+                assert np.all(tile == want), (mx, my, want)
 
 
 def test_jpeg_features_are_pixel_derived(spark):
