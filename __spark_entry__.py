@@ -6884,16 +6884,68 @@ def _decontaminate(spark, sf_dir):
       FROM base
     ),
     ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
-    hits AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN ev USING (g))
+    hits AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN ev USING (g)),
+    lm_uni AS (
+      SELECT w AS token, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(ws2) AS w FROM base WHERE doc_id % 2 = 0)
+      GROUP BY 1
+    ),
+    lm_tot AS (SELECT sum(cnt)::BIGINT AS n FROM lm_uni),
+    lm_big AS (
+      SELECT prev, token, count(*)::BIGINT AS cnt2
+      FROM (
+        SELECT l[i-1] AS prev, l[i] AS token
+        FROM (SELECT ws2 AS l FROM base
+              WHERE doc_id % 2 = 0 AND len(ws2) >= 2),
+             unnest(range(2, len(l) + 1)) AS t(i)
+      ) GROUP BY 1, 2
+    ),
+    lm_bigh AS (
+      SELECT b.prev, b.token, b.cnt2, u.cnt AS cnt_prev
+      FROM lm_big b JOIN lm_uni u ON u.token = b.prev
+    ),
+    lm_dtok AS (
+      SELECT doc_id, CASE WHEN i > 1 THEN l[i-1] END AS prev,
+             l[i] AS token, (i = 1) AS frst
+      FROM (SELECT doc_id, ws2 AS l FROM base),
+           unnest(range(1, len(l) + 1)) AS t(i)
+    ),
+    lm_costed AS (
+      SELECT d.doc_id,
+             CASE
+               WHEN d.frst THEN
+                 CASE WHEN u.cnt IS NOT NULL
+                      THEN floor(ln(lm_tot.n::DOUBLE / u.cnt) * 1000)
+                      ELSE floor(ln(2 * lm_tot.n::DOUBLE) * 1000) END
+               WHEN bh.cnt2 IS NOT NULL THEN
+                 floor(ln(bh.cnt_prev::DOUBLE / bh.cnt2) * 1000)
+               ELSE
+                 CASE WHEN u.cnt IS NOT NULL
+                      THEN floor(ln(lm_tot.n::DOUBLE
+                                    / (0.4::DOUBLE * u.cnt)) * 1000)
+                      ELSE floor(ln(2 * lm_tot.n::DOUBLE / 0.4::DOUBLE)
+                                 * 1000) END
+             END::BIGINT AS cost
+      FROM lm_dtok d
+      LEFT JOIN lm_uni u USING (token)
+      LEFT JOIN lm_bigh bh ON bh.prev = d.prev AND bh.token = d.token
+      CROSS JOIN lm_tot
+    ),
+    lm AS (
+      SELECT doc_id, (sum(cost) // count(*))::BIGINT AS ppl_mnats
+      FROM lm_costed GROUP BY doc_id
+    )
     SELECT d.doc_id,
            (d.doc_id = c.keep_id) AS is_canonical,
            (lang.lang_id = 'en') AS is_en,
            (qual.q >= 0.82) AS q_ok,
            (coalesce(rep.dupf, 0) <= 0.5) AS rep_ok,
            (h.doc_id IS NULL) AS clean,
+           coalesce(lm.ppl_mnats <= 3450, FALSE) AS lm_ok,
            ((d.doc_id = c.keep_id) AND lang.lang_id = 'en'
             AND qual.q >= 0.82 AND coalesce(rep.dupf, 0) <= 0.5
-            AND h.doc_id IS NULL) AS keep
+            AND h.doc_id IS NULL
+            AND coalesce(lm.ppl_mnats <= 3450, FALSE)) AS keep
     FROM documents d
     JOIN norm nn ON nn.doc_id = d.doc_id
     JOIN canon c ON c.ch = md5(nn.ntext)
@@ -6901,6 +6953,7 @@ def _decontaminate(spark, sf_dir):
     JOIN qual ON qual.doc_id = d.doc_id
     LEFT JOIN rep ON rep.doc_id = d.doc_id
     LEFT JOIN hits h ON h.doc_id = d.doc_id
+    LEFT JOIN lm ON lm.doc_id = d.doc_id
     """,
 )
 def _corpus_curation_funnel(spark, sf_dir):
@@ -6908,13 +6961,18 @@ def _corpus_curation_funnel(spark, sf_dir):
     ENTIRELY from already-oracle-checked engine operators: exact-dedup
     canonical keep (dedup_exact), language filter (detect_language ==
     'en'), quality gate (quality_score >= 0.82), Gopher repetition gate
-    (dup_word_frac <= 0.5), and eval-set decontamination (3-gram,
-    every-50th-doc eval split).  Emits every stage's flag plus the
-    final `keep` so the oracle pins each filter AND their conjunction —
-    the 'materialize the training corpus' query a user of this engine
-    actually runs.  Every stage is a scan-bound column expression or
-    one map-side-combinable aggregate; the only joins are the broadcast
-    decontamination semi-join and the canonical-hash group join."""
+    (dup_word_frac <= 0.5), eval-set decontamination (3-gram,
+    every-50th-doc eval split), and — r5 verdict stretch item — the
+    bigram-LM fluency gate (train_bigram_lm on the even-doc reference
+    slice, stupid-backoff perplexity <= 3450 milli-nats/token, the
+    CCNet-style 'keep what reads like the reference' filter).  Emits
+    every stage's flag plus the final `keep` so the oracle pins each
+    filter AND their conjunction — the 'materialize the training
+    corpus' query a user of this engine actually runs.  Every stage is
+    a scan-bound column expression or one map-side-combinable
+    aggregate; the only joins are the broadcast decontamination
+    semi-join, the canonical-hash group join, and the broadcast
+    vocab/bigram-table lookups."""
     from omniparser_spark.functions.text import (
         detect_language,
         quality_score,
@@ -6923,6 +6981,10 @@ def _corpus_curation_funnel(spark, sf_dir):
     from omniparser_spark.operators.dedup_text import (
         decontaminate,
         dedup_exact,
+    )
+    from omniparser_spark.operators.lm_score import (
+        bigram_perplexity_score,
+        train_bigram_lm,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -6934,6 +6996,10 @@ def _corpus_curation_funnel(spark, sf_dir):
         d, d.filter(F.col("doc_id") % 50 == 0), n=3
     )
     cont = contaminated.select("doc_id").withColumn("_cont", F.lit(True))
+    uni, big = train_bigram_lm(d.filter(F.col("doc_id") % 2 == 0))
+    lm = bigram_perplexity_score(d, uni, big).select(
+        "doc_id", "ppl_mnats"
+    )
 
     out = (
         d.select(
@@ -6944,6 +7010,7 @@ def _corpus_curation_funnel(spark, sf_dir):
         .join(kept, "doc_id", "left")
         .join(rep, "doc_id", "left")
         .join(cont, "doc_id", "left")
+        .join(lm, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("_canon"), F.lit(False)).alias("is_canonical"),
@@ -6953,6 +7020,9 @@ def _corpus_curation_funnel(spark, sf_dir):
                 "rep_ok"
             ),
             F.col("_cont").isNull().alias("clean"),
+            F.coalesce(
+                F.col("ppl_mnats") <= 3450, F.lit(False)
+            ).alias("lm_ok"),
         )
     )
     keep = (
@@ -6961,6 +7031,7 @@ def _corpus_curation_funnel(spark, sf_dir):
         & F.col("q_ok")
         & F.col("rep_ok")
         & F.col("clean")
+        & F.col("lm_ok")
     )
     return out.withColumn("keep", keep)
 

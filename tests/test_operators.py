@@ -490,7 +490,7 @@ def test_curation_funnel_stage_independence(spark):
     sf_dir = "/root/testdata/sf0.001"
     out = entrymod.queries()["corpus_curation_funnel"](spark, sf_dir)
     rows = {r["doc_id"]: r for r in out.collect()}
-    flags = ["is_canonical", "is_en", "q_ok", "rep_ok", "clean"]
+    flags = ["is_canonical", "is_en", "q_ok", "rep_ok", "clean", "lm_ok"]
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # each stage recomputed STANDALONE, no composition
@@ -522,6 +522,18 @@ def test_curation_funnel_stage_independence(spark):
     )
     dirty = {r["doc_id"] for r in contaminated.select("doc_id").collect()}
     standalone["clean"] = set(rows) - dirty
+    from omniparser_spark.operators.lm_score import (
+        bigram_perplexity_score,
+        train_bigram_lm,
+    )
+
+    uni, big = train_bigram_lm(d.filter(SF.col("doc_id") % 2 == 0))
+    standalone["lm_ok"] = {
+        r["doc_id"]
+        for r in bigram_perplexity_score(d, uni, big)
+        .filter(SF.col("ppl_mnats") <= 3450)
+        .select("doc_id").collect()
+    }
 
     for f in flags:
         composed = {i for i, r in rows.items() if r[f]}
