@@ -1734,6 +1734,134 @@ def _cdc_view_minmax(spark, sf_dir):
 
 
 @_q(
+    "cdc_view_hll_distinct",
+    f"""
+    WITH feed AS (
+{_CDC_FEED_SQL}
+    ),
+    p AS (SELECT ((max(src_offset) + 4) // 4) AS bs,
+                 max(src_offset) AS mx
+          FROM feed),
+    r0 AS (
+      SELECT conv_id, turn_idx, text, op, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, src_offset DESC) AS rn
+      FROM feed, p WHERE src_offset <= 2 * p.bs - 1
+    ),
+    r3 AS (
+      SELECT conv_id, turn_idx, text, op, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, src_offset DESC) AS rn
+      FROM feed, p WHERE src_offset <= 3 * p.bs - 1
+    ),
+    r4 AS (
+      SELECT conv_id, turn_idx, text, op, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, src_offset DESC) AS rn
+      FROM feed
+    ),
+    t3 AS (
+      SELECT DISTINCT conv_id, turn_idx FROM feed, p
+      WHERE src_offset > 2 * p.bs - 1 AND src_offset <= 3 * p.bs - 1
+    ),
+    t4 AS (
+      SELECT DISTINCT conv_id, turn_idx FROM feed, p
+      WHERE src_offset > 3 * p.bs - 1
+    ),
+    obs AS (
+      SELECT conv_id, text FROM r0 WHERE rn = 1 AND op <> 'D'
+      UNION ALL
+      SELECT r.conv_id, r.text FROM r3 r JOIN t3 USING (conv_id, turn_idx)
+      WHERE r.rn = 1 AND r.op <> 'D'
+      UNION ALL
+      SELECT r.conv_id, r.text FROM r4 r JOIN t4 USING (conv_id, turn_idx)
+      WHERE r.rn = 1 AND r.op <> 'D'
+    ),
+    hashed AS (
+      SELECT conv_id,
+             ('0x' || substr(md5(text), 1, 2))::BIGINT AS b,
+             ('0x' || substr(md5(text), 3, 15))::BIGINT AS w
+      FROM obs
+    ),
+    regs AS (
+      SELECT conv_id, b,
+             max(CASE WHEN w = 0 THEN 61
+                      ELSE 61 - length(bin(w)) END) AS m
+      FROM hashed GROUP BY 1, 2
+    ),
+    pg AS (
+      SELECT conv_id, count(*)::INT AS hit,
+             sum(cast(pow(2, 61 - m) AS DECIMAL(38,0))) AS s_hit
+      FROM regs GROUP BY 1
+    ),
+    fin AS (
+      SELECT conv_id, hit, (256 - hit) AS v,
+             s_hit + cast(256 - hit AS DECIMAL(38,0))
+                   * cast(pow(2, 61) AS DECIMAL(38,0)) AS s
+      FROM pg
+    ),
+    rawed AS (
+      SELECT conv_id, v,
+             (cast(0.7213 as double) / (1 + cast(1.079 as double) / 256))
+               * 256 * 256 * pow(2, 61) / cast(s AS DOUBLE) AS raw
+      FROM fin
+    )
+    SELECT conv_id,
+           round(CASE WHEN raw <= 2.5 * 256 AND v > 0
+                 THEN cast(256 as double) * ln(cast(256 as double) / v)
+                 ELSE raw END, 6) AS approx_distinct,
+           v::INT AS hll_zero_registers
+    FROM rawed
+    """,
+)
+def _cdc_view_hll(spark, sf_dir):
+    """HLL distinct-count materialized view (lake/views.py
+    create/sync_hll_view): the one aggregate family the pre-image
+    delta algebra cannot maintain — count(DISTINCT) is neither
+    additive nor extreme-survivable — kept incrementally as a dense
+    256-register array per group, merged by element-wise max. Every
+    sync is O(changed keys): sketch the changelog window's post-image
+    values, zip_with-greatest against the touched groups' stored
+    registers, fenced MERGE. Semantics are distinct-EVER (sketches are
+    grow-only; deletes/overwrites never remove values — the honest
+    CDC-sketch contract). Bootstrap after 2 of 4 batches, then two
+    incremental syncs; the estimates must BIT-match the oracle's
+    full replay of bootstrap-snapshot + per-window winner values
+    through the identical md5 register arithmetic."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.lake.views import (
+        create_hll_view,
+        read_hll_view,
+        sync_hll_view,
+    )
+    from omniparser_spark.sources.changefeed import FeedSpec, encode_payload
+
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev)
+    feed = encode_payload(fields, FeedSpec(n_events=1, evolution_frac=0.0)).select(
+        "offset", "op", "format", "payload", "ts", "source_part"
+    )
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_ivm_hll_")
+    feed.write.mode("overwrite").parquet(f"{tmp}/feed")
+    feed_scan = spark.read.parquet(f"{tmp}/feed")
+    total = feed_scan.agg(F.max("offset")).collect()[0][0] + 1
+    pipe = CdcPipeline(
+        spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8, n_source_parts=8,
+    )
+    bs = (total + 3) // 4
+    pipe.run_feed(feed_scan, 2 * bs, batch_size=bs)
+    view = create_hll_view(
+        spark, f"{tmp}/view", pipe.table,
+        group_col="conv_id", value_col="text",
+    )
+    pipe.run_feed(feed_scan, 3 * bs, batch_size=bs)
+    sync_hll_view(pipe.table, view, group_col="conv_id", value_col="text")
+    pipe.run_feed(feed_scan, total, batch_size=bs)
+    sync_hll_view(pipe.table, view, group_col="conv_id", value_col="text")
+    return read_hll_view(view)
+
+
+@_q(
     "quarantine_deadletter",
     """
     SELECT event_id AS offset,

@@ -381,3 +381,160 @@ def sync_rollup_view(
         # one extra action over the O(changed groups) delta frame
         "groups_touched": rows.count() if rec is not None else 0,
     }
+
+
+# ------------------------------------------------------------ HLL view
+#
+# Distinct-count views are the one aggregate family the delta algebra
+# above cannot maintain: count(DISTINCT x) is neither additive (an
+# update's pre/post difference says nothing about set membership
+# elsewhere in the group) nor extreme-survivable — exact maintenance
+# needs the full value set per group, i.e. O(source) view state. The
+# HLL register array IS the right state: 256 small ints per group,
+# merged by element-wise max, so every sync is pure-delta with no
+# rescan path at all.
+#
+# Semantics: DISTINCT-EVER, not distinct-current. Register maxes only
+# grow — a delete or overwrite cannot remove a value from the sketch
+# (the same reason production HLL columns in Druid/ClickHouse are
+# append-only). That is the honest contract for a CDC-fed sketch:
+# "how many distinct values has this group ever carried through the
+# changelog since the view's bootstrap" (the bootstrap itself sees the
+# source's surviving rows as of its version). Deletion-aware distinct
+# needs exact per-group sets — use a rollup over dedup state instead.
+
+
+def create_hll_view(
+    spark: SparkSession,
+    path: str,
+    table: LakeTable,
+    group_col: str = "conv_id",
+    value_col: str = "text",
+    version: int | None = None,
+    n_buckets: int = 4,
+) -> LakeTable:
+    """Bootstrap the HLL distinct view: one full sketch of the source
+    as of `version` (default: current), stored as a LakeTable keyed by
+    the group with a dense 256-register array per row. After this,
+    :func:`sync_hll_view` folds changelog deltas in by register max —
+    O(changed keys) per sync, never a rescan."""
+    from omniparser_spark.operators.sketches import hll_regs_array
+
+    keys = list(table.summary().get("merge_keys") or ())
+    if group_col not in keys:
+        raise ValueError(
+            f"group_col {group_col!r} must be a merge key {keys}"
+        )
+    src_version = table.current().version if version is None else version
+    group_type = {
+        f.name: f.dataType.simpleString() for f in table.schema().fields
+    }[group_col]
+    view = LakeTable.create(
+        spark, path,
+        f"{group_col} {group_type}, regs array<int>, ts timestamp",
+        key_col=group_col, n_buckets=n_buckets, merge_keys=(group_col,),
+    )
+    rows = hll_regs_array(
+        table.read(version=src_version), [group_col], value_col
+    ).select(
+        group_col,
+        "regs",
+        _view_row_ts().alias("ts"),
+        F.lit(src_version).cast("long").alias("offset"),
+        F.lit("U").alias("op"),
+    )
+    merge_into(
+        view, rows, batch_id=0, keys=(group_col,),
+        max_offset=src_version, observe_stats=False,
+    )
+    table.create_tag(_view_tag(path), src_version)
+    return view
+
+
+def sync_hll_view(
+    table: LakeTable,
+    view: LakeTable,
+    group_col: str = "conv_id",
+    value_col: str = "text",
+    to_version: int | None = None,
+) -> dict:
+    """Advance the HLL view from changelog deltas only: sketch the
+    window's post-image values (delete post-images contribute nothing
+    — a sketch is grow-only), element-wise-max against the stored
+    registers of ONLY the touched groups, MERGE back. Fencing,
+    idempotency and the tag-pinning discipline mirror
+    :func:`sync_rollup_view`."""
+    from omniparser_spark.operators.sketches import hll_regs_array
+
+    vsum = view.summary()
+    from_version = int(vsum["max_offset_applied"])
+    to_v = (
+        table.current().version if to_version is None else to_version
+    )
+    tag = _view_tag(view.path)
+    tag_next = f"{tag}_next"
+    table.retarget_tag(tag, from_version)
+    if to_v <= from_version:
+        try:
+            table.drop_tag(tag_next)
+        except KeyError:
+            pass
+        return {"fenced": True, "from_version": from_version,
+                "to_version": to_v, "groups_touched": 0}
+    table.retarget_tag(tag_next, to_v)
+
+    ch = table.changes_between_versions(from_version, to_v)
+    vals = ch.filter(F.col("_change_type") != "delete").select(
+        group_col, value_col
+    )
+    dregs = hll_regs_array(vals, [group_col], value_col)
+    old = view.read().select(
+        group_col, F.col("regs").alias("_old")
+    )
+    merged = (
+        dregs.join(old, on=group_col, how="left")
+        .select(
+            group_col,
+            F.when(F.col("_old").isNull(), F.col("regs"))
+            .otherwise(
+                F.zip_with(
+                    "regs", "_old", lambda a, b: F.greatest(a, b)
+                )
+            )
+            .alias("regs"),
+            _view_row_ts().alias("ts"),
+            F.lit(to_v).cast("long").alias("offset"),
+            F.lit("U").alias("op"),
+        )
+    )
+    rec = merge_into(
+        view, merged, batch_id=int(vsum.get("batch_id", -1)) + 1,
+        keys=(group_col,), max_offset=to_v, observe_stats=False,
+    )
+    if rec is not None:
+        table.retarget_tag(tag, to_v)
+        try:
+            table.drop_tag(tag_next)
+        except KeyError:
+            pass
+    return {
+        "fenced": rec is None,
+        "from_version": from_version,
+        "to_version": to_v,
+        "groups_touched": merged.count() if rec is not None else 0,
+    }
+
+
+def read_hll_view(view: LakeTable) -> DataFrame:
+    """Consumer read: (group, approx_distinct, hll_zero_registers) —
+    the estimate arithmetic is shared with the one-pass sketch, so a
+    synced view hash-matches hll_distinct over the same value set."""
+    from omniparser_spark.operators.sketches import hll_estimate_cols
+
+    est, zero = hll_estimate_cols("regs")
+    group_col = view.summary()["key_col"]
+    return view.read().select(
+        group_col,
+        est.alias("approx_distinct"),
+        zero.alias("hll_zero_registers"),
+    )

@@ -95,3 +95,72 @@ def hll_distinct(
             v_zero.cast("int").alias("hll_zero_registers"),
         )
     )
+
+
+def hll_regs_array(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group DENSE register array — the MERGEABLE form of the
+    sketch: ``(group cols..., regs: array<int>[256])`` where
+    ``regs[b]`` is the max rho seen for register ``b`` (0 = empty).
+    Two sketches over disjoint (or overlapping — duplicates are free)
+    value sets combine by element-wise ``greatest``, which is what
+    makes an HLL-backed incremental view pure-delta: state merges
+    never need the original values.
+
+    Same hash/rho derivation as :func:`hll_distinct`, so
+    :func:`hll_estimate_cols` over this array is bit-identical to the
+    one-pass estimate."""
+    g = list(group_cols)
+    h = F.md5(F.col(value_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(61)).otherwise(
+        F.lit(61) - F.length(F.bin(w))
+    )
+    regs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*g, bucket.alias("_b"), rho.alias("_rho"))
+        .groupBy(*g, "_b")
+        .agg(F.max("_rho").cast("int").alias("_m"))
+    )
+    reg_map = F.map_from_entries(
+        F.collect_list(F.struct(F.col("_b"), F.col("_m")))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(_M - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_map"), i), F.lit(0)),
+    )
+    return (
+        regs.groupBy(*g)
+        .agg(reg_map.alias("_map"))
+        .select(*g, dense.alias("regs"))
+    )
+
+
+def hll_estimate_cols(regs_col: str = "regs"):
+    """(estimate, zero_registers) Columns from a dense register array —
+    the identical alpha/harmonic-sum/linear-counting arithmetic as
+    :func:`hll_distinct` (DECIMAL-exact sum of 2^(61-m), one float
+    division per group), so array-state estimates hash-match the
+    one-pass ones."""
+    hit = F.size(F.filter(F.col(regs_col), lambda m: m > 0))
+    s = F.expr(
+        f"aggregate(filter({regs_col}, m -> m > 0), "
+        "cast(0 as decimal(38,0)), "
+        "(acc, m) -> acc + cast(pow(2, 61 - m) as decimal(38,0)))"
+        f" + cast({_M} - size(filter({regs_col}, m -> m > 0))"
+        " as decimal(38,0)) * cast(pow(2, 61) as decimal(38,0))"
+    )
+    v_zero = F.lit(_M) - hit
+    raw = (
+        F.expr(f"{_ALPHA_EXPR} * {_M} * {_M} * pow(2, 61)")
+        / s.cast("double")
+    )
+    est = F.when(
+        (raw <= 2.5 * _M) & (v_zero > 0),
+        F.lit(float(_M)) * F.log(F.lit(float(_M)) / v_zero),
+    ).otherwise(raw)
+    return F.round(est, 6), v_zero.cast("int")

@@ -1581,3 +1581,80 @@ def test_view_sync_over_changelog_neutral_commits_returns(
         for r in view.read().select("conv_id", "n_rows").collect()
     )
     assert got == want
+
+
+def test_hll_view_incremental_distinct_ever(spark, tmp_path):
+    """The HLL distinct view: bootstrap sketches the snapshot, each
+    sync folds ONLY the changelog window's post-image values in by
+    register max, a re-sync fences, and the semantics are distinct-
+    EVER (an overwrite/delete never removes a value from the sketch).
+    The synced estimate must BIT-match the one-pass sketch over the
+    hand-computed observed value set."""
+    from omniparser_spark.lake.views import (
+        create_hll_view,
+        read_hll_view,
+        sync_hll_view,
+    )
+    from omniparser_spark.operators.sketches import hll_distinct
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "src"), SCHEMA, key_col="conv_id",
+        n_buckets=4, merge_keys=("conv_id", "turn_idx"),
+    )
+    # batch 0: a:texts {x1, x2}, b: {y1}
+    merge_into(
+        t,
+        _batch(spark, [("a", 1, "x1", 1, 0, "I"), ("a", 2, "x2", 1, 1, "I"),
+                       ("b", 1, "y1", 1, 2, "I")]),
+        batch_id=0, max_offset=2,
+    )
+    view = create_hll_view(
+        spark, str(tmp_path / "v"), t, group_col="conv_id",
+        value_col="text",
+    )
+    # batch 1: overwrite a.1 -> x3 (x1 stays in the sketch), new b.2
+    merge_into(
+        t,
+        _batch(spark, [("a", 1, "x3", 2, 3, "U"), ("b", 2, "y2", 2, 4, "I")]),
+        batch_id=1, max_offset=4,
+    )
+    r1 = sync_hll_view(t, view, group_col="conv_id", value_col="text")
+    assert not r1["fenced"] and r1["groups_touched"] == 2
+    # batch 2: delete a.2 (x2 stays — distinct-ever), c appears+dies
+    # within the window (its winner is the delete: contributes nothing)
+    merge_into(
+        t,
+        _batch(spark, [("a", 2, None, 3, 5, "D"), ("c", 1, "z1", 3, 6, "I")]),
+        batch_id=2, max_offset=6,
+    )
+    merge_into(
+        t, _batch(spark, [("c", 1, None, 4, 7, "D")]),
+        batch_id=3, max_offset=7,
+    )
+    r2 = sync_hll_view(t, view, group_col="conv_id", value_col="text")
+    assert not r2["fenced"]
+
+    # observed-ever set: bootstrap snapshot + each window's winners
+    observed = spark.createDataFrame(
+        [("a", "x1"), ("a", "x2"),       # bootstrap
+         ("a", "x3"), ("b", "y1"), ("b", "y2")],  # window winners
+        "conv_id string, text string",
+    )
+    want = {
+        r["conv_id"]: (r["approx_distinct"], r["hll_zero_registers"])
+        for r in hll_distinct(observed, ["conv_id"], "text").collect()
+    }
+    got = {
+        r["conv_id"]: (r["approx_distinct"], r["hll_zero_registers"])
+        for r in read_hll_view(view).collect()
+    }
+    assert got == want  # bit-identical, incl. x1/x2 surviving deletes
+    assert "c" not in got  # died inside its window: never observed
+
+    # idempotent: re-sync fences, state unchanged
+    r3 = sync_hll_view(t, view, group_col="conv_id", value_col="text")
+    assert r3["fenced"]
+    assert {
+        r["conv_id"]: (r["approx_distinct"], r["hll_zero_registers"])
+        for r in read_hll_view(view).collect()
+    } == want
