@@ -6644,6 +6644,58 @@ def _lm_perplexity(spark, sf_dir):
 
 
 @_q(
+    "text_dedup_substring_spans",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT doc_id, i, md5(array_to_string(ws[i:i+7], ' ')) AS h
+      FROM base, unnest(range(1, len(ws) - 8 + 2)) t(i)
+      WHERE len(ws) >= 8
+    ),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+    hits AS (SELECT s.doc_id, s.i FROM sh s JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, i,
+             CASE WHEN i > lag(i) OVER w + 8 THEN 1 ELSE 0 END AS brk
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    grp AS (
+      SELECT doc_id, i,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS gid
+      FROM isl
+    )
+    SELECT doc_id, min(i)::INT AS start_tok,
+           (max(i) + 8 - 1)::INT AS end_tok,
+           count(*)::INT AS n_windows
+    FROM grp GROUP BY doc_id, gid
+    """,
+)
+def _dedup_substring_spans(spark, sf_dir):
+    """Exact duplicated-substring span detection (operators/
+    dedup_text.py duplicate_spans — the ExactSubstr operation of Lee
+    et al. 2022): per document, the maximal token spans whose every
+    8-token window recurs in the corpus. The reference method is a
+    corpus-wide suffix array (single-machine); the Spark shape is
+    rolling-window hashes -> global hash count (map-side combine) ->
+    join positions against DUPLICATED hashes only -> per-doc
+    gaps-and-islands merge. Nothing all-pairs, everything
+    hash-partitioned. Oracle replays the identical windows, counts,
+    and island arithmetic in SQL."""
+    from omniparser_spark.operators.dedup_text import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(d, k=8, min_count=2)
+
+
+@_q(
     "text_dedup_boilerplate_lines",
     """
     WITH src AS (

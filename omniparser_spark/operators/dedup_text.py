@@ -526,3 +526,84 @@ def dedup_boilerplate_lines(
         )
         .select(id_col, text_col, "n_lines", "n_removed")
     )
+
+
+# ------------------------------------------------- duplicated substrings
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING detection (the ExactSubstr operation
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): find, per document, the maximal token spans whose every
+    k-token window also occurs elsewhere in the corpus (or again in
+    the same document). Document-level dedup misses these — boilerplate
+    headers, license blocks, quoted replies — and the paper's finding
+    is that removing the SPAN, not the document, is what improves the
+    model.
+
+    The reference implementation builds a corpus-wide suffix array —
+    inherently single-machine. The equivalent on Spark: k-token
+    rolling windows hashed per position (one narrow pass), a global
+    hash count (map-side combinable — at most one row per distinct
+    window survives the combine), an inner join of positions against
+    the DUPLICATED hashes only (the small side), then a per-document
+    gaps-and-islands window to merge overlapping windows ([i, i+k-1]
+    and [j, ...] overlap iff j <= i+k) into maximal spans. Every stage
+    hash-partitions; nothing is all-pairs, nothing is O(corpus^2).
+
+    Returns (id_col, start_tok, end_tok, n_windows): 1-based inclusive
+    token positions of each maximal duplicated span. Documents shorter
+    than k tokens have no windows and are absent. min_count=2 flags
+    anything seen twice; raise it to only strip heavy boilerplate.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    base = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), toks.alias("_ws"))
+        .filter(F.size("_ws") >= k)
+    )
+    sh = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ws") - k + 1),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("_ws", i, k))
+                ),
+            )
+        ).alias("_z", "_h"),
+    ).select(id_col, (F.col("_z") + 1).alias("i"), "_h")
+    dup = (
+        sh.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    hits = sh.join(dup, "_h").select(id_col, "i")
+    w = Window.partitionBy(id_col).orderBy("i")
+    brk = F.when(
+        F.col("i") > F.lag("i").over(w) + k, F.lit(1)
+    ).otherwise(F.lit(0))
+    grouped = hits.withColumn("_brk", brk).withColumn(
+        "_gid",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        grouped.groupBy(id_col, "_gid")
+        .agg(
+            F.min("i").cast("int").alias("start_tok"),
+            (F.max("i") + k - 1).cast("int").alias("end_tok"),
+            F.count(F.lit(1)).cast("int").alias("n_windows"),
+        )
+        .drop("_gid")
+    )

@@ -1121,3 +1121,33 @@ def test_neardup_registry_maintain_saturated_bands(spark, tmp_path):
         batch([(92, novel.replace("fresh", "new"))]), batch_id=5
     )
     assert {(r["id_a"], r["id_b"]) for r in p.collect()} == {(91, 92)}
+
+
+def test_duplicate_spans_exact_substr(spark):
+    """ExactSubstr spans: shared 8-gram across docs, within-doc
+    repetition merging overlapping windows, and short/unique docs
+    absent."""
+    from omniparser_spark.operators.dedup_text import duplicate_spans
+
+    shared = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} unique tail one"),
+            (2, f"prefix two {shared} and more stuff here"),
+            (3, "x " * 9 + "y"),           # self-repeating: windows 1,2
+            (4, "entirely unique words nine ten eleven twelve thirteen"),
+            (5, "short doc"),              # < k tokens: no windows
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["n_windows"])
+        for r in duplicate_spans(df, k=8).collect()
+    }
+    assert got == {(1, 1, 8, 1), (2, 3, 10, 1), (3, 1, 9, 2)}
+    # partition-invariant
+    rep = {
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["n_windows"])
+        for r in duplicate_spans(df.repartition(7), k=8).collect()
+    }
+    assert rep == got
