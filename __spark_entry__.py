@@ -8207,10 +8207,23 @@ def _multimodal_jpeg_color(spark, sf_dir):
 # artifacts at import time instead, so a late-landing artifact re-sorts the
 # window automatically:
 #   1. latest driver row RED (broken contract shapes — fix-verify first),
-#   2. never driver-verified (new queries this round),
+#   2. never driver-verified (new queries this round), then queries whose
+#      implementation or oracle CHANGED after their last green row
+#      (_CHANGED_SINCE_VERIFIED — a green row for the old shape proves
+#      nothing about the new one),
 #   3. stale green rows, oldest round first (freshness rotation),
 #   4. fresh green rows (verified against the newest artifact),
 # registration order breaking ties within each tier (stable across runs).
+
+# Names whose query/oracle shape changed since the round of their latest
+# green row. MAINTENANCE RULE: when a round edits a registered query or
+# its oracle, add it here; remove entries once a NEWER green row lands
+# (the tier function does that automatically by comparing rounds).
+_CHANGED_SINCE_VERIFIED: dict[str, int] = {
+    # (name -> round the change was made in)
+    "embedding_group_pooling": 6,   # + n_dropped ragged-member column
+    "corpus_curation_funnel": 6,    # + lm_ok sixth stage
+}
 
 
 def _derive_driver_priority(registered: list[str]) -> list[str]:
@@ -8246,6 +8259,11 @@ def _derive_driver_priority(registered: list[str]) -> list[str]:
         rnd, green = latest[name]
         if not green:
             return (0, rnd)
+        changed_in = _CHANGED_SINCE_VERIFIED.get(name)
+        if changed_in is not None and rnd < changed_in:
+            # green row predates a shape change: re-verify with the
+            # new queries, ahead of the stale-green rotation
+            return (1, 1)
         if rnd < newest:
             return (2, rnd)  # oldest stale-green first
         return (3, rnd)

@@ -82,12 +82,15 @@ def test_queries_needing_fresh_rows_inside_driver_window():
         return
     newest = rounds[-1][0]
     latest = _latest_verdicts()
+    changed = getattr(entrymod, "_CHANGED_SINCE_VERIFIED", {})
     needs = [
         n
         for n in qnames
         if n not in latest  # never verified
         or not latest[n][1]  # latest row red
         or latest[n][0] < newest  # stale round
+        # shape changed after the last green row: green proves nothing
+        or latest[n][0] < changed.get(n, -1)
     ]
     if len(needs) <= WINDOW:
         outside = [n for n in needs if n not in window]
