@@ -2619,6 +2619,86 @@ def _cdc_export_frames(spark, sf_dir):
 
 
 @_q(
+    "cdc_relay_compacted",
+    f"""
+    WITH feed AS (
+{_CDC_FEED_SQL}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, src_offset DESC) AS rn
+      FROM feed
+    )
+    SELECT conv_id, turn_idx, role, text, tool,
+           epoch_us(ts) AS ts_us
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def _cdc_relay_compacted(spark, sf_dir):
+    """The full engine-to-engine relay identity (cdc/export.py
+    read_compacted_frames): the change feed applies into the lake in 4
+    fenced batches; AFTER EACH batch the changelog exports as framed
+    protobuf keyed at the MERGE-KEY grain (conv:turn — the grain log
+    compaction must retain); the consumer then log-compacts the topic
+    (highest offset per key wins, winning NULL payload deletes the
+    key) and decodes what survives. The result must equal the source
+    replay's LWW final state — i.e. a downstream engine consuming the
+    compacted topic cold reconstructs the table exactly, which is the
+    contract that lets a region/indexer bootstrap from the topic
+    instead of a table copy. Cross-batch overwrites and deletes are
+    exercised by construction (the feed's LWW/delete mix spans the
+    export batches)."""
+    from omniparser_spark.cdc.export import (
+        encode_changes_proto,
+        export_changelog,
+        read_compacted_frames,
+    )
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.sources.changefeed import FeedSpec, encode_payload
+    from omniparser_spark.sources.proto_wire import decode_proto_wire
+
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev)
+    feed = encode_payload(fields, FeedSpec(n_events=1, evolution_frac=0.0)).select(
+        "offset", "op", "format", "payload", "ts", "source_part"
+    )
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_relay_")
+    feed.write.mode("overwrite").parquet(f"{tmp}/feed")
+    feed_scan = spark.read.parquet(f"{tmp}/feed")
+    total = feed_scan.agg(F.max("offset")).collect()[0][0] + 1
+    pipe = CdcPipeline(
+        spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8, n_source_parts=8,
+        expire_keep_last=None,  # exports read historical changelog
+    )
+    bs = (total + 3) // 4
+
+    def compaction_keyed(changes):
+        return encode_changes_proto(
+            changes,
+            key_expr=F.concat(
+                F.col("conv_id"), F.lit(":"),
+                F.col("turn_idx").cast("string"),
+            ),
+        )
+
+    for i in range(1, 5):
+        pipe.run_feed(feed_scan, min(i * bs, total), batch_size=bs)
+        export_changelog(pipe.table, f"{tmp}/topic", encoder=compaction_keyed)
+
+    compacted = read_compacted_frames(spark, f"{tmp}/topic")
+    decoded = decode_proto_wire(compacted)
+    return decoded.filter(F.col("_ok")).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        (F.col("ts_ms") * 1000).cast("long").alias("ts_us"),
+    )
+
+
+@_q(
     "transcript_curation_funnel",
     """
     WITH t AS (

@@ -67,6 +67,7 @@ def encode_changes_proto(
     changes: DataFrame,
     schema_id: int = 7,
     key_col: str = "conv_id",
+    key_expr=None,
 ) -> DataFrame:
     """Change post-images -> (offset, key, payload) framed protobuf.
 
@@ -75,11 +76,23 @@ def encode_changes_proto(
     NULL-payload tombstone records (compacted-topic convention);
     upserts encode the canonical TurnChange message with
     op='U'/'D' mapped from `_change_type`.
+
+    `key_expr` (a Column) overrides the topic key. Default is the
+    conversation id (per-key ORDER preserved for a keyed topic); a
+    topic meant to be LOG-COMPACTED must instead key at the merge-key
+    grain (e.g. ``concat(conv_id, ':', turn_idx)``) so compaction
+    retains per-turn state — see :func:`read_compacted_frames`. The
+    payload carries the full record either way, so decode does not
+    depend on the key choice.
     """
     from omniparser_spark.sources.proto_wire import CHANGE_FIELDS, encode_wire
 
+    key = (
+        key_expr if key_expr is not None else F.col(key_col)
+    ).cast("string")
     cols = changes.select(
-        F.col(key_col).cast("string").alias("key"),
+        key.alias("key"),
+        F.col(key_col).cast("string").alias("conv_key"),
         F.col("turn_idx").cast("int").alias("turn_idx"),
         F.col("role"),
         F.col("text"),
@@ -94,9 +107,10 @@ def encode_changes_proto(
 
         for pdf in it:
             rows = []
-            for key, ti, role, text, tool, ts_ms, ct, off in zip(
-                pdf["key"], pdf["turn_idx"], pdf["role"], pdf["text"],
-                pdf["tool"], pdf["ts_ms"], pdf["change_type"], pdf["offset"],
+            for key, conv, ti, role, text, tool, ts_ms, ct, off in zip(
+                pdf["key"], pdf["conv_key"], pdf["turn_idx"], pdf["role"],
+                pdf["text"], pdf["tool"], pdf["ts_ms"],
+                pdf["change_type"], pdf["offset"],
             ):
                 if ct == "delete":
                     rows.append(
@@ -106,7 +120,7 @@ def encode_changes_proto(
                 rec = {
                     "offset": int(off),
                     "op": "U",
-                    "conv_id": key,
+                    "conv_id": conv,
                     "turn_idx": int(ti),
                     "role": role or "",
                     "text": text or "",
@@ -217,3 +231,36 @@ def read_exported_frames(spark, out_dir: str) -> DataFrame:
     if not dirs:
         return spark.createDataFrame([], _EXPORT_SCHEMA)
     return spark.read.schema(_EXPORT_SCHEMA).parquet(*dirs)
+
+
+def read_compacted_frames(spark, out_dir: str) -> DataFrame:
+    """Log-compacted consumer view of the export (Kafka compacted-topic
+    semantics): the highest-offset record per key wins; a winning NULL
+    payload is a tombstone and removes the key from the view entirely.
+
+    This is what a downstream consumer sees after Kafka compaction has
+    run on the exported topic. Compaction grain == topic-key grain, so
+    an export meant for compaction must be keyed at the MERGE-KEY
+    grain (``encode_changes_proto(key_expr=concat(conv_id, ':',
+    turn_idx))``) — then decoding this view reproduces the source
+    table's final state exactly, the engine-to-engine relay identity
+    the `cdc_relay_compacted` query pins. Keying a compacted topic
+    coarser than the state grain (bare conv_id for per-turn state)
+    would retain only each conversation's newest turn — a deployment
+    error, not a reader option.
+
+    One max_by aggregate over the union of batch dirs; with a keyed
+    topic the shuffle is the same hash partitioning Kafka's
+    partitioner already applied.
+    """
+    frames = read_exported_frames(spark, out_dir)
+    return (
+        frames.groupBy("key")
+        .agg(F.max_by(F.struct("offset", "payload"), "offset").alias("_w"))
+        .select(
+            "key",
+            F.col("_w.offset").alias("offset"),
+            F.col("_w.payload").alias("payload"),
+        )
+        .filter(F.col("payload").isNotNull())
+    )

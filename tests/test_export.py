@@ -137,3 +137,59 @@ def test_export_reclaims_orphans_after_crash_with_moved_frontier(
     assert sorted(
         d for d in os.listdir(out) if d.startswith("batch-")
     ) == dirs_on_disk
+
+
+def test_compacted_relay_reconstructs_state(spark, tmp_path):
+    """Log-compacted consumer view: keyed at the merge-key grain,
+    highest-offset record wins, winning tombstone removes the key —
+    decoding the compacted topic reconstructs the table's final state
+    across multi-batch overwrites and deletes."""
+    from pyspark.sql import functions as F
+
+    from omniparser_spark.cdc.export import (
+        encode_changes_proto,
+        read_compacted_frames,
+    )
+    from omniparser_spark.sources.proto_wire import decode_proto_wire
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="conv_id",
+        n_buckets=4, merge_keys=("conv_id", "turn_idx"),
+        # exports read historical changelog windows
+    )
+    enc = lambda ch: encode_changes_proto(  # noqa: E731
+        ch,
+        key_expr=F.concat(
+            F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string")
+        ),
+    )
+    out = str(tmp_path / "topic")
+    # batch 0: a.1, a.2, b.1
+    merge_into(
+        t,
+        _b(spark, [("a", 1, "a1-v1", 0, "I"), ("a", 2, "a2", 1, "I"),
+                   ("b", 1, "b1", 2, "I")]),
+        batch_id=0, max_offset=2,
+    )
+    export_changelog(t, out, encoder=enc)
+    # batch 1: overwrite a.1, delete a.2, add c.1
+    merge_into(
+        t,
+        _b(spark, [("a", 1, "a1-v2", 3, "U"), ("a", 2, None, 4, "D"),
+                   ("c", 1, "c1", 5, "I")]),
+        batch_id=1, max_offset=5,
+    )
+    export_changelog(t, out, encoder=enc)
+
+    decoded = decode_proto_wire(read_compacted_frames(spark, out))
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in decoded.collect() if r._ok
+    }
+    want = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in t.read().select("conv_id", "turn_idx", "text").collect()
+    }
+    assert got == want == {
+        ("a", 1): "a1-v2", ("b", 1): "b1", ("c", 1): "c1"
+    }

@@ -39,10 +39,13 @@ def run_one(
     from omniparser_spark.cdc.pipeline import CdcPipeline
     from omniparser_spark.session import get_spark
 
+    # partition-count knobs (experiments at high core counts: more,
+    # smaller tasks pack stage tails better across SMT threads)
+    shuffle_mult = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "2"))
     spark = get_spark(
         app_name=f"omniparser_spark_scaling_{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(2 * cpus, 8),
+        shuffle_partitions=max(shuffle_mult * cpus, 8),
     )
     feed = spark.read.parquet(feed_dir)
 
@@ -118,7 +121,12 @@ def main() -> None:
         spec = FeedSpec(
             n_events=args.events, n_convs=max(args.events // 40, 100), seed=42
         )
-        materialize_feed(spark, spec, f"{tmp}/feed", num_partitions=64)
+        materialize_feed(
+            spark, spec, f"{tmp}/feed",
+            num_partitions=int(
+                os.environ.get("SPARK_GRAFT_FEED_PARTS", "64")
+            ),
+        )
         spark.stop()
 
         results = []
