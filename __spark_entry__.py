@@ -2699,6 +2699,106 @@ def _cdc_relay_compacted(spark, sf_dir):
 
 
 @_q(
+    "cdc_shadow_diff",
+    f"""
+    WITH feed AS (
+{_CDC_FEED_SQL}
+    ),
+    p AS (SELECT ((max(src_offset) + 4) // 4) AS bs FROM feed),
+    fa AS (
+      SELECT conv_id, turn_idx, role, text, tool FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY ts DESC, src_offset DESC) AS rn
+        FROM feed
+      ) WHERE rn = 1 AND op <> 'D'
+    ),
+    fb AS (
+      SELECT conv_id, turn_idx, role, text, tool FROM (
+        SELECT f.*, row_number() OVER (
+          PARTITION BY f.conv_id, f.turn_idx
+          ORDER BY f.ts DESC, f.src_offset DESC) AS rn
+        FROM feed f, p WHERE f.src_offset <= 3 * p.bs - 1
+      ) WHERE rn = 1 AND op <> 'D'
+    ),
+    j AS (
+      SELECT coalesce(a.conv_id, b.conv_id) AS conv_id,
+             coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+             CASE
+               WHEN b.conv_id IS NULL THEN 'only_a'
+               WHEN a.conv_id IS NULL THEN 'only_b'
+               WHEN NOT (a.role IS NOT DISTINCT FROM b.role)
+                 OR NOT (a.text IS NOT DISTINCT FROM b.text)
+                 OR NOT (a.tool IS NOT DISTINCT FROM b.tool)
+               THEN 'differs'
+             END AS status,
+             CASE WHEN a.conv_id IS NOT NULL AND b.conv_id IS NOT NULL
+             THEN array_to_string(list_filter([
+               CASE WHEN NOT (a.role IS NOT DISTINCT FROM b.role)
+                    THEN 'role' END,
+               CASE WHEN NOT (a.text IS NOT DISTINCT FROM b.text)
+                    THEN 'text' END,
+               CASE WHEN NOT (a.tool IS NOT DISTINCT FROM b.tool)
+                    THEN 'tool' END], x -> x IS NOT NULL), ',')
+             ELSE '' END AS dcols
+      FROM fa a FULL OUTER JOIN fb b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+    )
+    SELECT conv_id, turn_idx, status,
+           CASE WHEN status = 'differs' THEN dcols ELSE '' END
+             AS diff_cols
+    FROM j WHERE status IS NOT NULL
+    """,
+)
+def _cdc_shadow_diff(spark, sf_dir):
+    """Shadow-run table diff (lake/validate.py diff_frames) — the
+    migration/cutover gate the north rule's final-state-equality
+    criterion implies as an OPERATOR: two replays of the same feed,
+    one stopped a batch early (the 'old engine'), diffed on the merge
+    keys with null-safe column compares. Keys only the last batch
+    created surface as only_a, keys it deleted as only_b, keys it
+    updated as differs with the disagreeing columns named. A clean
+    shadow run (same frontier) returns an EMPTY frame — that identity
+    is pinned by the pytest; this query pins the non-trivial diff
+    against a full SQL replay of both frontiers. One full-outer join
+    on the merge keys (both sides hash-partitioned on them),
+    scan-bound compares, nothing collected."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.lake.validate import diff_frames
+    from omniparser_spark.sources.changefeed import FeedSpec, encode_payload
+
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev)
+    feed = encode_payload(fields, FeedSpec(n_events=1, evolution_frac=0.0)).select(
+        "offset", "op", "format", "payload", "ts", "source_part"
+    )
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_shadow_")
+    feed.write.mode("overwrite").parquet(f"{tmp}/feed")
+    feed_scan = spark.read.parquet(f"{tmp}/feed")
+    total = feed_scan.agg(F.max("offset")).collect()[0][0] + 1
+    bs = (total + 3) // 4
+    pa = CdcPipeline(
+        spark, f"{tmp}/ta", f"{tmp}/ca", n_buckets=8, n_source_parts=8,
+    )
+    pa.run_feed(feed_scan, total, batch_size=bs)
+    pb = CdcPipeline(
+        spark, f"{tmp}/tb", f"{tmp}/cb", n_buckets=8, n_source_parts=8,
+    )
+    pb.run_feed(feed_scan, 3 * bs, batch_size=bs)
+    d = diff_frames(
+        pa.read_table(), pb.read_table(),
+        keys=["conv_id", "turn_idx"],
+        compare_cols=["role", "text", "tool"],
+    )
+    return d.select(
+        "conv_id",
+        "turn_idx",
+        "status",
+        F.array_join("diff_cols", ",").alias("diff_cols"),
+    )
+
+
+@_q(
     "transcript_curation_funnel",
     """
     WITH t AS (

@@ -1658,3 +1658,51 @@ def test_hll_view_incremental_distinct_ever(spark, tmp_path):
         r["conv_id"]: (r["approx_distinct"], r["hll_zero_registers"])
         for r in read_hll_view(view).collect()
     } == want
+
+
+def test_diff_tables_shadow_gate(spark, tmp_path):
+    """Shadow-run cutover gate: identical replays diff to an EMPTY
+    frame; presence and value disagreements classify correctly with
+    null-safe compares."""
+    from omniparser_spark.lake.validate import (
+        diff_frames,
+        diff_tables,
+        equality_report,
+    )
+
+    def mk(name, rows):
+        t = LakeTable.create(
+            spark, str(tmp_path / name), SCHEMA, key_col="conv_id",
+            n_buckets=4, merge_keys=("conv_id", "turn_idx"),
+        )
+        merge_into(t, _batch(spark, rows), batch_id=0,
+                   max_offset=len(rows) - 1)
+        return t
+
+    rows = [("a", 1, "a1", 1, 0, "I"), ("a", 2, "a2", 1, 1, "I"),
+            ("b", 1, None, 1, 2, "I")]  # NULL text: null-safe equal
+    ta = mk("ta", rows)
+    tb = mk("tb", rows)
+    assert diff_tables(ta, tb).count() == 0
+    rep = equality_report(
+        ta.read(), tb.read(), ["conv_id", "turn_idx"],
+        ["role", "text", "tool"],
+    )
+    assert rep["equal"] and rep["rows_a"] == rep["rows_b"] == 3
+
+    tc = mk("tc", [("a", 1, "a1-CHANGED", 1, 0, "I"),  # differs: text
+                   ("a", 2, "a2", 1, 1, "I"),
+                   # b.1 missing -> only_a; c.1 extra -> only_b
+                   ("c", 1, "c1", 1, 2, "I")])
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["status"], list(r["diff_cols"]))
+        for r in diff_frames(
+            ta.read(), tc.read(), ["conv_id", "turn_idx"],
+            ["role", "text", "tool"],
+        ).collect()
+    }
+    assert got == {
+        ("a", 1): ("differs", ["text"]),
+        ("b", 1): ("only_a", []),
+        ("c", 1): ("only_b", []),
+    }

@@ -100,7 +100,7 @@ def test_wire_framing():
     # explicit message-index path [1, 3]: Confluent framing zigzag-
     # encodes count and indexes (count 2 -> 0x04, 1 -> 0x02, 3 -> 0x06)
     msg2 = encode_wire(7, CHANGE_FIELDS, rec, msg_indexes=(1, 3))
-    assert msg2[5:9] == b"\x04\x02\x06"
+    assert msg2[5:8] == b"\x04\x02\x06"
     assert decode_wire(msg2, CHANGE_REGISTRY)["offset"] == 5
     # a genuine Kafka Connect frame with path [1] is 0x02 0x02
     msg3 = encode_wire(7, CHANGE_FIELDS, rec, msg_indexes=(1,))
