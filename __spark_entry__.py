@@ -6876,6 +6876,75 @@ def _dedup_substring_spans(spark, sf_dir):
 
 
 @_q(
+    "text_strip_substring_spans",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT doc_id, i, md5(array_to_string(ws[i:i+7], ' ')) AS h
+      FROM base, unnest(range(1, len(ws) - 8 + 2)) t(i)
+      WHERE len(ws) >= 8
+    ),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+    hits AS (SELECT s.doc_id, s.i FROM sh s JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, i,
+             CASE WHEN i > lag(i) OVER w + 8 THEN 1 ELSE 0 END AS brk
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    grp AS (
+      SELECT doc_id, i,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS gid
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, min(i) AS s, (max(i) + 8 - 1) AS e
+      FROM grp GROUP BY doc_id, gid
+    ),
+    tok AS (
+      SELECT doc_id, i, ws[i] AS w
+      FROM base, unnest(range(1, len(ws) + 1)) t(i)
+    ),
+    cover AS (
+      SELECT DISTINCT t.doc_id, t.i
+      FROM tok t JOIN spans sp
+        ON sp.doc_id = t.doc_id AND t.i BETWEEN sp.s AND sp.e
+    )
+    SELECT t.doc_id,
+           coalesce(string_agg(CASE WHEN c.i IS NULL THEN t.w END,
+                               ' ' ORDER BY t.i), '') AS text_deduped,
+           (count(*) FILTER (WHERE c.i IS NOT NULL))::INT
+             AS n_tokens_removed,
+           (count(*) FILTER (WHERE c.i IS NULL))::INT AS n_tokens_kept
+    FROM tok t LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.i = t.i
+    GROUP BY t.doc_id
+    """,
+)
+def _strip_substring_spans(spark, sf_dir):
+    """Substring dedup APPLIED (operators/dedup_text.py
+    strip_duplicate_spans): every token covered by a duplicated span
+    removed from the document — Lee et al. drop all occurrences, and
+    the rewrite keeps span-free docs intact with counts for both
+    sides. One groupBy of the spans + one left join + a positional
+    array filter on top of the detection plan. Oracle rewrites every
+    document through the identical span arithmetic and ordered
+    string_agg."""
+    from omniparser_spark.operators.dedup_text import (
+        strip_duplicate_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return strip_duplicate_spans(d, k=8, min_count=2)
+
+
+@_q(
     "text_dedup_boilerplate_lines",
     """
     WITH src AS (

@@ -607,3 +607,62 @@ def duplicate_spans(
         )
         .drop("_gid")
     )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY the substring dedup: rewrite each document with every
+    token covered by a :func:`duplicate_spans` span removed (Lee et
+    al. drop every occurrence of a duplicated substring — removing
+    both copies measurably improves the trained model vs keeping one).
+
+    Returns every input document (normalized) as (id_col, text_deduped,
+    n_tokens_removed, n_tokens_kept); span-free documents pass through
+    with n_tokens_removed = 0. The rewrite is a per-token positional
+    filter against the doc's own span list (collected per doc — spans
+    per doc are few by construction), so beyond duplicate_spans' plan
+    this adds one groupBy of the spans and one left join back: still
+    nothing all-pairs, still hash-partitioned on the doc id.
+    """
+    spans = (
+        duplicate_spans(df, k=k, min_count=min_count,
+                        id_col=id_col, text_col=text_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("start_tok").alias("s"),
+                         F.col("end_tok").alias("e"))
+            ).alias("_spans")
+        )
+    )
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), toks.alias("_ws")
+    )
+    joined = base.join(spans, id_col, "left").withColumn(
+        "_spans",
+        F.coalesce(F.col("_spans"), F.array().cast(
+            "array<struct<s:int,e:int>>"
+        )),
+    )
+    # two-arg filter lambda: i is the 0-based position; spans are
+    # 1-based inclusive token ranges
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda sp: (i + 1 >= sp.getField("s"))
+        & (i + 1 <= sp.getField("e")),
+    )
+    kept = F.filter(F.col("_ws"), lambda x, i: ~covered(i))
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("text_deduped"),
+        (F.size("_ws") - F.size(kept)).cast("int").alias(
+            "n_tokens_removed"
+        ),
+        F.size(kept).cast("int").alias("n_tokens_kept"),
+    )

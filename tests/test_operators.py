@@ -1151,3 +1151,32 @@ def test_duplicate_spans_exact_substr(spark):
         for r in duplicate_spans(df.repartition(7), k=8).collect()
     }
     assert rep == got
+
+
+def test_strip_duplicate_spans_rewrites(spark):
+    """Span removal: covered tokens drop (ALL occurrences), span-free
+    docs pass through intact, counts balance."""
+    from omniparser_spark.operators.dedup_text import (
+        strip_duplicate_spans,
+    )
+
+    shared = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} unique tail one"),
+            (2, f"prefix two {shared} and more stuff here"),
+            (4, "entirely unique words nine ten eleven twelve thirteen"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["text_deduped"], r["n_tokens_removed"], r["n_tokens_kept"]
+        )
+        for r in strip_duplicate_spans(df, k=8).collect()
+    }
+    assert got[1] == ("unique tail one", 8, 3)
+    assert got[2] == ("prefix two and more stuff here", 8, 6)
+    assert got[4] == (
+        "entirely unique words nine ten eleven twelve thirteen", 0, 8
+    )
