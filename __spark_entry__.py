@@ -4230,6 +4230,84 @@ def _streaming(spark, sf_dir):
 
 
 @_q(
+    "cdc_streaming_view",
+    f"""
+    WITH feed AS (
+{_CDC_FEED_SQL}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, src_offset DESC) AS rn
+      FROM feed
+    ),
+    final AS (
+      SELECT conv_id, text FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT conv_id,
+           count(*)::BIGINT AS n_rows,
+           sum(length(text))::BIGINT AS n_chars
+    FROM final GROUP BY conv_id
+    """,
+)
+def _cdc_streaming_view(spark, sf_dir):
+    """Materialized-view maintenance TRACKING THE STREAM (streaming/
+    stream.py after_epoch hook + lake/views.py sync_rollup_view): the
+    view bootstraps over the empty table, then every streaming epoch's
+    fenced commit triggers an incremental sync — the deployment shape
+    where a monitoring rollup must stay within one micro-batch of the
+    table. The hook runs after the epoch's commit, so a crash inside
+    it replays the epoch as a fenced no-op and the (frontier-fenced,
+    idempotent) sync re-runs against identical state. The final view
+    must equal the full aggregate of the global LWW replay."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.lake.views import (
+        create_rollup_view,
+        sync_rollup_view,
+    )
+    from omniparser_spark.sources.changefeed import FeedSpec, encode_payload
+    from omniparser_spark.streaming.stream import run_streaming_apply
+
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev)
+    feed = encode_payload(fields, FeedSpec(n_events=1, evolution_frac=0.0)).select(
+        "offset", "op", "format", "payload", "ts", "source_part"
+    )
+    tmp = tempfile.mkdtemp(prefix="omniparser_spark_sview_")
+    # A binlog/Kafka tail delivers offsets IN ORDER; the file-source
+    # stand-in must reproduce that (epochs pick files by mtime), so
+    # the feed lands as sequential offset-range files — the layout a
+    # real tailer writes. Version-window changelog reads (the view's
+    # delta source) rely on offsets being monotone with commits; a
+    # shuffled feed would violate the transport contract, not the
+    # engine (per-row LWW still converges either way).
+    feed = feed.persist()
+    total = feed.agg(F.max("offset")).collect()[0][0] + 1
+    step = (total + 7) // 8
+    for i in range(8):
+        feed.filter(
+            (F.col("offset") >= i * step)
+            & (F.col("offset") < (i + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(f"{tmp}/feed")
+    feed.unpersist()
+    pipe = CdcPipeline(
+        spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8, n_source_parts=8
+    )
+    metrics = {"n_chars": lambda g: F.length(g("text"))}
+    view = create_rollup_view(
+        spark, f"{tmp}/view", pipe.table,
+        group_col="conv_id", metrics=metrics,
+    )
+    run_streaming_apply(
+        pipe, f"{tmp}/feed", max_files_per_trigger=3,
+        after_epoch=lambda rec: sync_rollup_view(
+            pipe.table, view, group_col="conv_id", metrics=metrics
+        ),
+    )
+    return view.read().select("conv_id", "n_rows", "n_chars")
+
+
+@_q(
     "streaming_windowed_rollup",
     """
     SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,

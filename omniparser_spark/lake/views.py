@@ -236,7 +236,15 @@ def sync_rollup_view(
     from changelog deltas only.  Idempotent and resumable: the view's
     own summary records the source version it reflects
     (`max_offset_applied`) and the maintenance batch id — re-running a
-    completed sync fences to a no-op, exactly like the main apply."""
+    completed sync fences to a no-op, exactly like the main apply.
+
+    Transport contract: version-window changelog reads resolve the
+    window via snapshot offset frontiers, so source OFFSETS must be
+    monotone with commit order — the property every binlog/Kafka tail
+    has and the batch loop's offset-sliced run_feed enforces. A feed
+    deliberately delivered out of offset order still converges at the
+    TABLE (per-row LWW) but is not a valid changelog transport for
+    incremental consumers (views, exports)."""
     vsum = view.summary()
     from_version = int(vsum["max_offset_applied"])
     src_head = table.current().version

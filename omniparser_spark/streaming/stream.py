@@ -66,6 +66,7 @@ def run_streaming_apply(
         "ts timestamp, source_part int"
     ),
     max_files_per_trigger: int = 4,
+    after_epoch=None,
 ) -> list[dict[str, Any]]:
     """Tail a parquet directory as a stream and apply every micro-batch.
 
@@ -116,6 +117,14 @@ def run_streaming_apply(
             offset_end=int(bounds["hi"]),
         )
         results.append(rec)
+        # post-epoch hook: downstream maintenance that must track the
+        # stream (materialized-view syncs, export ticks). Runs AFTER
+        # the epoch's fenced commit, so a crash inside the hook
+        # replays the epoch as a fenced no-op and the hook re-runs
+        # against identical table state — hooks must be idempotent
+        # (the view syncs are: they fence on the view's own frontier).
+        if after_epoch is not None:
+            after_epoch(rec)
 
     try:
         q = (
