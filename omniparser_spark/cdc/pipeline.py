@@ -22,6 +22,7 @@ fences every event is applied exactly once.
 
 from __future__ import annotations
 
+import time
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -191,6 +192,10 @@ class CdcPipeline:
             aggs = [
                 F.count(F.when(ok, 1)).alias("rows_total"),
                 F.count(F.when(~ok, 1)).alias("bad"),
+                # freshness watermark: newest event time in the batch —
+                # commit wall time minus this is the end-to-end lag a
+                # CDC deployment alerts on
+                F.max(F.when(ok, F.col("ts"))).alias("max_ts"),
             ]
             for p in range(self.n_source_parts):
                 cond = ok & (F.col("source_part") == p)
@@ -230,6 +235,7 @@ class CdcPipeline:
             row = obs.get  # an action ran: observation is filled
             events_in = int(row["rows_total"])
             n_quarantined = int(row["bad"])
+            max_event_ts = row["max_ts"]
             lineage_rows = [
                 {
                     "source_part": p,
@@ -256,11 +262,18 @@ class CdcPipeline:
                             "offset_max"
                         ),
                         F.count(F.when(~F.col("_ok"), 1)).alias("bad"),
+                        F.max(F.when(F.col("_ok"), F.col("ts"))).alias(
+                            "max_ts"
+                        ),
                     )
                     .collect()
                 )
                 events_in = sum(int(r["rows"]) for r in rows)
                 n_quarantined = sum(int(r["bad"]) for r in rows)
+                max_event_ts = max(
+                    (r["max_ts"] for r in rows if r["max_ts"] is not None),
+                    default=None,
+                )
                 if self.quarantine_path:
                     quarantine.write.mode("overwrite").parquet(
                         f"{self.quarantine_path}/batch_id={batch_id}"
@@ -308,6 +321,18 @@ class CdcPipeline:
             "touched_buckets": stats["touched_buckets"] if stats else [],
             "lineage": lineage_rows,
         }
+        # end-to-end freshness: commit wall clock minus the batch's
+        # newest event time. In a live tail this is THE lag metric;
+        # in a historical replay it is large and means "catching up".
+        commit_wall = time.time()
+        record["commit_wall_ts_us"] = int(commit_wall * 1_000_000)
+        if max_event_ts is not None:
+            ts_s = max_event_ts.timestamp()
+            record["max_event_ts_us"] = int(ts_s * 1_000_000)
+            record["lag_seconds"] = round(commit_wall - ts_s, 3)
+        else:
+            record["max_event_ts_us"] = None
+            record["lag_seconds"] = None
         self.checkpoints.commit(record)
         self.metrics.record(record)
         if self.expire_keep_last is not None and stats is not None:

@@ -506,3 +506,38 @@ def test_grown_feed_crash_repair_does_not_skip_new_events(
         not r["fenced"] and r["offset_start"] == 1400 for r in recs2
     ), "grown tail must re-drive under a fresh batch id"
     assert _spark_rows(p2.read_table()) == sorted(_oracle_rows(feed_events))
+
+
+def test_lag_metrics_recorded(spark, tmp_path):
+    """Every applied batch records end-to-end freshness: commit wall
+    clock minus the batch's newest event time; fenced replays record
+    None; lag_summary aggregates."""
+    import time as _time
+
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.sources.changefeed import FeedSpec, materialize_feed
+
+    feed = materialize_feed(
+        spark, FeedSpec(n_events=200, n_convs=10, seed=5),
+        str(tmp_path / "feed"),
+    )
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "t"), str(tmp_path / "c"),
+        n_buckets=4, n_source_parts=8,
+    )
+    recs = pipe.run_feed(feed, 200, batch_size=100)
+    now = _time.time()
+    for r in recs:
+        assert r["max_event_ts_us"] is not None
+        assert r["commit_wall_ts_us"] <= int(now * 1_000_000) + 1
+        # replayed 2024 fixtures: lag is large and positive (catch-up)
+        assert r["lag_seconds"] > 0
+    s = pipe.metrics.lag_summary()
+    assert s["last"] == recs[-1]["lag_seconds"]
+    assert s["max"] >= s["avg"] > 0
+    # fenced re-delivery records no freshness sample
+    again = pipe.apply_batch(
+        feed.limit(0), batch_id=recs[-1]["batch_id"],
+        offset_start=0, offset_end=99,
+    )
+    assert again["fenced"] and again.get("lag_seconds") is None
