@@ -141,6 +141,77 @@ def encode_changes_proto(
     return cols.mapInPandas(batches, schema=_EXPORT_SCHEMA)
 
 
+def encode_changes_avro(
+    changes: DataFrame,
+    schema_id: int = 2,
+    key_col: str = "conv_id",
+    key_expr=None,
+) -> DataFrame:
+    """Avro twin of :func:`encode_changes_proto`: change post-images ->
+    Confluent-framed Avro binary (sources/avro_wire — the registry
+    schema the ingest side already decodes, so the relay round-trips
+    through either codec). Same tombstone and key conventions."""
+    from omniparser_spark.sources.avro_wire import (
+        CHANGE_SCHEMA_V2,
+        encode_wire,
+    )
+
+    key = (
+        key_expr if key_expr is not None else F.col(key_col)
+    ).cast("string")
+    cols = changes.select(
+        key.alias("key"),
+        F.col(key_col).cast("string").alias("conv_key"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("role"),
+        F.col("text"),
+        F.col("tool"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_offset").cast("long").alias("offset"),
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for key, conv, ti, role, text, tool, ts_ms, ct, off in zip(
+                pdf["key"], pdf["conv_key"], pdf["turn_idx"], pdf["role"],
+                pdf["text"], pdf["tool"], pdf["ts_ms"],
+                pdf["change_type"], pdf["offset"],
+            ):
+                if ct == "delete":
+                    rows.append(
+                        {"offset": int(off), "key": key, "payload": None}
+                    )
+                    continue
+                rec = {
+                    "offset": int(off),
+                    "op": "U",
+                    "conv_id": conv,
+                    "turn_idx": int(ti),
+                    "role": role,
+                    "text": text,
+                    "tool": tool if tool is not None else None,
+                    "ts_ms": int(ts_ms) if ts_ms is not None else None,
+                }
+                rows.append(
+                    {
+                        "offset": int(off),
+                        "key": key,
+                        "payload": encode_wire(
+                            schema_id, CHANGE_SCHEMA_V2, rec
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _EXPORT_SCHEMA.fields]
+            )
+
+    return cols.mapInPandas(batches, schema=_EXPORT_SCHEMA)
+
+
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "manifest.json")
 

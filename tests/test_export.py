@@ -193,3 +193,47 @@ def test_compacted_relay_reconstructs_state(spark, tmp_path):
     assert got == want == {
         ("a", 1): "a1-v2", ("b", 1): "b1", ("c", 1): "c1"
     }
+
+
+def test_avro_export_round_trips(spark, tmp_path):
+    """The Avro twin of the proto export: frames decode through the
+    ingest-side Avro codec bit-exactly, tombstones stay NULL-payload,
+    and the compacted view reconstructs state."""
+    from pyspark.sql import functions as F
+
+    from omniparser_spark.cdc.export import (
+        encode_changes_avro,
+        read_compacted_frames,
+    )
+    from omniparser_spark.sources.avro_wire import decode_avro_wire
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="conv_id",
+        n_buckets=4, merge_keys=("conv_id", "turn_idx"),
+    )
+    merge_into(
+        t,
+        _b(spark, [("a", 1, "a1", 0, "I"), ("b", 1, "b1", 1, "I")]),
+        batch_id=0, max_offset=1,
+    )
+    enc = lambda ch: encode_changes_avro(  # noqa: E731
+        ch,
+        key_expr=F.concat(
+            F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string")
+        ),
+    )
+    out = str(tmp_path / "topic")
+    export_changelog(t, out, encoder=enc)
+    merge_into(
+        t,
+        _b(spark, [("a", 1, "a1-v2", 2, "U"), ("b", 1, None, 3, "D")]),
+        batch_id=1, max_offset=3,
+    )
+    export_changelog(t, out, encoder=enc)
+
+    decoded = decode_avro_wire(read_compacted_frames(spark, out))
+    got = {
+        (r.conv_id, r.turn_idx): (r.text, r.schema_id)
+        for r in decoded.collect() if r._ok
+    }
+    assert got == {("a", 1): ("a1-v2", 2)}
