@@ -220,7 +220,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(rec, default=str))
         return 0
     if args.compact:
-        print(json.dumps(pipe.table.compact_buckets(), default=str))
+        rec = pipe.table.compact_buckets()
+        # same maintenance tail for the checkpoint log: fold per-batch
+        # files beyond the newest 256 into a jsonl archive (resume and
+        # lineage audits unaffected)
+        rec["checkpoint_log"] = pipe.checkpoints.compact()
+        print(json.dumps(rec, default=str))
         return 0
     if args.create_view is not None or args.sync_view is not None:
         # transcript-schema rollup: per-conv live-turn count + char sum

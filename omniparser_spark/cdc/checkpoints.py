@@ -52,9 +52,60 @@ class CheckpointStore:
         os.replace(tmp, os.path.join(self.path, LATEST))
 
     def all(self) -> list[dict[str, Any]]:
-        out = []
-        for name in sorted(os.listdir(self.path)):
-            if name.startswith("batch-"):
+        names = sorted(os.listdir(self.path))
+        by_id: dict[int, dict[str, Any]] = {}
+        # archives FIRST, then live per-batch files: a live file wins
+        # over an archive duplicate (a crash between the archive's
+        # rename and the file deletes leaves both; the live file is
+        # the one commit() wrote)
+        for name in names:
+            if name.startswith("history-") and name.endswith(".jsonl"):
                 with open(os.path.join(self.path, name)) as f:
-                    out.append(json.load(f))
-        return out
+                    for line in f:
+                        if line.strip():
+                            r = json.loads(line)
+                            by_id[int(r["batch_id"])] = r
+        for name in names:
+            if name.startswith("batch-") and name.endswith(".json"):
+                with open(os.path.join(self.path, name)) as f:
+                    r = json.load(f)
+                by_id[int(r["batch_id"])] = r
+        return [by_id[k] for k in sorted(by_id)]
+
+    def compact(self, keep_last: int = 256) -> dict[str, Any]:
+        """Fold all but the newest `keep_last` per-batch checkpoint
+        files into one append-only ``history-<first>-<last>.jsonl``
+        archive. At a seconds-cadence tail the per-batch files are
+        ~86k/day forever — the same unbounded-small-file rot the lake
+        side fixes with compact_buckets/expire_snapshots; this is the
+        checkpoint log's maintenance half. Resume is untouched (it
+        only reads ``latest.json``); lineage audits keep the full
+        record via :meth:`all`, which reads archives + live files and
+        dedupes by batch id (live wins), so a crash between the
+        archive's atomic rename and the source-file deletes is safe to
+        re-run."""
+        batch_files = sorted(
+            f for f in os.listdir(self.path)
+            if f.startswith("batch-") and f.endswith(".json")
+        )
+        if len(batch_files) <= keep_last:
+            return {"archived": 0}
+        fold = batch_files[: len(batch_files) - keep_last]
+        records = []
+        for name in fold:
+            with open(os.path.join(self.path, name)) as f:
+                records.append(json.load(f))
+        first = int(records[0]["batch_id"])
+        last = int(records[-1]["batch_id"])
+        archive = f"history-{first:010d}-{last:010d}.jsonl"
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as f:
+            for r in records:
+                f.write(json.dumps(r, sort_keys=True) + "\n")
+        os.replace(tmp, os.path.join(self.path, archive))
+        for name in fold:
+            try:
+                os.remove(os.path.join(self.path, name))
+            except FileNotFoundError:
+                pass
+        return {"archived": len(fold), "archive": archive}

@@ -146,6 +146,7 @@ def run_streaming_cdc_topic(
     dialect: str = "debezium",
     feed_schema: str = "payload string, source_part int",
     max_files_per_trigger: int = 4,
+    after_epoch=None,
 ) -> list[dict[str, Any]]:
     """Tail a CDC DIALECT topic (Debezium / Maxwell / Canal JSON
     envelopes) as a stream and drive the full apply loop per epoch —
@@ -217,6 +218,8 @@ def run_streaming_cdc_topic(
             _canon=canon,
         )
         results.append(rec)
+        if after_epoch is not None:  # same idempotent-hook contract
+            after_epoch(rec)
 
     try:
         q = (

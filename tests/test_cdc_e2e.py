@@ -541,3 +541,41 @@ def test_lag_metrics_recorded(spark, tmp_path):
         offset_start=0, offset_end=99,
     )
     assert again["fenced"] and again.get("lag_seconds") is None
+
+
+def test_checkpoint_log_compaction(tmp_path):
+    """Per-batch checkpoint files fold into jsonl archives without
+    losing the lineage record, changing resume state, or double-
+    counting after a crash between archive rename and file deletes."""
+    import json as _json
+    import os as _os
+
+    from omniparser_spark.cdc.checkpoints import CheckpointStore
+
+    cp = CheckpointStore(str(tmp_path / "ckpt"))
+    for i in range(10):
+        cp.commit({"batch_id": i, "offset_start": i * 10,
+                   "offset_end": i * 10 + 9, "events_in": 10})
+    rec = cp.compact(keep_last=3)
+    assert rec["archived"] == 7
+    live = [f for f in _os.listdir(cp.path) if f.startswith("batch-")]
+    assert len(live) == 3
+    assert [r["batch_id"] for r in cp.all()] == list(range(10))
+    assert cp.next_batch_id() == 10 and cp.next_offset() == 100
+
+    # idempotent / nothing left to fold
+    assert cp.compact(keep_last=3)["archived"] == 0
+
+    # crash sim: a folded batch file resurrected next to its archive
+    # entry must not double-count (live file wins)
+    with open(_os.path.join(cp.path, "batch-0000000002.json"), "w") as f:
+        _json.dump({"batch_id": 2, "offset_start": 20, "offset_end": 29,
+                    "events_in": 10, "resurrected": True}, f)
+    rows = cp.all()
+    assert [r["batch_id"] for r in rows] == list(range(10))
+    assert rows[2].get("resurrected") is True
+
+    # second compaction folds the resurrected file into a new archive
+    rec2 = cp.compact(keep_last=3)
+    assert rec2["archived"] == 1
+    assert [r["batch_id"] for r in cp.all()] == list(range(10))
