@@ -1180,3 +1180,48 @@ def test_strip_duplicate_spans_rewrites(spark):
     assert got[4] == (
         "entirely unique words nine ten eleven twelve thirteen", 0, 8
     )
+
+
+def test_hll_regs_array_bitmatches_one_pass(spark):
+    """The mergeable register-array form must estimate BIT-identically
+    to the one-pass sketch, and element-wise-max merging of split
+    halves must reproduce the whole — the invariant the incremental
+    HLL view stands on."""
+    from omniparser_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate_cols,
+        hll_regs_array,
+    )
+
+    df = spark.range(4000).select(
+        (F.col("id") % 5).alias("g"),
+        F.concat(F.lit("v"), (F.col("id") % 733).cast("string")).alias("v"),
+    )
+    one = {
+        r["g"]: (r["approx_distinct"], r["hll_zero_registers"])
+        for r in hll_distinct(df, ["g"], "v").collect()
+    }
+    est, zero = hll_estimate_cols("regs")
+    arr = {
+        r["g"]: (r["e"], r["z"])
+        for r in hll_regs_array(df, ["g"], "v")
+        .select("g", est.alias("e"), zero.alias("z")).collect()
+    }
+    assert arr == one
+    a1 = hll_regs_array(df.filter("id % 2 = 0"), ["g"], "v") \
+        .withColumnRenamed("regs", "r1")
+    a2 = hll_regs_array(df.filter("id % 2 = 1"), ["g"], "v") \
+        .withColumnRenamed("regs", "r2")
+    merged = a1.join(a2, "g", "outer").select(
+        "g",
+        F.zip_with(
+            F.coalesce("r1", "r2"), F.coalesce("r2", "r1"),
+            lambda x, y: F.greatest(x, y),
+        ).alias("regs"),
+    )
+    m = {
+        r["g"]: (r["e"], r["z"])
+        for r in merged.select("g", est.alias("e"), zero.alias("z"))
+        .collect()
+    }
+    assert m == one

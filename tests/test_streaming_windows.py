@@ -477,10 +477,14 @@ def test_streaming_cdc_topic_converges(spark, tmp_path):
         spark, str(tmp_path / "st"), str(tmp_path / "sc"), n_buckets=4,
         quarantine_path=str(tmp_path / "dead"),
     )
+    hook_calls = []
     recs = run_streaming_cdc_topic(
-        sp, feed_path, dialect="maxwell", max_files_per_trigger=2
+        sp, feed_path, dialect="maxwell", max_files_per_trigger=2,
+        after_epoch=lambda rec: hook_calls.append(rec["batch_id"]),
     )
     assert len(recs) >= 2, "expected multiple epochs"
+    # the post-epoch hook fired once per applied epoch, in order
+    assert hook_calls == [r["batch_id"] for r in recs]
     got = sorted(
         (r["conv_id"], r["turn_idx"], r["text"])
         for r in sp.read_table().collect()
