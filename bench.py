@@ -221,6 +221,14 @@ def main() -> None:
         "dedup_incremental_registry",
         "dedup_neardup_registry",
         "cdc_history_sink",
+        # round-6 stateful entries (same class): incremental HLL view,
+        # export->compact->decode relay, shadow diff, streaming+view,
+        # plus the scan-bound substring-span detector
+        "cdc_view_hll_distinct",
+        "cdc_relay_compacted",
+        "cdc_shadow_diff",
+        "cdc_streaming_view",
+        "text_dedup_substring_spans",
         # dedup_cluster_assign intentionally NOT benched: its iterative
         # rounds are driver-latency-bound (localCheckpoint per round),
         # so wall time tracks host scheduling noise more than engine
@@ -239,6 +247,10 @@ def main() -> None:
         "dedup_incremental_registry": 2,
         "dedup_neardup_registry": 2,
         "cdc_history_sink": 2,
+        "cdc_view_hll_distinct": 2,
+        "cdc_relay_compacted": 2,
+        "cdc_shadow_diff": 2,
+        "cdc_streaming_view": 2,
     }
     qs = entrymod.queries()
     for name in bench_queries:
