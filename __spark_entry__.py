@@ -7003,6 +7003,11 @@ def _dedup_substring_spans(spark, sf_dir):
            (count(*) FILTER (WHERE c.i IS NULL))::INT AS n_tokens_kept
     FROM tok t LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.i = t.i
     GROUP BY t.doc_id
+    UNION ALL
+    -- empty/whitespace docs pass through with zero tokens (ADVICE r6)
+    SELECT doc_id, '' AS text_deduped, 0::INT AS n_tokens_removed,
+           0::INT AS n_tokens_kept
+    FROM documents WHERE length(trim(text)) = 0
     """,
 )
 def _strip_substring_spans(spark, sf_dir):
@@ -8489,7 +8494,15 @@ def _multimodal_jpeg_color(spark, sf_dir):
     replication (floor(x+0.5) rounding == SQL round() after the 0..255
     clamp); a byte-level shortcut on the compressed stream cannot
     reproduce the counts. Closes the r5 verdict's 'color JPEG is the
-    one user-visible codec gap' item."""
+    one user-visible codec gap' item.
+
+    r7: three of every four fixtures now carry a DRI segment with
+    RST0..RST7 markers in the scan (restart_interval = i % 4 MCUs —
+    predictor resets, bit realignment, cycling sequence numbers per
+    T.81 E.2.4). Restart markers change the ENTROPY STREAM but not the
+    decoded pixels, so the closed-form oracle is unchanged — a decoder
+    that mishandles the predictor reset or realignment produces wrong
+    histograms and hash-fails."""
     from omniparser_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         extract_features,
@@ -8500,7 +8513,9 @@ def _multimodal_jpeg_color(spark, sf_dir):
     for i in range(50):
         w, h = 16 * (1 + i % 2), 16 * (1 + (i * 2) % 3)
         rows.append(
-            (i, "image", bytearray(make_jpeg_color(w, h, seed=i)),
+            (i, "image",
+             bytearray(make_jpeg_color(w, h, seed=i,
+                                       restart_interval=i % 4)),
              ("image/jpeg", w, h, 0))
         )
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -8550,6 +8565,11 @@ _CHANGED_SINCE_VERIFIED: dict[str, int] = {
     # (name -> round the change was made in)
     "embedding_group_pooling": 6,   # + n_dropped ragged-member column
     "corpus_curation_funnel": 6,    # + lm_ok sixth stage
+    # empty docs now pass through as ('',0,0) in BOTH engine and oracle
+    "text_strip_substring_spans": 7,
+    # fixtures now carry DRI/RSTn restart intervals (decode path change;
+    # decoded pixels — hence the oracle — are unchanged)
+    "multimodal_jpeg_color_features": 7,
 }
 
 

@@ -125,7 +125,11 @@ def encode_changes_proto(
                     "role": role or "",
                     "text": text or "",
                     "tool": tool or "",
-                    "ts_ms": int(ts_ms) if ts_ms is not None else 0,
+                    # pd.isna, not an identity check vs None: a nullable long
+                    # column reaches pandas via Arrow as float64, so a
+                    # NULL ts is NaN here — NaN is not None, and
+                    # int(NaN) would fail the export task (ADVICE r6)
+                    "ts_ms": 0 if pd.isna(ts_ms) else int(ts_ms),
                 }
                 rows.append(
                     {
@@ -194,7 +198,9 @@ def encode_changes_avro(
                     "role": role,
                     "text": text,
                     "tool": tool if tool is not None else None,
-                    "ts_ms": int(ts_ms) if ts_ms is not None else None,
+                    # NaN-aware for the same Arrow float64 reason as the
+                    # proto twin above
+                    "ts_ms": None if pd.isna(ts_ms) else int(ts_ms),
                 }
                 rows.append(
                     {
@@ -243,6 +249,33 @@ def export_changelog(
     from_offset = int(manifest["frontier"]) + 1
     head = int(table.summary().get("max_offset_applied", -1))
     to_offset = head if upto_offset is None else min(int(upto_offset), head)
+    # Reclaim orphans from crashed exports: if the table frontier
+    # advanced between a crash and this retry, the retry writes
+    # batch-<from>-<newTo> and the old batch-<from>-<oldTo> dir would
+    # never be overwritten, manifest-listed, or cleaned (an unbounded
+    # disk leak in a crash loop).  Only dirs STRICTLY behind the
+    # manifest frontier are reclaimed: an unowned dir starting at
+    # frontier+1 may be another writer's (or a chunked retry's)
+    # in-flight batch — rmtree'ing it mid-write was a race the
+    # single-writer assumption merely documented (ADVICE r6).  Dirs
+    # behind the frontier are definitionally dead: the manifest owns
+    # every committed range up to the frontier and consumers read only
+    # owned dirs.  Runs before the fence so even caught-up callers
+    # (the steady state of a polling exporter) collect stale dirs.
+    import shutil
+
+    owned = {b["dir"] for b in manifest["batches"]}
+    for name in os.listdir(out_dir):
+        if not name.startswith("batch-") or name in owned:
+            continue
+        try:
+            dir_from = int(name.split("-")[1])
+        except (IndexError, ValueError):
+            continue
+        if dir_from >= from_offset:
+            continue
+        shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+
     if to_offset < from_offset:
         return {
             "fenced": True,
@@ -250,20 +283,6 @@ def export_changelog(
             "to_offset": to_offset,
             "n_records": 0,
         }
-
-    # Reclaim orphans from crashed exports: if the table frontier
-    # advanced between a crash and this retry, the retry writes
-    # batch-<from>-<newTo> and the old batch-<from>-<oldTo> dir would
-    # never be overwritten, manifest-listed, or cleaned (an unbounded
-    # disk leak in a crash loop).  Delete any batch dir the manifest
-    # doesn't own before writing the new one — consumers only read
-    # manifest-listed dirs, so this is invisible to them.
-    import shutil
-
-    owned = {b["dir"] for b in manifest["batches"]}
-    for name in os.listdir(out_dir):
-        if name.startswith("batch-") and name not in owned:
-            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
 
     changes = table.read_changes(from_offset, to_offset)
     frames = encoder(changes)

@@ -46,7 +46,17 @@ def diff_frames(
     keys = list(keys)
     if compare_cols is None:
         compare_cols = [c for c in a.columns if c not in keys]
-    compare_cols = [c for c in compare_cols if c in b.columns]
+    compare_cols = list(compare_cols)
+    # a compare column absent from b is a schema divergence — exactly
+    # what a shadow-run cutover gate exists to catch. Silently skipping
+    # it (the old behavior) let a migration that dropped or renamed a
+    # column pass as 'equal' with no signal (ADVICE r6).
+    missing = [c for c in compare_cols if c not in b.columns]
+    if missing:
+        raise ValueError(
+            f"compare columns missing from frame b: {missing}; "
+            "schema divergence must fail the gate, not pass silently"
+        )
 
     la = a.select(
         *keys,

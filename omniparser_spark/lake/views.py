@@ -224,6 +224,27 @@ def create_rollup_view(
     return view
 
 
+def _touched_view_buckets(
+    changed: DataFrame, group_col: str, n_buckets: int
+) -> list[int]:
+    """The sorted view-bucket ids the window's changed groups hash
+    into — a bounded distinct-collect (at most `n_buckets` ints) that
+    lets a sync read only the stored view's touched bucket files.
+    `group_col` is a merge key of the source, so a changed row's group
+    is identical in pre and post image and the changelog's post-image
+    group column covers every touched group (including deletes)."""
+    from omniparser_spark.lake.table import bucket_expr
+
+    return sorted(
+        int(r["_b"])
+        for r in changed.select(
+            bucket_expr(group_col, n_buckets).alias("_b")
+        )
+        .distinct()
+        .collect()
+    )
+
+
 def sync_rollup_view(
     table: LakeTable,
     view: LakeTable,
@@ -286,7 +307,20 @@ def sync_rollup_view(
         table, from_version, group_col=group_col,
         metrics=metrics, to_version=to_v, minmax_metrics=mm,
     )
-    old = view.read().select(
+    # prune the stored-view read to the delta's touched buckets (the
+    # registry pattern, operators/dedup_registry.py): every changed
+    # row's group hashes into one of these view buckets, so the left
+    # join below sees exactly the same old rows as a full view scan —
+    # but reads O(touched buckets), not O(all groups ever). The collect
+    # is bounded by the view's n_buckets (a handful of ints). This is
+    # per-micro-batch cost since the streaming after_epoch hook, so an
+    # unpruned read here is the named scale-killer class (r6 verdict).
+    touched = _touched_view_buckets(
+        table.changes_between_versions(from_version, to_v),
+        group_col,
+        int(vsum["n_buckets"]),
+    )
+    old = view.read(buckets=touched).select(
         group_col, "n_rows", *metric_names, *mm_names
     )
     joined = delta.join(old, on=group_col, how="left")
@@ -319,8 +353,22 @@ def sync_rollup_view(
             .select(group_col)
             .distinct()
         )
+        # the rescan source read is already group-restricted via the
+        # broadcast semi-join; when the view's group IS the source's
+        # bucket key (the common conv_id case) additionally prune the
+        # scan to the rescan groups' source buckets — the broadcast
+        # materializes rescan_keys anyway, so the extra bounded collect
+        # rides on work the join already does
+        src_sum = table.summary()
+        if group_col == src_sum.get("key_col"):
+            rescan_buckets = _touched_view_buckets(
+                rescan_keys, group_col, int(src_sum["n_buckets"])
+            )
+            src_at = table.read(version=to_v, buckets=rescan_buckets)
+        else:
+            src_at = table.read(version=to_v)
         rescanned = (
-            table.read(version=to_v)
+            src_at
             .join(F.broadcast(rescan_keys), on=group_col, how="inner")
             .groupBy(group_col)
             .agg(
@@ -388,6 +436,7 @@ def sync_rollup_view(
         # counted directly (the merge's Observation is off — see above);
         # one extra action over the O(changed groups) delta frame
         "groups_touched": rows.count() if rec is not None else 0,
+        "view_buckets_read": touched,
     }
 
 
@@ -496,7 +545,13 @@ def sync_hll_view(
         group_col, value_col
     )
     dregs = hll_regs_array(vals, [group_col], value_col)
-    old = view.read().select(
+    # registers are grow-only, so delete-only groups need no touch at
+    # all — prune the bucket set to groups with surviving post-images
+    # (vals), then read only those stored-view bucket files
+    touched = _touched_view_buckets(
+        vals, group_col, int(vsum["n_buckets"])
+    )
+    old = view.read(buckets=touched).select(
         group_col, F.col("regs").alias("_old")
     )
     merged = (
@@ -530,6 +585,7 @@ def sync_hll_view(
         "from_version": from_version,
         "to_version": to_v,
         "groups_touched": merged.count() if rec is not None else 0,
+        "view_buckets_read": touched,
     }
 
 

@@ -564,7 +564,6 @@ def duplicate_spans(
     from pyspark.sql import Window
 
     toks = F.split(normalized_text(F.col(text_col)), " ")
-    n = F.size(toks)
     base = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(F.col(id_col), toks.alias("_ws"))
@@ -623,7 +622,10 @@ def strip_duplicate_spans(
 
     Returns every input document (normalized) as (id_col, text_deduped,
     n_tokens_removed, n_tokens_kept); span-free documents pass through
-    with n_tokens_removed = 0. The rewrite is a per-token positional
+    with n_tokens_removed = 0, and empty/whitespace-only documents pass
+    through as ('', 0, 0) — they have no tokens, not one empty token
+    (ADVICE r6: previously they were dropped from the output entirely,
+    contradicting this contract). The rewrite is a per-token positional
     filter against the doc's own span list (collected per doc — spans
     per doc are few by construction), so beyond duplicate_spans' plan
     this adds one groupBy of the spans and one left join back: still
@@ -641,8 +643,13 @@ def strip_duplicate_spans(
         )
     )
     toks = F.split(normalized_text(F.col(text_col)), " ")
-    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.col(id_col), toks.alias("_ws")
+    # empty/whitespace docs carry ZERO tokens (split('') would yield
+    # one empty token and miscount n_tokens_kept as 1)
+    base = df.select(
+        F.col(id_col),
+        F.when(
+            F.length(F.trim(F.col(text_col))) > 0, toks
+        ).otherwise(F.array().cast("array<string>")).alias("_ws"),
     )
     joined = base.join(spans, id_col, "left").withColumn(
         "_spans",

@@ -794,10 +794,12 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 # Baseline JPEG (ITU-T T.81 / ISO 10918-1), pure stdlib + numpy IDCT.
 #
 # Scope (honest gates, same policy as the PNG/GIF/BMP decoders above):
-# sequential baseline DCT (SOF0), 8-bit, single-component (grayscale)
-# scans, Huffman entropy coding with byte stuffing. Progressive (SOF2),
-# arithmetic coding, restart intervals, and multi-component chroma
-# subsampling raise NotImplementedError rather than decode wrong.
+# sequential baseline DCT (SOF0), 8-bit, grayscale / 4:4:4 / 4:2:0
+# scans, Huffman entropy coding with byte stuffing, DRI/RSTn restart
+# intervals (r7: predictor reset + realign + sequence verification —
+# the one gated feature ordinary camera/library JPEGs actually carry).
+# Progressive (SOF2), arithmetic coding, and the rarer chroma layouts
+# (4:2:2/4:1:1) raise NotImplementedError rather than decode wrong.
 #
 # The reference contains no media code at all; this exists for the
 # engine's multimodal ingest surface (SURVEY.md §2 LLM-pipeline ops).
@@ -875,10 +877,21 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing (B.1.1.5)
                 self.buf.append(0x00)
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """1-fill to the next byte boundary (T.81 F.1.2.3 — the padding
+        before a restart marker)."""
         if self._n:
             pad = 8 - self._n
-            self.put((1 << pad) - 1, pad)  # 1-fill to byte boundary
+            self.put((1 << pad) - 1, pad)
+
+    def raw(self, b: bytes) -> None:
+        """Append marker bytes verbatim (no 0xFF00 stuffing) — callers
+        must align() first."""
+        assert self._n == 0, "raw marker inside a partial byte"
+        self.buf += b
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -926,6 +939,27 @@ class _BitReader:
                 return sym
         raise ValueError("invalid Huffman code")
 
+    def restart(self, expect_n: int) -> None:
+        """Consume an RSTn marker at a restart boundary (T.81 E.2.4):
+        discard the pad bits to the byte boundary, require the next two
+        bytes to be 0xFF 0xD0+expect_n — a wrong or missing sequence
+        number means the entropy segment is corrupt and decoding wrong
+        data silently is worse than failing loudly."""
+        self._n = 0  # drop 1-fill padding
+        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("expected RST marker at restart boundary")
+        m = self.data[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError(
+                f"expected RST marker, found 0xFF{m:02X}"
+            )
+        if (m & 0x7) != expect_n:
+            raise ValueError(
+                f"RST sequence out of order: found RST{m & 0x7}, "
+                f"expected RST{expect_n}"
+            )
+        self.pos += 2
+
 
 def _category(v: int) -> int:
     """DC/AC magnitude category SSSS (T.81 F.1.2.1.1)."""
@@ -950,12 +984,19 @@ def encode_jpeg_blocks(
     height: int,
     qblocks: list[list[int]],
     quant: list[int],
+    restart_interval: int = 0,
 ) -> bytes:
     """Assemble a valid baseline grayscale JPEG from QUANTIZED
     coefficient blocks (natural row-major order, one 64-list per 8x8
     block in raster block order). Exposed separately from
     :func:`make_jpeg` so tests can drive arbitrary AC runs / ZRL / EOB
-    shapes through the entropy layer."""
+    shapes through the entropy layer.
+
+    `restart_interval` > 0 emits a DRI segment and an RST0..RST7
+    marker (cycling) after every that-many MCUs — for a grayscale
+    single-component scan the MCU is one block (T.81 E.2.4) — with the
+    byte-aligned 1-fill padding and DC-predictor reset the standard
+    requires."""
     import struct
 
     assert width % 8 == 0 and height % 8 == 0, "pad to full blocks"
@@ -963,7 +1004,13 @@ def encode_jpeg_blocks(
     ac_map = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
     w = _BitWriter()
     prev_dc = 0
-    for blk in qblocks:
+    rst_n = 0
+    for mcu_i, blk in enumerate(qblocks):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            w.align()
+            w.raw(bytes([0xFF, 0xD0 + rst_n]))
+            rst_n = (rst_n + 1) & 0x7
+            prev_dc = 0
         zz = [blk[_ZIGZAG[i]] for i in range(64)]
         diff = zz[0] - prev_dc
         prev_dc = zz[0]
@@ -1011,8 +1058,13 @@ def encode_jpeg_blocks(
         bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
         + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
     )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
 
 
 def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
@@ -1050,9 +1102,11 @@ def _parse_jpeg_stream(blob: bytes):
     ``bpr`` (blocks per row in the component's own grid) and
     ``blocks`` (64-lists, natural order, the component's raster block
     order). Supported: baseline sequential (SOF0), 8-bit, one scan,
-    grayscale / 4:4:4 / 4:2:0; everything else raises loudly
-    (progressive, restart intervals, 16-bit quant, 4:2:2/4:1:1,
-    multi-scan) — honest gates, never a wrong decode.
+    grayscale / 4:4:4 / 4:2:0, with DRI/RSTn restart intervals
+    (predictor reset + bit realignment + sequence-number verification,
+    T.81 E.2.4); everything else raises loudly (progressive, 16-bit
+    quant, 4:2:2/4:1:1, multi-scan) — honest gates, never a wrong
+    decode.
     """
     import struct
 
@@ -1063,6 +1117,7 @@ def _parse_jpeg_stream(blob: bytes):
     htabs: dict[tuple[int, int], dict] = {}
     w = h = None
     specs: list[dict] | None = None
+    restart_interval = 0
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1131,8 +1186,8 @@ def _parse_jpeg_stream(blob: bytes):
                     bits, vals
                 )
                 i += 17 + n
-        elif code == 0xFFDD:
-            raise NotImplementedError("restart intervals not supported")
+        elif code == 0xFFDD:  # DRI (B.2.4.4) — interval in MCUs, 0 = off
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif code == 0xFFDA:  # SOS
             if specs is None or w is None:
                 raise ValueError("SOS before SOF0")
@@ -1185,11 +1240,28 @@ def _parse_jpeg_stream(blob: bytes):
                     nat[_ZIGZAG[i]] = zz[i]
                 return nat
 
+            rst_state = {"i": 0, "n": 0}
+
+            def at_restart_boundary() -> None:
+                # before each MCU except the first: consume the RSTn
+                # the encoder emitted every `restart_interval` MCUs,
+                # verify its cycling sequence number, and reset every
+                # component's DC predictor (T.81 E.2.4)
+                i = rst_state["i"]
+                if restart_interval and i and i % restart_interval == 0:
+                    r.restart(rst_state["n"])
+                    rst_state["n"] = (rst_state["n"] + 1) & 0x7
+                    for k in preds:
+                        preds[k] = 0
+                rst_state["i"] = i + 1
+
             if len(comps) == 1:
                 c = comps[0]
                 c["bpr"] = (w + 7) // 8
                 nblk = c["bpr"] * ((h + 7) // 8)
+                # non-interleaved single-component scan: MCU = 1 block
                 for _ in range(nblk):
+                    at_restart_boundary()
                     c["blocks"].append(one_block(c))
             else:
                 # interleaved MCUs: per MCU, each component contributes
@@ -1201,6 +1273,7 @@ def _parse_jpeg_stream(blob: bytes):
                     c["blocks"] = [None] * (c["bpr"] * mcuy * c["v"])
                 for my in range(mcuy):
                     for mx in range(mcux):
+                        at_restart_boundary()
                         for c in comps:
                             for dv in range(c["v"]):
                                 for dh in range(c["h"]):
@@ -1300,7 +1373,9 @@ def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, bytes]:
     return w, h, rgb.tobytes()
 
 
-def make_jpeg_color(width: int, height: int, seed: int = 0) -> bytes:
+def make_jpeg_color(
+    width: int, height: int, seed: int = 0, restart_interval: int = 0
+) -> bytes:
     """A complete, valid baseline YCbCr 4:2:0 color JPEG: SOF0 with
     three components (Y sampling 2x2, Cb/Cr 1x1), two quant tables,
     class-0 and class-1 Huffman table slots, interleaved MCU scan —
@@ -1339,8 +1414,19 @@ def make_jpeg_color(width: int, height: int, seed: int = 0) -> bytes:
         code, ln = ac_map[0x00]  # EOB
         wtr.put(code, ln)
 
+    rst_n = 0
+    mcu_i = 0
     for my in range(height // 16):
         for mx in range(width // 16):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # restart boundary (T.81 E.2.4): byte-align, emit the
+                # cycling RSTn, reset EVERY component's DC predictor
+                wtr.align()
+                wtr.raw(bytes([0xFF, 0xD0 + rst_n]))
+                rst_n = (rst_n + 1) & 0x7
+                for cid in prev:
+                    prev[cid] = 0
+            mcu_i += 1
             yv = 128 + 2 * (((mx * 31 + my * 17 + seed) % 64) - 32)
             cbv = 128 + 2 * (((mx * 13 + my * 7 + seed) % 64) - 32)
             crv = 128 + 2 * (((mx * 5 + my * 23 + seed) % 64) - 32)
@@ -1367,5 +1453,10 @@ def make_jpeg_color(width: int, height: int, seed: int = 0) -> bytes:
         + bytes([0x11]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)
     )
     dht = seg(0xFFC4, huff)
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"

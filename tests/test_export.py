@@ -98,9 +98,12 @@ def test_export_reclaims_orphans_after_crash_with_moved_frontier(
 ):
     """Crash after the batch dir write but before the manifest advance,
     then the table frontier moves: the retry's range (hence dir name)
-    differs, so the orphan can never be overwritten — export must
-    delete un-manifested batch dirs on start (consumers only read
-    manifest-listed dirs, so reclamation is invisible to them)."""
+    differs, so the orphan can never be overwritten — export reclaims
+    un-manifested batch dirs, but ONLY those strictly behind the
+    manifest frontier (ADVICE r6): a dir starting at frontier+1 is
+    indistinguishable from another writer's in-flight batch and must
+    survive.  Consumers only read manifest-listed dirs, so reclamation
+    is invisible to them."""
     import os
 
     t = LakeTable.create(
@@ -125,18 +128,34 @@ def test_export_reclaims_orphans_after_crash_with_moved_frontier(
     )
     rec = export_changelog(t, out)
     assert (rec["from_offset"], rec["to_offset"]) == (0, 1)
+    # the orphan starts AT the retry's own from_offset — from this
+    # call's viewpoint it could be a concurrent in-flight write, so the
+    # frontier guard leaves it alone for now (bounded, not unbounded,
+    # leak)...
+    assert os.path.exists(orphan)
+
+    # ...and collects it on the first export after the frontier passed
+    # it, while an unowned dir AT the new frontier+1 (a concurrent
+    # writer's in-flight batch) survives untouched
+    merge_into(
+        t, _b(spark, [("c", 1, "c1", 2, "I")]), batch_id=2, max_offset=2
+    )
+    inflight = os.path.join(out, "batch-2-9")
+    os.makedirs(inflight)
+    rec2 = export_changelog(t, out)
+    assert (rec2["from_offset"], rec2["to_offset"]) == (2, 2)
     assert not os.path.exists(orphan)  # reclaimed, not leaked
+    assert os.path.exists(inflight)  # in-flight twin protected
 
     manifest = read_export_manifest(out)
-    dirs_on_disk = sorted(
-        d for d in os.listdir(out) if d.startswith("batch-")
-    )
-    assert dirs_on_disk == sorted(b["dir"] for b in manifest["batches"])
-    # and a healthy re-run never deletes manifest-owned dirs
+    owned = sorted(b["dir"] for b in manifest["batches"])
+    # a healthy (fenced) re-run still reclaims stale dirs — the
+    # in-flight dir is now behind the advanced frontier — and never
+    # deletes manifest-owned dirs
     export_changelog(t, out)
     assert sorted(
         d for d in os.listdir(out) if d.startswith("batch-")
-    ) == dirs_on_disk
+    ) == owned
 
 
 def test_compacted_relay_reconstructs_state(spark, tmp_path):
@@ -237,3 +256,38 @@ def test_avro_export_round_trips(spark, tmp_path):
         for r in decoded.collect() if r._ok
     }
     assert got == {("a", 1): ("a1-v2", 2)}
+
+
+def test_export_null_ts_row_survives_both_encoders(spark, tmp_path):
+    """ADVICE r6: a NULL ts column reaches the Arrow-batched encoders
+    as float64 NaN, not None — the old identity check against None let
+    int(NaN) raise and fail the export task.  Both encoders must emit
+    the schema-allowed default/null ts_ms instead."""
+    from omniparser_spark.cdc.export import (
+        encode_changes_avro,
+        encode_changes_proto,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="conv_id",
+        n_buckets=4, merge_keys=("conv_id", "turn_idx"),
+    )
+    null_ts = spark.createDataFrame(
+        [("a", 1, "user", "a1", None, None, 0, "I")], BATCH_SCHEMA
+    )
+    merge_into(t, null_ts, batch_id=0, max_offset=0)
+    ch = t.read_changes(0)
+
+    prow = encode_changes_proto(ch).collect()
+    arow = encode_changes_avro(ch).collect()
+    assert len(prow) == len(arow) == 1
+    assert prow[0]["payload"] is not None
+    assert arow[0]["payload"] is not None
+
+    # and the proto payload round-trips with the default ts (0)
+    from omniparser_spark.cdc.export import read_exported_frames  # noqa: F401
+    from omniparser_spark.sources.proto_wire import decode_proto_wire
+
+    frames = spark.createDataFrame(prow)
+    dec = decode_proto_wire(frames).collect()
+    assert dec[0]["_ok"] and dec[0]["text"] == "a1"

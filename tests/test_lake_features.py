@@ -1706,3 +1706,125 @@ def test_diff_tables_shadow_gate(spark, tmp_path):
         ("b", 1): ("only_a", []),
         ("c", 1): ("only_b", []),
     }
+
+
+def test_view_sync_reads_only_touched_buckets(spark, tmp_path, monkeypatch):
+    """r6 verdict #1: a view sync's stored-view read (and the CDF
+    pre-image read under it) must be pruned to the delta's touched
+    buckets — an unpruned O(all groups ever) scan per streaming epoch
+    is the named scale-killer class.  The spy asserts the ACTUAL
+    buckets= argument every in-sync view read received."""
+    from pyspark.sql import functions as SF
+
+    from omniparser_spark.lake.table import bucket_expr
+    from omniparser_spark.lake.views import (
+        create_hll_view,
+        create_rollup_view,
+        sync_hll_view,
+        sync_rollup_view,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="conv_id",
+        n_buckets=4, merge_keys=("conv_id", "turn_idx"),
+    )
+    groups = [f"c{i:02d}" for i in range(16)]
+    merge_into(
+        t,
+        _batch(
+            spark,
+            [(g, 1, f"{g}-t", 1, i, "I") for i, g in enumerate(groups)],
+        ),
+        batch_id=0,
+        max_offset=15,
+    )
+    metrics = {"chars": lambda g: SF.length(g("text"))}
+    view = create_rollup_view(
+        spark, str(tmp_path / "v"), t, group_col="conv_id",
+        metrics=metrics, n_buckets=8,
+    )
+    hll = create_hll_view(
+        spark, str(tmp_path / "h"), t, group_col="conv_id",
+        value_col="text", n_buckets=8,
+    )
+
+    # one changed group -> exactly one touched bucket in each 8-bucket view
+    merge_into(
+        t, _batch(spark, [("c03", 2, "c03-new", 2, 16, "I")]),
+        batch_id=1, max_offset=16,
+    )
+    expect_b = (
+        spark.range(1)
+        .select(bucket_expr(SF.lit("c03"), 8).alias("b"))
+        .collect()[0]["b"]
+    )
+
+    view_reads = []
+    orig_read = LakeTable.read
+
+    def spy_read(self, buckets=None, **kw):
+        if self.path in (view.path, hll.path):
+            view_reads.append(buckets)
+        return orig_read(self, buckets=buckets, **kw)
+
+    monkeypatch.setattr(LakeTable, "read", spy_read)
+    rec = sync_rollup_view(t, view, group_col="conv_id", metrics=metrics)
+    rec_h = sync_hll_view(t, hll, group_col="conv_id", value_col="text")
+    monkeypatch.undo()
+
+    assert rec["view_buckets_read"] == [expect_b]
+    assert rec_h["view_buckets_read"] == [expect_b]
+    # every stored-view read inside the syncs carried the pruned set
+    assert view_reads and all(b == [expect_b] for b in view_reads)
+
+    # correctness unchanged: synced view == full recompute
+    got = {r.conv_id: (r.n_rows, r.chars) for r in view.read().collect()}
+    full = {
+        r.conv_id: (r.n, r.chars)
+        for r in t.read()
+        .groupBy("conv_id")
+        .agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.sum(SF.length("text")).alias("chars"),
+        )
+        .collect()
+    }
+    assert got == full
+
+
+def test_preimage_read_prunes_to_window_buckets(spark, tmp_path):
+    """read_changes_with_preimage's pre-image snapshot read must touch
+    only buckets whose max-offset stat reaches into the window — not
+    every file of the from_version snapshot (source-side twin of the
+    view-read prune)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="conv_id",
+        n_buckets=8, merge_keys=("conv_id", "turn_idx"),
+    )
+    groups = [f"c{i:02d}" for i in range(16)]
+    merge_into(
+        t,
+        _batch(
+            spark,
+            [(g, 1, f"{g}-t", 1, i, "I") for i, g in enumerate(groups)],
+        ),
+        batch_id=0,
+        max_offset=15,
+    )
+    merge_into(
+        t, _batch(spark, [("c03", 1, "c03-v2", 2, 16, "U")]),
+        batch_id=1, max_offset=16,
+    )
+    ch = t.read_changes_with_preimage(1)
+    rows = {(r.conv_id, r.turn_idx): r for r in ch.collect()}
+    assert set(rows) == {("c03", 1)}
+    assert rows[("c03", 1)]["_pre"]["text"] == "c03-t"
+    # the plan's file set: only the touched bucket's files appear
+    files = ch.inputFiles()
+    assert files
+    touched_dirs = {f.rsplit("/", 2)[-2] for f in files}
+    all_dirs = {
+        d.rsplit("/", 1)[-1] for d in t.current().bucket_dirs.values()
+    }
+    assert len(all_dirs) == 8
+    assert len(touched_dirs) < len(all_dirs)

@@ -388,9 +388,10 @@ def test_jpeg_idct_matches_direct_formula():
 
 
 def test_jpeg_honest_gates():
-    """Progressive / unsupported-sampling / restart-interval JPEGs must
-    refuse loudly, never decode wrong; the grayscale quantized API
-    refuses color (decode_jpeg_pixels is the color path)."""
+    """Progressive / unsupported-sampling JPEGs must refuse loudly,
+    never decode wrong; the grayscale quantized API refuses color
+    (decode_jpeg_pixels is the color path). Restart intervals are
+    SUPPORTED as of r7 — see test_jpeg_restart_intervals."""
     import pytest as _pytest
 
     from omniparser_spark.operators.multimodal import (
@@ -483,3 +484,56 @@ def test_jpeg_features_are_pixel_derived(spark):
                 want[v * 16 // 256] += 64
         got = [round(f * (w * h)) for f in feats[i].features]
         assert got == want, i
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn (T.81 E.2.4): restart markers change the entropy
+    stream — byte-aligned 1-fill padding, cycling RST0..RST7, per-
+    component DC predictor resets — but NOT the decoded pixels. Both
+    the grayscale (MCU = 1 block) and interleaved-color (MCU = 2x2 Y +
+    Cb + Cr) paths must decode restart streams bit-identically to the
+    restart-free encoding of the same image, and corrupted restart
+    sequences must refuse loudly, never resync silently."""
+    import pytest as _pytest
+
+    from omniparser_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        decode_jpeg_quantized,
+        encode_jpeg_blocks,
+        make_jpeg,
+        make_jpeg_color,
+    )
+
+    # grayscale: re-encode the same quantized blocks at several
+    # intervals (1 forces a restart after EVERY block — the maximal
+    # predictor-reset stress) and the pixels must be unchanged
+    w0, h0, quant, blocks = decode_jpeg_quantized(make_jpeg(32, 24, 5))
+    want = decode_jpeg_pixels(make_jpeg(32, 24, 5))
+    for ri in (1, 3, 7, 100):
+        blob = encode_jpeg_blocks(32, 24, blocks, quant,
+                                  restart_interval=ri)
+        if ri < len(blocks):
+            assert b"\xff\xd0" in blob  # markers actually present
+        assert decode_jpeg_pixels(blob) == want
+
+    # interleaved 4:2:0 color: > 8 MCUs so the RSTn sequence wraps
+    # past RST7 and the cycle check is exercised
+    want_c = decode_jpeg_pixels(make_jpeg_color(80, 48, seed=9))
+    blob_c = make_jpeg_color(80, 48, seed=9, restart_interval=1)
+    assert blob_c.count(b"\xff\xd0") >= 2  # RST0 occurs twice (wrap)
+    assert decode_jpeg_pixels(blob_c) == want_c
+
+    # corrupted sequence number: refuse, don't resync
+    bad = bytearray(blob_c)
+    i = bad.find(b"\xff\xd0", 2)
+    bad[i + 1] = 0xD4
+    with _pytest.raises(ValueError, match="RST sequence out of order"):
+        decode_jpeg_pixels(bytes(bad))
+
+    # truncated restart (marker replaced by entropy-looking bytes):
+    # the reader must not invent data past the boundary
+    gone = bytearray(blob_c)
+    gone[i] = 0x00
+    gone[i + 1] = 0x00
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(gone))

@@ -1166,6 +1166,7 @@ def test_strip_duplicate_spans_rewrites(spark):
             (1, f"{shared} unique tail one"),
             (2, f"prefix two {shared} and more stuff here"),
             (4, "entirely unique words nine ten eleven twelve thirteen"),
+            (5, "   "),  # whitespace-only: passes through as ('', 0, 0)
         ],
         "doc_id long, text string",
     )
@@ -1180,6 +1181,10 @@ def test_strip_duplicate_spans_rewrites(spark):
     assert got[4] == (
         "entirely unique words nine ten eleven twelve thirteen", 0, 8
     )
+    # ADVICE r6: empty docs must not vanish from the output — and they
+    # carry ZERO tokens, not one empty token
+    assert got[5] == ("", 0, 0)
+    assert set(got) == {1, 2, 4, 5}
 
 
 def test_hll_regs_array_bitmatches_one_pass(spark):
