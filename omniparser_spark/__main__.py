@@ -35,8 +35,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--feed", default=None,
                     help="parquet dir of envelope rows (required unless "
                          "running a maintenance command)")
-    ap.add_argument("--table", required=True, help="lake table path")
-    ap.add_argument("--checkpoint", required=True, help="checkpoint dir")
+    ap.add_argument("--table", default=None, help="lake table path")
+    ap.add_argument("--checkpoint", default=None, help="checkpoint dir")
     ap.add_argument("--quarantine", default=None, help="dead-letter parquet dir")
     ap.add_argument("--total-events", type=int, default=None,
                     help="replay bound (default: max offset in feed + 1)")
@@ -108,6 +108,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --merge-mode mor: fold deltas into the "
                          "base every N batches (bounds the read-side "
                          "resolve tax)")
+    ap.add_argument("--shadow-diff", nargs=2, default=None,
+                    metavar=("TABLE_A", "TABLE_B"),
+                    help="cutover gate: row-level equality report of two "
+                         "lake tables (shadow run vs production). Prints "
+                         "the JSON equality_report plus up to "
+                         "--diff-sample differing rows; exits 0 when "
+                         "equal, 1 on differences, 2 on schema "
+                         "divergence or a missing table")
+    ap.add_argument("--diff-keys", default=None,
+                    help="comma-separated join keys for --shadow-diff "
+                         "(default: table A's merge keys)")
+    ap.add_argument("--diff-cols", default=None,
+                    help="comma-separated compare columns for "
+                         "--shadow-diff (default: every non-key column "
+                         "of table A)")
+    ap.add_argument("--diff-sample", type=int, default=20,
+                    help="max differing rows to print with --shadow-diff")
     args = ap.parse_args(argv)
 
     erasure = args.erase_where is not None or args.erase_keys is not None
@@ -121,8 +138,12 @@ def main(argv: list[str] | None = None) -> int:
         or args.compact
         or args.meta is not None
     )
-    if not maintenance and not args.feed:
-        ap.error("--feed is required for apply/streaming runs")
+    if args.shadow_diff is None:
+        if not args.table or not args.checkpoint:
+            ap.error("--table and --checkpoint are required "
+                     "(only --shadow-diff runs without them)")
+        if not maintenance and not args.feed:
+            ap.error("--feed is required for apply/streaming runs")
     if args.replay_quarantine and not args.quarantine:
         ap.error("--replay-quarantine requires --quarantine")
 
@@ -140,6 +161,43 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     spark = get_spark(app_name="omniparser_spark_apply", master=args.master)
+
+    if args.shadow_diff is not None:
+        # one-command deployment gate: the north rule's acceptance test
+        # (final-state equality between a shadow run and production) as
+        # a CLI exit code a release script can branch on.
+        from omniparser_spark.lake.validate import diff_frames, equality_report
+
+        path_a, path_b = args.shadow_diff
+        for p in (path_a, path_b):
+            if not LakeTable.exists(p):
+                print(f"error: no lake table at {p}", file=sys.stderr)
+                return 2
+        ta = LakeTable.load(spark, path_a)
+        tb = LakeTable.load(spark, path_b)
+        keys = (
+            args.diff_keys.split(",")
+            if args.diff_keys
+            else list(ta.summary().get("merge_keys") or ())
+        )
+        if not keys:
+            print("error: pass --diff-keys (table A declares no merge "
+                  "keys)", file=sys.stderr)
+            return 2
+        cols = args.diff_cols.split(",") if args.diff_cols else None
+        try:
+            rep = equality_report(ta.read(), tb.read(), keys, cols)
+            if not rep["equal"]:
+                sample = (
+                    diff_frames(ta.read(), tb.read(), keys, cols)
+                    .limit(max(args.diff_sample, 0))
+                )
+                rep["sample"] = [r.asDict() for r in sample.collect()]
+        except ValueError as e:  # schema divergence from diff_frames
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        print(json.dumps(rep, default=str))
+        return 0 if rep["equal"] else 1
 
     feed = total = None
     if not maintenance and not args.streaming:

@@ -1828,3 +1828,55 @@ def test_preimage_read_prunes_to_window_buckets(spark, tmp_path):
     }
     assert len(all_dirs) == 8
     assert len(touched_dirs) < len(all_dirs)
+
+
+def test_shadow_diff_cli_gate(spark, tmp_path, capsys):
+    """--shadow-diff is the one-command cutover gate: exit 0 when the
+    shadow table equals production, 1 (with a JSON report + row
+    sample) on differences, 2 on schema divergence or a missing
+    table — the exit codes a release script branches on."""
+    import json as _json
+
+    from omniparser_spark.__main__ import main
+
+    def mk(name, rows):
+        t = LakeTable.create(
+            spark, str(tmp_path / name), SCHEMA, key_col="conv_id",
+            n_buckets=2, merge_keys=("conv_id", "turn_idx"),
+        )
+        merge_into(t, _batch(spark, rows), batch_id=0,
+                   max_offset=len(rows) - 1)
+        return t
+
+    rows = [("a", 1, "a1", 1, 0, "I"), ("b", 1, "b1", 1, 1, "I")]
+    mk("prod", rows)
+    mk("shadow_ok", rows)
+    mk("shadow_bad", [("a", 1, "a1-DIFFERS", 1, 0, "I"),
+                      ("c", 1, "c1", 1, 1, "I")])
+
+    assert main([
+        "--shadow-diff", str(tmp_path / "prod"), str(tmp_path / "shadow_ok"),
+    ]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["equal"] and rep["rows_a"] == rep["rows_b"] == 2
+
+    assert main([
+        "--shadow-diff", str(tmp_path / "prod"), str(tmp_path / "shadow_bad"),
+        "--diff-cols", "text",
+    ]) == 1
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (rep["differs"], rep["only_a"], rep["only_b"]) == (1, 1, 1)
+    statuses = {(r["conv_id"], r["status"]) for r in rep["sample"]}
+    assert statuses == {("a", "differs"), ("b", "only_a"), ("c", "only_b")}
+
+    # schema divergence (requested column absent from b) fails the
+    # gate loudly — the ADVICE r6 diff_frames contract surfaced here
+    assert main([
+        "--shadow-diff", str(tmp_path / "prod"), str(tmp_path / "shadow_ok"),
+        "--diff-cols", "text,renamed_col",
+    ]) == 2
+    assert "missing" in capsys.readouterr().err
+
+    assert main([
+        "--shadow-diff", str(tmp_path / "prod"), str(tmp_path / "nope"),
+    ]) == 2
