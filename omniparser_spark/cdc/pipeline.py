@@ -595,18 +595,27 @@ class CdcPipeline:
                 else F.lit(False)
             ).alias("_deleted"),
         ).withColumn("_bucket", bucket_expr(key_col, n_buckets))
+        from omniparser_spark.lake.table import repartition_exact_buckets
+
         fpb = max(int(files_per_bucket), 1)
         if fpb == 1:
-            out = out.repartition(n_buckets, "_bucket")
+            out = repartition_exact_buckets(out, n_buckets)
         else:
-            out = out.repartition(
-                n_buckets * fpb,
-                "_bucket",
-                F.pmod(
-                    F.xxhash64(F.col(key_col).cast("string"), F.lit(1)),
-                    F.lit(fpb),
+            # slot id = bucket * fpb + sub-shard: exact 1:1 placement
+            # over all n_buckets*fpb output files (no hash-collision
+            # stragglers in the bootstrap write stage)
+            out = repartition_exact_buckets(
+                out.withColumn(
+                    "_slot",
+                    F.col("_bucket") * fpb
+                    + F.pmod(
+                        F.xxhash64(F.col(key_col).cast("string"), F.lit(1)),
+                        F.lit(fpb),
+                    ).cast("int"),
                 ),
-            )
+                n_buckets * fpb,
+                bucket_col="_slot",
+            ).drop("_slot")
         snap = self.table.commit(
             out,
             touched_buckets=None,

@@ -49,7 +49,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from omniparser_spark.lake.table import LakeTable, bucket_expr
+from omniparser_spark.lake.table import (
+    LakeTable,
+    bucket_expr,
+    repartition_exact_buckets,
+)
 
 DEFAULT_KEYS = ("conv_id", "turn_idx")
 
@@ -235,8 +239,8 @@ def merge_into(
                 *keys, *[F.col(f"_w.{c}").alias(c) for c in out_cols]
             )
             .withColumn("_bucket", bucket_expr(key_col, n_buckets))
-            .repartition(n_buckets, "_bucket")
         )
+        delta = repartition_exact_buckets(delta, n_buckets)
         obs = None
         if observe_stats:
             from pyspark.sql import Observation
@@ -376,9 +380,10 @@ def merge_into(
     # a single partition before partitionBy, else every reduce task
     # writes a sliver into every bucket dir (tasks x buckets small
     # files; measured 1024 files/commit at 32x32)
-    merged = merged.withColumn(
-        "_bucket", bucket_expr(key_col, n_buckets)
-    ).repartition(max(len(touched), 1), "_bucket")
+    merged = repartition_exact_buckets(
+        merged.withColumn("_bucket", bucket_expr(key_col, n_buckets)),
+        touched,
+    )
 
     # observe applied-row stats on the commit write itself (no extra
     # action): rows_written = post-merge row count of the touched

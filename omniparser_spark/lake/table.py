@@ -53,6 +53,85 @@ class ConcurrentCommitError(RuntimeError):
     read and its pointer swap (Iceberg CommitFailedException parity)."""
 
 
+def _mmh3_int(k: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32 hash of a 4-byte int (the function
+    HashPartitioning applies to an int column) — bit-verified against
+    `F.hash` in tests. Needed driver-side to pre-compute partition
+    salts; pure arithmetic, no Spark job."""
+    k &= 0xFFFFFFFF
+    k1 = (k * 0xCC9E2D51) & 0xFFFFFFFF
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+    k1 = (k1 * 0x1B873593) & 0xFFFFFFFF
+    h1 = seed ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+    h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 4
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - 2**32 if h1 >= 2**31 else h1
+
+
+_PARTITION_SALT_CACHE: dict[int, list[int]] = {}
+
+
+def _partition_salts(n_parts: int) -> list[int]:
+    """The first integers whose Spark hash occupies each of `n_parts`
+    shuffle partitions exactly once (cached per count; the search
+    touches a few hundred ints at most)."""
+    salts = _PARTITION_SALT_CACHE.get(n_parts)
+    if salts is None:
+        seen: dict[int, int] = {}
+        s = 0
+        while len(seen) < n_parts:
+            p = _mmh3_int(s) % n_parts
+            if p not in seen:
+                seen[p] = s
+            s += 1
+        salts = [seen[p] for p in range(n_parts)]
+        _PARTITION_SALT_CACHE[n_parts] = salts
+    return salts
+
+
+def repartition_exact_buckets(
+    df: DataFrame, buckets, bucket_col: str = "_bucket"
+) -> DataFrame:
+    """Repartition so each bucket gets its OWN shuffle partition.
+
+    ``repartition(n, "_bucket")`` hash-partitions the bucket id — and
+    hashing n distinct values into n slots collides (measured: 32
+    buckets -> max 3 per partition, 14 empty), so the write stage runs
+    with a built-in ~3x straggler while half the cores idle, at ANY
+    cluster width. This maps each bucket id through a pre-computed
+    salt whose Spark hash lands in a distinct partition: exact 1:1
+    placement, no extra job, no sampling, and still exactly one data
+    file per touched bucket."""
+    values = (
+        list(range(buckets)) if isinstance(buckets, int) else list(buckets)
+    )
+    n = len(values)
+    if n <= 1:
+        return df.repartition(1)
+    salts = _partition_salts(n)
+    mapping = F.create_map(
+        *[
+            F.lit(int(x))
+            for v, s in zip(values, salts)
+            for x in (v, s)
+        ]
+    )
+    return (
+        df.withColumn(
+            "_salt_pt",
+            F.element_at(mapping, F.col(bucket_col).cast("int")),
+        )
+        .repartition(n, "_salt_pt")
+        .drop("_salt_pt")
+    )
+
+
 def bucket_expr(key_col: str | Column, n_buckets: int) -> Column:
     """Iceberg-style bucket transform: pmod(xxhash64(key), N)."""
     c = F.col(key_col) if isinstance(key_col, str) else key_col
@@ -1408,11 +1487,11 @@ class LakeTable:
                 F.count(F.when(F.col("_erase"), 1)).alias("e")
             ).collect()[0]["e"]
         )
-        kept = (
+        kept = repartition_exact_buckets(
             marked.filter(~F.col("_erase"))
             .drop("_erase")
-            .withColumn("_bucket", bucket_expr(key_col, n_buckets))
-            .repartition(max(len(buckets), 1), "_bucket")
+            .withColumn("_bucket", bucket_expr(key_col, n_buckets)),
+            buckets,
         )
         pre = self.current()
         snap = self.commit(
@@ -1524,12 +1603,12 @@ class LakeTable:
                                 ("_deleted", F.lit(False))):
             if hidden not in target.columns:
                 target = target.withColumn(hidden, default)
-        # one hash partition per bucket -> exactly one output file per
-        # bucket directory (two buckets hashing to the same partition
-        # still split into per-bucket files at the partitionBy write)
-        packed = (
-            target.withColumn("_bucket", bucket_expr(key_col, n_buckets))
-            .repartition(len(eligible), "_bucket")
+        # one partition per bucket -> exactly one output file per
+        # bucket directory, with exact 1:1 placement (no hash-collision
+        # stragglers in the rewrite stage)
+        packed = repartition_exact_buckets(
+            target.withColumn("_bucket", bucket_expr(key_col, n_buckets)),
+            eligible,
         )
         new_snap = self.commit(
             packed,
@@ -1662,9 +1741,12 @@ class LakeTable:
         (their metadata pins their own bucket dirs)."""
         summary = self.summary()
         key_col = summary["key_col"]
-        df = self.read(include_hidden=True).withColumn(
-            "_bucket", bucket_expr(key_col, new_n_buckets)
-        ).repartition(new_n_buckets, "_bucket")
+        df = repartition_exact_buckets(
+            self.read(include_hidden=True).withColumn(
+                "_bucket", bucket_expr(key_col, new_n_buckets)
+            ),
+            new_n_buckets,
+        )
         return self.commit(
             df,
             touched_buckets=None,

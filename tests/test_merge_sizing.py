@@ -139,3 +139,45 @@ def test_cli_erase_keys(spark, tmp_path):
     t = LakeTable.load(spark, table)
     assert t.read().filter(F.col("conv_id") == victim).count() == 0
     assert t.read().count() == before - n_victim
+
+
+def test_mmh3_replica_matches_spark_hash(spark):
+    """_mmh3_int must be bit-identical to Spark's F.hash on ints — the
+    exact-placement repartition depends on it."""
+    from omniparser_spark.lake.table import _mmh3_int
+
+    vals = list(range(-5, 200)) + [2**31 - 1, -(2**31)]
+    got = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v int")
+        .select("v", F.hash("v").alias("h"))
+        .collect()
+    }
+    for v in vals:
+        assert _mmh3_int(v) == got[v], v
+
+
+def test_repartition_exact_buckets_one_per_partition(spark):
+    """Each bucket id lands in its OWN shuffle partition (plain
+    repartition(n, '_bucket') collides: measured max 3 buckets/slot and
+    14 empty slots at n=32)."""
+    from omniparser_spark.lake.table import repartition_exact_buckets
+
+    for buckets in (32, [3, 7, 11, 19, 30]):
+        n = buckets if isinstance(buckets, int) else len(buckets)
+        values = list(range(n)) if isinstance(buckets, int) else buckets
+        df = spark.createDataFrame(
+            [(b, i) for b in values for i in range(5)], "_bucket int, x int"
+        )
+        out = repartition_exact_buckets(df, buckets)
+        assert out.rdd.getNumPartitions() == n
+        per_part = (
+            out.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .agg(F.countDistinct("_bucket").alias("nb"))
+            .collect()
+        )
+        assert len(per_part) == n
+        assert all(r["nb"] == 1 for r in per_part)
+        assert out.columns == df.columns
+        assert out.count() == df.count()
