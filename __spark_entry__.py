@@ -6318,6 +6318,117 @@ def _cdc_erase(spark, sf_dir):
         feed.unpersist()
 
 
+@_q("cdc_bootstrap_then_stream", _CDC_FINAL_STATE_SQL)
+def _cdc_bootstrap_then_stream(spark, sf_dir):
+    """Snapshot-bootstrap + incremental tail — the canonical CDC
+    onboarding (Debezium initial snapshot, then binlog from the
+    snapshot's log position). A source pipeline applies the first half
+    of the change stream; a NEW table is bulk-loaded from that state
+    via `CdcPipeline.bootstrap` (engine-migration flavor: hidden
+    `_deleted`/`_last_offset` columns carried, so pre-snapshot
+    tombstones keep protecting their keys) with `files_per_bucket=2`
+    (the salted wide-load write path) + a follow-up compaction
+    restoring the one-file-per-bucket invariant; the feed then resumes
+    from the snapshot's offset. Final state must equal the SAME global
+    LWW oracle as a from-zero replay — onboarding is invisible.
+
+    100 TB shape: the snapshot loads as ONE bucketed bulk write at
+    n_buckets x files_per_bucket parallel writers (not N per-batch
+    merges), and the tail applies O(batch) increments."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.sources.changefeed import FeedSpec, encode_payload
+
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev)
+    feed = encode_payload(fields, FeedSpec(n_events=1, evolution_frac=0.0)).select(
+        "offset", "op", "format", "payload", "ts", "source_part"
+    )
+    feed = feed.persist()
+    try:
+        total = feed.agg(F.max("offset")).collect()[0][0] + 1
+        k = total // 2 - 1  # snapshot cut: offsets 0..k
+        tmp = tempfile.mkdtemp(prefix="omniparser_spark_boot_")
+
+        def feed_for_range(start: int, end: int) -> DataFrame:
+            return feed.filter(
+                (F.col("offset") >= start) & (F.col("offset") <= end)
+            )
+
+        src = CdcPipeline(
+            spark, f"{tmp}/src_table", f"{tmp}/src_ckpt", n_buckets=8,
+            n_source_parts=8,
+        )
+        src.run(feed_for_range, k + 1, batch_size=(k + 2) // 2)
+
+        mig = CdcPipeline(
+            spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8,
+            n_source_parts=8,
+        )
+        mig.bootstrap(
+            src.table.read(include_hidden=True).drop("_bucket"),
+            as_of_offset=k,
+            files_per_bucket=2,
+        )
+        mig.table.compact_buckets(min_files=2)
+        mig.run(feed_for_range, total, batch_size=(total - k + 1) // 2)
+        out = mig.read_table().select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            _us("ts").alias("ts_us"),
+        )
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        feed.unpersist()
+
+
+@_q("cdc_rescale_final_state", _CDC_FINAL_STATE_SQL)
+def _cdc_rescale(spark, sf_dir):
+    """Online bucket rescale mid-stream (Iceberg `REPLACE PARTITION
+    FIELD bucket(N, key)` + rewrite): apply half the change stream at
+    n_buckets=4, `rescale_buckets(8)` while the table is live, then
+    apply the rest — subsequent merges pick the new count up from the
+    snapshot summary. Final state must equal the same global LWW
+    oracle as an un-rescaled replay; growing a table past its bucket
+    count is a maintenance op, not a migration."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.sources.changefeed import FeedSpec, encode_payload
+
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev)
+    feed = encode_payload(fields, FeedSpec(n_events=1, evolution_frac=0.0)).select(
+        "offset", "op", "format", "payload", "ts", "source_part"
+    )
+    feed = feed.persist()
+    try:
+        total = feed.agg(F.max("offset")).collect()[0][0] + 1
+        half = total // 2
+        tmp = tempfile.mkdtemp(prefix="omniparser_spark_rescale_")
+        pipe = CdcPipeline(
+            spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=4,
+            n_source_parts=8,
+        )
+
+        def feed_for_range(start: int, end: int) -> DataFrame:
+            return feed.filter(
+                (F.col("offset") >= start) & (F.col("offset") <= end)
+            )
+
+        pipe.run(feed_for_range, half, batch_size=(half + 1) // 2)
+        snap = pipe.table.rescale_buckets(8)
+        assert int(pipe.table.summary()["n_buckets"]) == 8, snap.version
+        pipe.run(feed_for_range, total, batch_size=(total - half + 1) // 2)
+        out = pipe.read_table().select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            _us("ts").alias("ts_us"),
+        )
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        feed.unpersist()
+
+
 @_q(
     "multimodal_pixel_features",
     """
