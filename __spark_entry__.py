@@ -1305,16 +1305,28 @@ _CDC_FEED_SQL = """
 """
 
 
-_CDC_FINAL_STATE_SQL = f"""
-    WITH feed AS (
-{_CDC_FEED_SQL}
-    ),
+# The LWW-winner CTE every final-state oracle shares (requires a
+# preceding `feed` CTE exposing the _CDC_FEED_SQL columns), and the
+# per-conversation live-text projection the view oracles build on.
+_CDC_RANKED_SQL = """\
     ranked AS (
       SELECT *, row_number() OVER (
         PARTITION BY conv_id, turn_idx
         ORDER BY ts DESC, src_offset DESC) AS rn
       FROM feed
-    )
+    )"""
+
+_CDC_FINAL_CONV_TEXT_SQL = """\
+    final AS (
+      SELECT conv_id, text FROM ranked WHERE rn = 1 AND op <> 'D'
+    )"""
+
+
+_CDC_FINAL_STATE_SQL = f"""
+    WITH feed AS (
+{_CDC_FEED_SQL}
+    ),
+{_CDC_RANKED_SQL}
     SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
     FROM ranked WHERE rn = 1 AND op <> 'D'
     """
@@ -1599,15 +1611,8 @@ def _scd2_lookup(spark, sf_dir):
     WITH feed AS (
 {_CDC_FEED_SQL}
     ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY conv_id, turn_idx
-        ORDER BY ts DESC, src_offset DESC) AS rn
-      FROM feed
-    ),
-    final AS (
-      SELECT conv_id, text FROM ranked WHERE rn = 1 AND op <> 'D'
-    )
+{_CDC_RANKED_SQL},
+{_CDC_FINAL_CONV_TEXT_SQL}
     SELECT conv_id,
            count(*)::BIGINT AS n_rows,
            sum(length(text))::BIGINT AS chars
@@ -1668,15 +1673,8 @@ def _cdc_incremental_view(spark, sf_dir):
     WITH feed AS (
 {_CDC_FEED_SQL}
     ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY conv_id, turn_idx
-        ORDER BY ts DESC, src_offset DESC) AS rn
-      FROM feed
-    ),
-    final AS (
-      SELECT conv_id, text FROM ranked WHERE rn = 1 AND op <> 'D'
-    )
+{_CDC_RANKED_SQL},
+{_CDC_FINAL_CONV_TEXT_SQL}
     SELECT conv_id,
            count(*)::BIGINT AS n_rows,
            min(length(text))::BIGINT AS min_len,
@@ -2010,7 +2008,7 @@ def _debezium_envelopes(ev: DataFrame) -> DataFrame:
 
 @_q(
     "cdc_debezium_apply",
-    """
+    f"""
     WITH feed AS (
       SELECT event_id AS src_offset,
              CASE WHEN event_id % 4 = 2 THEN 'D' ELSE 'I' END AS op,
@@ -2025,12 +2023,7 @@ def _debezium_envelopes(ev: DataFrame) -> DataFrame:
              date_trunc('second', ts) AS ts
       FROM events WHERE event_id % 23 <> 0
     ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY conv_id, turn_idx
-        ORDER BY ts DESC, src_offset DESC) AS rn
-      FROM feed
-    )
+{_CDC_RANKED_SQL}
     SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
     FROM ranked WHERE rn = 1 AND op <> 'D'
     """,
@@ -2624,12 +2617,7 @@ def _cdc_export_frames(spark, sf_dir):
     WITH feed AS (
 {_CDC_FEED_SQL}
     ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY conv_id, turn_idx
-        ORDER BY ts DESC, src_offset DESC) AS rn
-      FROM feed
-    )
+{_CDC_RANKED_SQL}
     SELECT conv_id, turn_idx, role, text, tool,
            epoch_us(ts) AS ts_us
     FROM ranked WHERE rn = 1 AND op <> 'D'
@@ -4235,15 +4223,8 @@ def _streaming(spark, sf_dir):
     WITH feed AS (
 {_CDC_FEED_SQL}
     ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY conv_id, turn_idx
-        ORDER BY ts DESC, src_offset DESC) AS rn
-      FROM feed
-    ),
-    final AS (
-      SELECT conv_id, text FROM ranked WHERE rn = 1 AND op <> 'D'
-    )
+{_CDC_RANKED_SQL},
+{_CDC_FINAL_CONV_TEXT_SQL}
     SELECT conv_id,
            count(*)::BIGINT AS n_rows,
            sum(length(text))::BIGINT AS n_chars
@@ -4560,12 +4541,7 @@ def _stream_sessionize_state(spark, sf_dir):
     WITH feed AS (
 {_CDC_FEED_SQL}
     ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY conv_id, turn_idx
-        ORDER BY ts DESC, src_offset DESC) AS rn
-      FROM feed
-    ),
+{_CDC_RANKED_SQL},
     bounds AS (
       SELECT 3 * ((max(src_offset) + 1 + 3) // 4) AS last_start FROM feed
     )
@@ -5034,12 +5010,7 @@ def _chunk(spark, sf_dir):
     WITH feed AS (
 {_CDC_FEED_SQL}
     ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY conv_id, turn_idx
-        ORDER BY ts DESC, src_offset DESC) AS rn
-      FROM feed
-    ),
+{_CDC_RANKED_SQL},
     final AS (
       SELECT conv_id, turn_idx, role, text
       FROM ranked WHERE rn = 1 AND op <> 'D'
