@@ -229,6 +229,10 @@ def main() -> None:
         "cdc_shadow_diff",
         "cdc_streaming_view",
         "text_dedup_substring_spans",
+        # round-7 stateful entries: snapshot-bootstrap + tail onboarding
+        # and the online bucket rescale (both multi-pipeline lifecycles)
+        "cdc_bootstrap_then_stream",
+        "cdc_rescale_final_state",
         # dedup_cluster_assign intentionally NOT benched: its iterative
         # rounds are driver-latency-bound (localCheckpoint per round),
         # so wall time tracks host scheduling noise more than engine
@@ -251,6 +255,8 @@ def main() -> None:
         "cdc_relay_compacted": 2,
         "cdc_shadow_diff": 2,
         "cdc_streaming_view": 2,
+        "cdc_bootstrap_then_stream": 2,
+        "cdc_rescale_final_state": 2,
     }
     qs = entrymod.queries()
     for name in bench_queries:

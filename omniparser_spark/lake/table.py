@@ -114,6 +114,10 @@ def repartition_exact_buckets(
     n = len(values)
     if n <= 1:
         return df.repartition(1)
+    if os.environ.get("SPARK_GRAFT_EXACT_PLACEMENT", "1") == "0":
+        # A/B escape hatch: the pre-fix hash placement (collision
+        # stragglers and all), for same-host comparison runs
+        return df.repartition(n, bucket_col)
     salts = _partition_salts(n)
     mapping = F.create_map(
         *[
