@@ -192,7 +192,13 @@ def merge_into(
     foreachBatch clones) must pass ``observe_stats=False``; the batch
     fence and the commit itself work fine on empty writes.
     """
-    summary = table.summary()
+    # pin the WHOLE merge — fence check, bucket expr, target read, and
+    # the final commit — to one base snapshot, so an interleaved commit
+    # anywhere in the window is caught by the commit's conflict
+    # validation (rebase if disjoint, ConcurrentCommitError if not)
+    # instead of silently building on a stale read
+    base_snap = table.current()
+    summary = base_snap.summary
     if batch_id <= int(summary.get("batch_id", -1)):
         return None  # exactly-once batch fence: already committed
     if keys is None:
@@ -252,7 +258,7 @@ def merge_into(
                 F.count(F.when(F.col("_deleted"), 1)).alias("tombstones"),
             )
         prev_counts = {
-            b: len(lst) for b, lst in table.current().delta_dirs.items()
+            b: len(lst) for b, lst in base_snap.delta_dirs.items()
         }
         snap = table.commit_delta(
             delta,
@@ -265,6 +271,7 @@ def merge_into(
             },
             stage=stage,
             stats_upper_bound=max_offset,
+            base=base_snap,
         )
         touched = sorted(
             int(b)
@@ -332,7 +339,9 @@ def merge_into(
         )
     else:
         touched = list(range(n_buckets))
-    target = table.read(buckets=touched, include_hidden=True)
+    target = table.read(
+        buckets=touched, include_hidden=True, version=base_snap.version
+    )
     if "_last_offset" not in target.columns:
         target = target.withColumn("_last_offset", F.lit(-1).cast("long"))
 
@@ -420,6 +429,7 @@ def merge_into(
             if max_offset is not None and touched is not None
             else None
         ),
+        base=base_snap,
     )
     stats_row = obs.get if obs is not None else None
     return {

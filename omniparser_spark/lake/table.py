@@ -550,6 +550,128 @@ class LakeTable:
             with contextlib.suppress(OSError):
                 os.unlink(lock)
 
+    # summary keys that carry the single-stream exactly-once fence: two
+    # concurrent commits may not BOTH advance them (ingest-vs-ingest on
+    # one stream is a real conflict; ingest-vs-maintenance is not)
+    _FENCE_KEYS = ("batch_id", "max_offset_applied")
+
+    def _check_pending_stage(self, snap: Snapshot) -> None:
+        """Any commit at this version number — staged or not — would
+        overwrite a pending staged snapshot's metadata file (both derive
+        the number from the published head). Overwriting is legal only
+        for a re-delivery of the SAME batch (crash-before-publish
+        re-apply); a different batch must publish or abandon the pending
+        stage first, else publish(N) would fast-forward to a snapshot
+        missing the staged batch (stage path) or the staged batch's data
+        would be silently orphaned (commit path)."""
+        meta_path = os.path.join(
+            self._meta_dir, f"v{snap.version}.metadata.json"
+        )
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                existing = Snapshot.from_json(f.read())
+            if existing.summary.get("batch_id") != snap.summary.get(
+                "batch_id"
+            ):
+                raise ConcurrentCommitError(
+                    f"a staged snapshot v{snap.version} for batch "
+                    f"{existing.summary.get('batch_id')} is pending; "
+                    "publish or abandon it before committing batch "
+                    f"{snap.summary.get('batch_id')}"
+                )
+
+    def _validate_rebase(
+        self,
+        base: Snapshot,
+        head: Snapshot,
+        touched: set[str],
+        summary_updates: dict[str, Any],
+        schema_changed: bool,
+    ) -> None:
+        """Iceberg-style conflict validation: the head moved while this
+        commit was in flight — rebasing (re-pointing the already-written
+        data files at the new head) is sound ONLY if the interleaved
+        commits are provably disjoint from ours. Raises
+        ConcurrentCommitError otherwise; the caller surfaces it and the
+        writer retries from a fresh read."""
+
+        def conflict(why: str) -> ConcurrentCommitError:
+            return ConcurrentCommitError(
+                f"table {self.path} moved v{base.version} -> "
+                f"v{head.version} while this commit was in flight and "
+                f"cannot be rebased: {why}; re-read and retry"
+            )
+
+        if schema_changed or head.schema_json != base.schema_json:
+            raise conflict("schema changed in one of the commits")
+        for k in ("n_buckets", "key_col", "sort_order"):
+            if head.summary.get(k) != base.summary.get(k):
+                raise conflict(f"table property {k!r} changed")
+        if any(k in summary_updates for k in self._FENCE_KEYS):
+            if any(
+                head.summary.get(k) != base.summary.get(k)
+                for k in self._FENCE_KEYS
+            ):
+                raise conflict(
+                    "both commits advance the batch fence (two ingest "
+                    "writers on one stream)"
+                )
+        for b in sorted(touched):
+            if head.bucket_dirs.get(b) != base.bucket_dirs.get(b):
+                raise conflict(f"bucket {b} was rewritten concurrently")
+            if head.delta_dirs.get(b, []) != base.delta_dirs.get(b, []):
+                raise conflict(
+                    f"bucket {b}'s pending deltas changed concurrently"
+                )
+            if head.bucket_stats.get(b) != base.bucket_stats.get(b):
+                raise conflict(f"bucket {b}'s stats changed concurrently")
+
+    def _finalize_commit(
+        self,
+        assemble,
+        base: Snapshot,
+        touched_buckets,
+        summary_updates: dict[str, Any],
+        schema_changed: bool,
+        stage: bool,
+        max_rebases: int = 3,
+    ) -> Snapshot:
+        """Assemble the snapshot against `base` and swap the pointer;
+        on a moved head, validate disjointness and rebase (re-assemble
+        against the new head — the data files are already on disk and
+        carry over untouched) up to `max_rebases` times. `assemble` is
+        a pure function Snapshot -> Snapshot."""
+        snap = assemble(base)
+        self._check_pending_stage(snap)
+        if stage:
+            self._write_metadata_file(snap)  # pointer untouched
+            return snap
+        touched = (
+            None
+            if touched_buckets is None
+            else {str(b) for b in touched_buckets}
+        )
+        for _ in range(max_rebases):
+            try:
+                self._write_snapshot(
+                    snap, expected_parent=snap.parent_version
+                )
+                return snap
+            except ConcurrentCommitError:
+                head = self.current()
+                if head.version == snap.parent_version or touched is None:
+                    # not a moved-head conflict (lock timeout / pending
+                    # stage), or a full rewrite — nothing to rebase onto
+                    raise
+                self._validate_rebase(
+                    base, head, touched, summary_updates, schema_changed
+                )
+                base = head
+                snap = assemble(base)
+                self._check_pending_stage(snap)
+        self._write_snapshot(snap, expected_parent=snap.parent_version)
+        return snap
+
     def _write_metadata_file(self, snap: Snapshot) -> None:
         meta_path = os.path.join(
             self._meta_dir, f"v{snap.version}.metadata.json"
@@ -770,6 +892,7 @@ class LakeTable:
         new_schema: T.StructType | None = None,
         stage: bool = False,
         bucket_stats_updates: dict[int, int] | None = None,
+        base: "Snapshot | None" = None,
     ) -> Snapshot:
         """Write `df` as the new content of `touched_buckets` (None = all),
         carrying over untouched buckets by reference, then commit.
@@ -794,10 +917,31 @@ class LakeTable:
         pending WEDGES all later commits (ConcurrentCommitError) until
         it is published, abandoned via :meth:`abandon_stage`, or aged
         out by expiry's ``stage_grace_seconds`` (default 24 h).
+
+        Concurrency: a commit whose base moved underneath it is REBASED
+        onto the new head and retried — without rewriting data — when
+        the conflict is provably disjoint (Iceberg's optimistic retry
+        with conflict validation): the new head must not have changed
+        this commit's touched buckets (base dir, pending deltas, or
+        stats), the schema/bucket domain, and at most ONE of the two
+        commits may advance the batch fence. That lets maintenance
+        (compaction, erasure, view syncs) run concurrently with ingest
+        — the common multi-writer shape on a real cluster — while two
+        ingest writers on one stream still conflict (single-stream
+        fence). Overlapping buckets or a fence-vs-fence race raise
+        ConcurrentCommitError as before.
+
+        `base`: the snapshot the caller's `df` plan was READ from (the
+        merge/maintenance read). Passing it extends the conflict window
+        back to plan time — an interleaved commit between the caller's
+        read and this swap is validated (and rebased or refused)
+        instead of silently building on a stale read. Omitted, the
+        window starts at this call (the pre-round-7 behavior).
         """
-        prev = self.current()
-        version = prev.version + 1
-        snap_rel = os.path.join("data", f"snap-{version}-{uuid.uuid4().hex[:8]}")
+        prev = base if base is not None else self.current()
+        snap_rel = os.path.join(
+            "data", f"snap-{prev.version + 1}-{uuid.uuid4().hex[:8]}"
+        )
         snap_dir = os.path.join(self.path, snap_rel)
 
         sort_order = prev.summary.get("sort_order")
@@ -821,97 +965,82 @@ class LakeTable:
                     b = entry.split("=", 1)[1]
                     new_dirs[b] = os.path.join(snap_rel, entry)
 
-        bucket_dirs = dict(prev.bucket_dirs)
-        if touched_buckets is None:
-            bucket_dirs = new_dirs
-        else:
-            for b in touched_buckets:
-                bucket_dirs.pop(str(b), None)
-            bucket_dirs.update(new_dirs)
+        def assemble(base: Snapshot) -> Snapshot:
+            bucket_dirs = dict(base.bucket_dirs)
+            if touched_buckets is None:
+                bucket_dirs = dict(new_dirs)
+            else:
+                for b in touched_buckets:
+                    bucket_dirs.pop(str(b), None)
+                bucket_dirs.update(new_dirs)
 
-        # a base rewrite SUBSUMES the rewritten buckets' pending MOR
-        # deltas: every in-engine rewrite path (merge, compaction,
-        # erase, rescale) derives its content from the delta-resolving
-        # read(), so the new base already folds them in. Untouched
-        # buckets keep their deltas by reference.
-        if touched_buckets is None:
-            delta_dirs: dict[str, list[str]] = {}
-        else:
-            cleared = {str(b) for b in touched_buckets}
-            delta_dirs = {
-                b: list(lst)
-                for b, lst in prev.delta_dirs.items()
-                if b not in cleared and lst
-            }
+            # a base rewrite SUBSUMES the rewritten buckets' pending MOR
+            # deltas: every in-engine rewrite path (merge, compaction,
+            # erase, rescale) derives its content from the
+            # delta-resolving read(), so the new base already folds them
+            # in. Untouched buckets keep their deltas by reference.
+            if touched_buckets is None:
+                delta_dirs: dict[str, list[str]] = {}
+            else:
+                cleared = {str(b) for b in touched_buckets}
+                delta_dirs = {
+                    b: list(lst)
+                    for b, lst in base.delta_dirs.items()
+                    if b not in cleared and lst
+                }
 
-        schema_json = (
-            json.loads(new_schema.json()) if new_schema is not None else prev.schema_json
+            schema_json = (
+                json.loads(new_schema.json())
+                if new_schema is not None
+                else base.schema_json
+            )
+            summary = dict(base.summary)
+            summary.update(summary_updates)
+
+            # Per-bucket max-_last_offset stats. Invariants:
+            # - an UNTOUCHED bucket keeps its dir by reference, so its
+            #   stat carries verbatim;
+            # - a rewritten/new bucket dir keeps a stat ONLY if the
+            #   caller declares one (`bucket_stats_updates`) — any
+            #   commit that can raise a bucket's max _last_offset
+            #   (merge, bootstrap) MUST declare; rewrite-only commits
+            #   (erase) may re-declare the parent's value (still an
+            #   upper bound), others drop to "unknown" (read_changes
+            #   then reads the bucket — safe);
+            # - a full rewrite (touched_buckets=None, e.g. rescale: the
+            #   bucket DOMAIN changes) never carries parent stats.
+            bucket_stats: dict[str, int] = {}
+            if touched_buckets is not None:
+                for b, d in base.bucket_dirs.items():
+                    if (
+                        bucket_dirs.get(b) == d
+                        and b in base.bucket_stats
+                    ):
+                        bucket_stats[b] = base.bucket_stats[b]
+                # delta-ONLY buckets (no base file yet) carried
+                # untouched keep their stat with their deltas
+                for b in delta_dirs:
+                    if b not in bucket_stats and b in base.bucket_stats:
+                        bucket_stats[b] = base.bucket_stats[b]
+            if bucket_stats_updates:
+                for bk, v in bucket_stats_updates.items():
+                    if str(bk) in bucket_dirs:
+                        bucket_stats[str(bk)] = int(v)
+
+            return Snapshot(
+                version=base.version + 1,
+                schema_json=schema_json,
+                bucket_dirs=bucket_dirs,
+                summary=summary,
+                parent_version=base.version,
+                bucket_stats=bucket_stats,
+                delta_dirs=delta_dirs,
+            )
+
+        return self._finalize_commit(
+            assemble, prev, touched_buckets, summary_updates,
+            schema_changed=new_schema is not None, stage=stage,
         )
-        summary = dict(prev.summary)
-        summary.update(summary_updates)
-
-        # Per-bucket max-_last_offset stats. Invariants:
-        # - an UNTOUCHED bucket keeps its dir by reference, so its stat
-        #   carries verbatim;
-        # - a rewritten/new bucket dir keeps a stat ONLY if the caller
-        #   declares one (`bucket_stats_updates`) — any commit that can
-        #   raise a bucket's max _last_offset (merge, bootstrap) MUST
-        #   declare; rewrite-only commits (erase) may re-declare the
-        #   parent's value (still an upper bound), others drop to
-        #   "unknown" (read_changes then reads the bucket — safe);
-        # - a full rewrite (touched_buckets=None, e.g. rescale: the
-        #   bucket DOMAIN changes) never carries parent stats.
-        bucket_stats: dict[str, int] = {}
-        if touched_buckets is not None:
-            for b, d in prev.bucket_dirs.items():
-                if (
-                    bucket_dirs.get(b) == d
-                    and b in prev.bucket_stats
-                ):
-                    bucket_stats[b] = prev.bucket_stats[b]
-            # delta-ONLY buckets (no base file yet) carried untouched
-            # keep their stat with their deltas
-            for b in delta_dirs:
-                if b not in bucket_stats and b in prev.bucket_stats:
-                    bucket_stats[b] = prev.bucket_stats[b]
-        if bucket_stats_updates:
-            for bk, v in bucket_stats_updates.items():
-                if str(bk) in bucket_dirs:
-                    bucket_stats[str(bk)] = int(v)
-
-        snap = Snapshot(
-            version=version,
-            schema_json=schema_json,
-            bucket_dirs=bucket_dirs,
-            summary=summary,
-            parent_version=prev.version,
-            bucket_stats=bucket_stats,
-            delta_dirs=delta_dirs,
-        )
-        # Any commit at this version number — staged or not — would
-        # overwrite a pending staged snapshot's metadata file (both
-        # derive the number from the published head). Overwriting is
-        # legal only for a re-delivery of the SAME batch (crash-before-
-        # publish re-apply); a different batch must publish or abandon
-        # the pending stage first, else publish(N) would fast-forward
-        # to a snapshot missing the staged batch (stage path) or the
-        # staged batch's data would be silently orphaned (commit path).
-        meta_path = os.path.join(self._meta_dir, f"v{version}.metadata.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                existing = Snapshot.from_json(f.read())
-            if existing.summary.get("batch_id") != summary.get("batch_id"):
-                raise ConcurrentCommitError(
-                    f"a staged snapshot v{version} for batch "
-                    f"{existing.summary.get('batch_id')} is pending; "
-                    "publish or abandon it before committing batch "
-                    f"{summary.get('batch_id')}"
-                )
-        if stage:
-            self._write_metadata_file(snap)  # pointer untouched
-        else:
-            self._write_snapshot(snap, expected_parent=prev.version)
-        return snap
 
     def commit_delta(
         self,
@@ -920,6 +1049,7 @@ class LakeTable:
         stage: bool = False,
         stats_upper_bound: int | None = None,
         order_cols: tuple[str, ...] = ("ts",),
+        base: "Snapshot | None" = None,
     ) -> Snapshot:
         """Merge-on-read commit (Iceberg v2 MOR parity): append `df`'s
         rows as per-bucket DELTA files — the base bucket files are not
@@ -952,11 +1082,13 @@ class LakeTable:
         resolve under the same total order the writer fenced on.
 
         WAP (`stage=True`) composes exactly as with :meth:`commit`.
+
+        `base`: see :meth:`commit` — the snapshot the caller's batch
+        plan derived its bucket expression from.
         """
-        prev = self.current()
-        version = prev.version + 1
+        prev = base if base is not None else self.current()
         snap_rel = os.path.join(
-            "data", f"snap-{version}-{uuid.uuid4().hex[:8]}"
+            "data", f"snap-{prev.version + 1}-{uuid.uuid4().hex[:8]}"
         )
         snap_dir = os.path.join(self.path, snap_rel)
 
@@ -972,58 +1104,55 @@ class LakeTable:
                     b = entry.split("=", 1)[1]
                     new_dirs[b] = os.path.join(snap_rel, entry)
 
-        delta_dirs = {b: list(lst) for b, lst in prev.delta_dirs.items()}
-        for b, d in new_dirs.items():
-            delta_dirs.setdefault(b, []).append(d)
+        def assemble(base: Snapshot) -> Snapshot:
+            delta_dirs = {
+                b: list(lst) for b, lst in base.delta_dirs.items()
+            }
+            for b, d in new_dirs.items():
+                delta_dirs.setdefault(b, []).append(d)
 
-        summary = dict(prev.summary)
-        summary.update(summary_updates)
-        recorded = summary.get("delta_order_cols")
-        if recorded is None:
-            summary["delta_order_cols"] = list(order_cols)
-        elif list(order_cols) != list(recorded):
-            raise ValueError(
-                f"delta order {list(order_cols)} conflicts with the "
-                f"table's recorded order {recorded}; all MOR commits "
-                "must fence on one total order"
+            summary = dict(base.summary)
+            summary.update(summary_updates)
+            recorded = summary.get("delta_order_cols")
+            if recorded is None:
+                summary["delta_order_cols"] = list(order_cols)
+            elif list(order_cols) != list(recorded):
+                raise ValueError(
+                    f"delta order {list(order_cols)} conflicts with the "
+                    f"table's recorded order {recorded}; all MOR commits "
+                    "must fence on one total order"
+                )
+
+            # base files are untouched: every stat carries verbatim,
+            # then the batch's bound raises the touched buckets'
+            # (upper-bound semantics — max keeps it valid even for
+            # out-of-order feeds)
+            bucket_stats = dict(base.bucket_stats)
+            if stats_upper_bound is not None:
+                for b in new_dirs:
+                    bucket_stats[b] = max(
+                        int(bucket_stats.get(b, -1)),
+                        int(stats_upper_bound),
+                    )
+
+            return Snapshot(
+                version=base.version + 1,
+                schema_json=base.schema_json,
+                bucket_dirs=dict(base.bucket_dirs),
+                summary=summary,
+                parent_version=base.version,
+                bucket_stats=bucket_stats,
+                delta_dirs=delta_dirs,
             )
 
-        # base files are untouched: every stat carries verbatim, then
-        # the batch's bound raises the touched buckets' (upper-bound
-        # semantics — max keeps it valid even for out-of-order feeds)
-        bucket_stats = dict(prev.bucket_stats)
-        if stats_upper_bound is not None:
-            for b in new_dirs:
-                bucket_stats[b] = max(
-                    int(bucket_stats.get(b, -1)), int(stats_upper_bound)
-                )
-
-        snap = Snapshot(
-            version=version,
-            schema_json=prev.schema_json,
-            bucket_dirs=dict(prev.bucket_dirs),
-            summary=summary,
-            parent_version=prev.version,
-            bucket_stats=bucket_stats,
-            delta_dirs=delta_dirs,
+        # rebase contract (same as commit()): the appended delta dirs
+        # are this commit's touched buckets — a concurrent maintenance
+        # commit on DISJOINT buckets rebases cleanly; one that rewrote
+        # or re-folded our buckets conflicts
+        return self._finalize_commit(
+            assemble, prev, sorted(new_dirs), summary_updates,
+            schema_changed=False, stage=stage,
         )
-        # same pending-stage collision contract as commit()
-        meta_path = os.path.join(self._meta_dir, f"v{version}.metadata.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                existing = Snapshot.from_json(f.read())
-            if existing.summary.get("batch_id") != summary.get("batch_id"):
-                raise ConcurrentCommitError(
-                    f"a staged snapshot v{version} for batch "
-                    f"{existing.summary.get('batch_id')} is pending; "
-                    "publish or abandon it before committing batch "
-                    f"{summary.get('batch_id')}"
-                )
-        if stage:
-            self._write_metadata_file(snap)
-        else:
-            self._write_snapshot(snap, expected_parent=prev.version)
-        return snap
 
     def rollback(self, version: int) -> Snapshot:
         """Iceberg ``rollback_to_snapshot`` parity: make `version`'s
@@ -1454,7 +1583,8 @@ class LakeTable:
           batch) to physically drop them. Time travel to pre-erasure
           versions then fails, by design.
         """
-        summary = self.summary()
+        pre = self.current()
+        summary = pre.summary
         key_col = summary["key_col"]
         n_buckets = int(summary["n_buckets"])
         if key_values is not None:
@@ -1474,7 +1604,9 @@ class LakeTable:
         else:
             buckets = list(range(n_buckets))
 
-        target = self.read(buckets=buckets, include_hidden=True)
+        target = self.read(
+            buckets=buckets, include_hidden=True, version=pre.version
+        )
         for hidden, default in (("_last_offset", F.lit(-1).cast("long")),
                                 ("_deleted", F.lit(False))):
             if hidden not in target.columns:
@@ -1497,7 +1629,6 @@ class LakeTable:
             .withColumn("_bucket", bucket_expr(key_col, n_buckets)),
             buckets,
         )
-        pre = self.current()
         snap = self.commit(
             kept,
             touched_buckets=buckets,
@@ -1510,6 +1641,7 @@ class LakeTable:
                 for b in buckets
                 if str(b) in pre.bucket_stats
             },
+            base=pre,
         )
         return {
             "snapshot_version": snap.version,
@@ -1602,7 +1734,9 @@ class LakeTable:
                 "files_after": 0,
             }
 
-        target = self.read(buckets=eligible, include_hidden=True)
+        target = self.read(
+            buckets=eligible, include_hidden=True, version=snap.version
+        )
         for hidden, default in (("_last_offset", F.lit(-1).cast("long")),
                                 ("_deleted", F.lit(False))):
             if hidden not in target.columns:
@@ -1623,6 +1757,7 @@ class LakeTable:
                 for b in eligible
                 if str(b) in snap.bucket_stats
             },
+            base=snap,
         )
         after = sum(
             _n_files(d)

@@ -1880,3 +1880,210 @@ def test_shadow_diff_cli_gate(spark, tmp_path, capsys):
     assert main([
         "--shadow-diff", str(tmp_path / "prod"), str(tmp_path / "nope"),
     ]) == 2
+
+
+# ---------------------------------------------------------------------------
+# optimistic concurrency: disjoint-bucket commits rebase, conflicts raise
+# ---------------------------------------------------------------------------
+
+
+def _bucket_of(spark, key, n_buckets):
+    from omniparser_spark.lake.table import bucket_expr
+
+    return int(
+        spark.createDataFrame([(key,)], "conv_id string")
+        .select(bucket_expr("conv_id", n_buckets).alias("b"))
+        .collect()[0]["b"]
+    )
+
+
+def _two_keys_in_distinct_buckets(spark, n_buckets=4):
+    seen = {}
+    for i in range(32):
+        k = f"conv_{i:04d}"
+        b = _bucket_of(spark, k, n_buckets)
+        if b not in seen:
+            seen[b] = k
+        if len(seen) >= 2:
+            break
+    (b1, k1), (b2, k2) = sorted(seen.items())[:2]
+    return (k1, b1), (k2, b2)
+
+
+def _interleave(table, fire):
+    """Patch `table` so the NEXT pointer swap is preceded by `fire()`
+    (a concurrent commit landing inside the check-and-swap window) —
+    the deterministic equivalent of a second writer racing this one."""
+    orig = table._write_snapshot
+    state = {"armed": True}
+
+    def hook(snap, expected_parent=None):
+        if state["armed"]:
+            state["armed"] = False
+            fire()
+        return orig(snap, expected_parent)
+
+    table._write_snapshot = hook
+    return lambda: setattr(table, "_write_snapshot", orig)
+
+
+def test_commit_rebases_over_disjoint_maintenance(spark, tmp_path):
+    """An ingest merge whose head moved mid-commit — because an erasure
+    rewrote a DIFFERENT bucket — rebases onto the new head and commits:
+    both changes land, nothing is lost, no error surfaces."""
+    from omniparser_spark.lake.table import LakeTable
+
+    (k1, b1), (k2, b2) = _two_keys_in_distinct_buckets(spark)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="conv_id",
+        n_buckets=4, merge_keys=("conv_id", "turn_idx"),
+    )
+    merge_into(
+        t,
+        _batch(spark, [(k1, 1, "x1", 1, 0, "I"), (k2, 1, "y1", 1, 1, "I")]),
+        batch_id=0, max_offset=1,
+    )
+    other = LakeTable(spark, str(tmp_path / "t"))
+
+    restore = _interleave(
+        t, lambda: other.erase_where(
+            F.col("conv_id") == k1, key_values=[k1]
+        )
+    )
+    try:
+        # ingest touches ONLY k2's bucket; erase touched ONLY k1's
+        rec = merge_into(
+            t,
+            _batch(spark, [(k2, 1, "y2", 2, 2, "U")]),
+            batch_id=1, max_offset=2,
+        )
+    finally:
+        restore()
+    assert rec is not None and rec["touched_buckets"] == [b2]
+    rows = {
+        (r["conv_id"], r["text"]) for r in t.read().collect()
+    }
+    assert rows == {(k2, "y2")}  # erase landed AND the update landed
+    head = t.current()
+    # two commits advanced the head past the merge's base
+    assert head.version == rec["snapshot_version"]
+    assert head.parent_version == rec["snapshot_version"] - 1
+
+
+def test_commit_conflicts_on_overlapping_bucket(spark, tmp_path):
+    """Same interleave, but the erasure rewrote the SAME bucket the
+    merge is rewriting: the merge's content is stale (it would resurrect
+    the erased row) — must raise, never silently clobber."""
+    import pytest
+
+    from omniparser_spark.lake.table import (
+        ConcurrentCommitError,
+        LakeTable,
+    )
+
+    (k1, b1), _ = _two_keys_in_distinct_buckets(spark)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="conv_id",
+        n_buckets=4, merge_keys=("conv_id", "turn_idx"),
+    )
+    merge_into(
+        t,
+        _batch(spark, [(k1, 1, "x1", 1, 0, "I"), (k1, 2, "x2", 1, 1, "I")]),
+        batch_id=0, max_offset=1,
+    )
+    other = LakeTable(spark, str(tmp_path / "t"))
+    restore = _interleave(
+        t,
+        lambda: other.erase_where(
+            (F.col("conv_id") == k1) & (F.col("turn_idx") == 2),
+            key_values=[k1],
+        ),
+    )
+    try:
+        with pytest.raises(ConcurrentCommitError, match="bucket"):
+            merge_into(
+                t,
+                _batch(spark, [(k1, 1, "x1-v2", 2, 2, "U")]),
+                batch_id=1, max_offset=2,
+            )
+    finally:
+        restore()
+    # the erasure's commit is intact; the failed merge changed nothing
+    rows = {(r["conv_id"], r["turn_idx"]) for r in t.read().collect()}
+    assert rows == {(k1, 1)}
+
+
+def test_commit_conflicts_on_double_fence_advance(spark, tmp_path):
+    """Two ingest writers on one stream both advancing the batch fence
+    is a real conflict even on disjoint buckets — exactly-once depends
+    on a single fence writer."""
+    import pytest
+
+    from omniparser_spark.lake.table import (
+        ConcurrentCommitError,
+        LakeTable,
+    )
+
+    (k1, b1), (k2, b2) = _two_keys_in_distinct_buckets(spark)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="conv_id",
+        n_buckets=4, merge_keys=("conv_id", "turn_idx"),
+    )
+    merge_into(
+        t,
+        _batch(spark, [(k1, 1, "x1", 1, 0, "I"), (k2, 1, "y1", 1, 1, "I")]),
+        batch_id=0, max_offset=1,
+    )
+    other = LakeTable(spark, str(tmp_path / "t"))
+    restore = _interleave(
+        t,
+        lambda: merge_into(
+            other,
+            _batch(spark, [(k1, 1, "x1-b2", 2, 2, "U")]),
+            batch_id=1, max_offset=2,
+        ),
+    )
+    try:
+        with pytest.raises(ConcurrentCommitError, match="fence"):
+            merge_into(
+                t,
+                _batch(spark, [(k2, 1, "y1-b2", 2, 3, "U")]),
+                batch_id=1, max_offset=3,
+            )
+    finally:
+        restore()
+
+
+def test_delta_commit_rebases_over_disjoint_erase(spark, tmp_path):
+    """A MOR delta append whose head moved — an erasure on a bucket the
+    delta does NOT touch — rebases: the delta lands on the post-erase
+    head and resolves correctly at read time."""
+    from omniparser_spark.lake.table import LakeTable
+
+    (k1, b1), (k2, b2) = _two_keys_in_distinct_buckets(spark)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="conv_id",
+        n_buckets=4, merge_keys=("conv_id", "turn_idx"),
+    )
+    merge_into(
+        t,
+        _batch(spark, [(k1, 1, "x1", 1, 0, "I"), (k2, 1, "y1", 1, 1, "I")]),
+        batch_id=0, max_offset=1,
+    )
+    other = LakeTable(spark, str(tmp_path / "t"))
+    restore = _interleave(
+        t, lambda: other.erase_where(
+            F.col("conv_id") == k1, key_values=[k1]
+        )
+    )
+    try:
+        rec = merge_into(
+            t,
+            _batch(spark, [(k2, 1, "y2", 2, 2, "U")]),
+            batch_id=1, max_offset=2, mode="mor",
+        )
+    finally:
+        restore()
+    assert rec is not None and rec["mode"] == "mor"
+    rows = {(r["conv_id"], r["text"]) for r in t.read().collect()}
+    assert rows == {(k2, "y2")}
