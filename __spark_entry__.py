@@ -2612,6 +2612,144 @@ def _cdc_export_frames(spark, sf_dir):
 
 
 @_q(
+    "cdc_export_avro_frames",
+    """
+    SELECT event_id AS offset,
+           'c' || user_id AS conv_id,
+           (event_id % 40)::INT AS turn_idx,
+           event_type AS role,
+           'msg ' || event_id AS text,
+           CASE WHEN event_id % 5 = 0 THEN 'search' ELSE NULL END AS tool,
+           epoch_ms(ts) AS ts_ms
+    FROM events
+    WHERE event_id % 9 <> 0
+    """,
+)
+def _cdc_export_avro_frames(spark, sf_dir):
+    """Avro twin of `cdc_export_frames` (cdc/export.py
+    encode_changes_avro): the same change post-images encode into
+    Confluent-framed Avro binary — the registry schema the ingest side
+    already decodes (sources/avro_wire.py) — and the decoder must
+    round-trip them bit-exactly, with every 9th change exporting as a
+    NULL-payload keyed tombstone. Same oracle as the protobuf relay:
+    the downstream codec choice must be invisible."""
+    from omniparser_spark.cdc.export import encode_changes_avro
+    from omniparser_spark.sources.avro_wire import decode_avro_wire
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.col("event_id") % 40).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(F.lit("msg "), F.col("event_id").cast("string")).alias("text"),
+        F.when(F.col("event_id") % 5 == 0, "search")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_id") % 9 == 0, "delete")
+        .otherwise("upsert")
+        .alias("_change_type"),
+        F.col("event_id").alias("_commit_offset"),
+    )
+    frames = encode_changes_avro(changes)
+    decoded = decode_avro_wire(frames.filter(F.col("payload").isNotNull()))
+    return decoded.filter(F.col("_ok")).select(
+        "offset", "conv_id", "turn_idx", "role", "text", "tool", "ts_ms",
+    )
+
+
+@_q(
+    "cdc_changelog_preimage",
+    f"""
+    WITH feed AS (
+{_CDC_FEED_SQL}
+    ),
+    r1 AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, src_offset DESC) AS rn
+      FROM feed WHERE src_offset < (SELECT (max(event_id) + 2) // 2
+                                    FROM events)
+    ),
+    state1 AS (
+      SELECT conv_id, turn_idx, role, text, tool, ts
+      FROM r1 WHERE rn = 1 AND op <> 'D'
+    ),
+{_CDC_RANKED_SQL},
+    win2 AS (
+      SELECT * FROM ranked
+      WHERE rn = 1 AND src_offset >= (SELECT (max(event_id) + 2) // 2
+                                      FROM events)
+    )
+    SELECT w.conv_id, w.turn_idx, w.role, w.text, w.tool,
+           epoch_us(w.ts) AS ts_us,
+           CASE WHEN w.op = 'D' THEN 'delete' ELSE 'upsert' END
+             AS change_type,
+           w.src_offset AS commit_offset,
+           s.role AS pre_role, s.text AS pre_text, s.tool AS pre_tool,
+           epoch_us(s.ts) AS pre_ts_us
+    FROM win2 w
+    LEFT JOIN state1 s
+      ON s.conv_id = w.conv_id AND s.turn_idx = w.turn_idx
+    """,
+)
+def _cdc_changelog_preimage(spark, sf_dir):
+    """CDF with pre-images, end-to-end (lake/table.py
+    read_changes_with_preimage — Delta `update_preimage` parity): the
+    engine applies the feed's first half (-> v1) then the second half
+    (-> v2) and reads the v1->v2 changelog WITH each changed key's
+    pre-image struct as of v1. Must equal the declarative oracle:
+    post-image = the global LWW winner whose offset landed in the
+    second half; pre-image = the first half's live LWW state for that
+    key (NULL for inserts and keys that were tombstoned at v1). This
+    driver-verifies the bucket-PRUNED pre-image read (the r7 prune:
+    the pre snapshot scan reads only buckets whose max-offset stats
+    reach into the window) against an unpruned declarative truth."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.sources.changefeed import FeedSpec, encode_payload
+
+    ev = _t(spark, sf_dir, "events")
+    fields = _events_change_fields(ev)
+    feed = encode_payload(fields, FeedSpec(n_events=1, evolution_frac=0.0)).select(
+        "offset", "op", "format", "payload", "ts", "source_part"
+    )
+    feed = feed.persist()
+    try:
+        total = feed.agg(F.max("offset")).collect()[0][0] + 1
+        half = (total + 1) // 2  # second half starts AT offset `half`
+        tmp = tempfile.mkdtemp(prefix="omniparser_spark_preimage_")
+        pipe = CdcPipeline(
+            spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8,
+            n_source_parts=8, expire_keep_last=None,
+        )
+
+        def feed_for_range(start: int, end: int) -> DataFrame:
+            return feed.filter(
+                (F.col("offset") >= start) & (F.col("offset") <= end)
+            )
+
+        pipe.run(feed_for_range, half, batch_size=half)
+        v1 = pipe.table.current().version
+        pipe.run(feed_for_range, total, batch_size=total - half)
+        v2 = pipe.table.current().version
+        out = pipe.table.read_changes_with_preimage(v1, v2).select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            _us("ts").alias("ts_us"),
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_offset").alias("commit_offset"),
+            F.col("_pre.role").alias("pre_role"),
+            F.col("_pre.text").alias("pre_text"),
+            F.col("_pre.tool").alias("pre_tool"),
+            _us(F.col("_pre.ts")).alias("pre_ts_us"),
+        )
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        feed.unpersist()
+
+
+@_q(
     "cdc_relay_compacted",
     f"""
     WITH feed AS (

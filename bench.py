@@ -233,6 +233,8 @@ def main() -> None:
         # and the online bucket rescale (both multi-pipeline lifecycles)
         "cdc_bootstrap_then_stream",
         "cdc_rescale_final_state",
+        "cdc_changelog_preimage",
+        "cdc_export_avro_frames",
         # dedup_cluster_assign intentionally NOT benched: its iterative
         # rounds are driver-latency-bound (localCheckpoint per round),
         # so wall time tracks host scheduling noise more than engine
@@ -257,6 +259,7 @@ def main() -> None:
         "cdc_streaming_view": 2,
         "cdc_bootstrap_then_stream": 2,
         "cdc_rescale_final_state": 2,
+        "cdc_changelog_preimage": 2,
     }
     qs = entrymod.queries()
     for name in bench_queries:
