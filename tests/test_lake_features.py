@@ -2087,3 +2087,84 @@ def test_delta_commit_rebases_over_disjoint_erase(spark, tmp_path):
     assert rec is not None and rec["mode"] == "mor"
     rows = {(r["conv_id"], r["text"]) for r in t.read().collect()}
     assert rows == {(k2, "y2")}
+
+
+def test_rebase_composes_over_a_batch_sequence(spark, tmp_path):
+    """Every one of four consecutive ingest merges races a maintenance
+    commit (erase, then compact) mid-swap; all rebase, the fence stays
+    monotonic, and the final state equals a race-free replay."""
+    from omniparser_spark.lake.table import LakeTable
+
+    # keys spread across all 4 buckets
+    keys_by_bucket = {}
+    for i in range(64):
+        k = f"conv_{i:04d}"
+        keys_by_bucket.setdefault(_bucket_of(spark, k, 4), []).append(k)
+        if all(len(v) >= 2 for v in keys_by_bucket.values()) and len(
+            keys_by_bucket
+        ) == 4:
+            break
+    ks = {b: v[0] for b, v in sorted(keys_by_bucket.items())}
+    erased = {b: v[1] for b, v in sorted(keys_by_bucket.items())}
+
+    def seed(t):
+        merge_into(
+            t,
+            _batch(
+                spark,
+                [(k, 1, f"{k}-v1", 1, i, "I")
+                 for i, k in enumerate(list(ks.values()) + list(erased.values()))],
+            ),
+            batch_id=0, max_offset=7,
+        )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="conv_id",
+        n_buckets=4, merge_keys=("conv_id", "turn_idx"),
+    )
+    seed(t)
+    other = LakeTable(spark, str(tmp_path / "t"))
+
+    buckets = sorted(ks)
+    for i, b in enumerate(buckets):
+        # batch i+1 updates bucket b's kept key; the interleaved
+        # maintenance erases ANOTHER bucket's doomed key
+        victim_bucket = buckets[(i + 1) % len(buckets)]
+        victim = erased[victim_bucket]
+        restore = _interleave(
+            t,
+            lambda v=victim: other.erase_where(
+                F.col("conv_id") == v, key_values=[v]
+            ),
+        )
+        try:
+            rec = merge_into(
+                t,
+                _batch(spark, [(ks[b], 1, f"{ks[b]}-v2", 2, 8 + i, "U")]),
+                batch_id=i + 1, max_offset=8 + i,
+            )
+        finally:
+            restore()
+        assert rec is not None and rec["touched_buckets"] == [b]
+
+    # race-free control replay
+    c = LakeTable.create(
+        spark, str(tmp_path / "c"), SCHEMA, key_col="conv_id",
+        n_buckets=4, merge_keys=("conv_id", "turn_idx"),
+    )
+    seed(c)
+    for i, b in enumerate(buckets):
+        merge_into(
+            c,
+            _batch(spark, [(ks[b], 1, f"{ks[b]}-v2", 2, 8 + i, "U")]),
+            batch_id=i + 1, max_offset=8 + i,
+        )
+        c.erase_where(
+            F.col("conv_id") == erased[buckets[(i + 1) % len(buckets)]],
+            key_values=[erased[buckets[(i + 1) % len(buckets)]]],
+        )
+
+    got = {(r["conv_id"], r["text"]) for r in t.read().collect()}
+    want = {(r["conv_id"], r["text"]) for r in c.read().collect()}
+    assert got == want
+    assert int(t.summary()["max_offset_applied"]) == 8 + len(buckets) - 1
