@@ -563,7 +563,17 @@ class LakeTable:
         re-apply); a different batch must publish or abandon the pending
         stage first, else publish(N) would fast-forward to a snapshot
         missing the staged batch (stage path) or the staged batch's data
-        would be silently orphaned (commit path)."""
+        would be silently orphaned (commit path).
+
+        A metadata file at or below the PUBLISHED head is not a stage —
+        it is a committed snapshot (a concurrent writer advanced the
+        head past our assembled version); that case is the moved-head
+        conflict, handled by the swap's expected-parent check and the
+        rebase loop, so this guard must not fire for it."""
+        with open(os.path.join(self._meta_dir, VERSION_HINT)) as f:
+            head = int(f.read().strip())
+        if snap.version <= head:
+            return
         meta_path = os.path.join(
             self._meta_dir, f"v{snap.version}.metadata.json"
         )

