@@ -52,8 +52,24 @@ from pyspark.sql import types as T
 from omniparser_spark.lake.table import (
     LakeTable,
     bucket_expr,
+    place_exact_buckets,
     repartition_exact_buckets,
 )
+
+
+def _one_shuffle_merge() -> bool:
+    """The merge's LWW aggregate and its exact-bucket placement can
+    share ONE shuffle: place the pre-aggregate rows by bucket salt,
+    then group by (salt, _bucket, *keys) — the salt and bucket are
+    functions of key_col ∈ keys, so the groups are identical, and
+    Catalyst sees the placement's HashPartitioning as satisfying the
+    aggregate's distribution (no second exchange). Saves a full
+    shuffle write+read of the merged output per batch. Escape hatch
+    for same-host A/B runs: SPARK_GRAFT_ONE_SHUFFLE_MERGE=0 restores
+    the two-shuffle plan (groupBy keys, then repartition)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ONE_SHUFFLE_MERGE", "1") != "0"
 
 DEFAULT_KEYS = ("conv_id", "turn_idx")
 
@@ -238,15 +254,31 @@ def merge_into(
         )
         order = F.struct(F.col("ts"), F.col("offset").cast("long"))
         out_cols = [*data_cols, "_last_offset", "_deleted"]
-        delta = (
-            batch.groupBy(*keys)
-            .agg(F.max_by(payload, order).alias("_w"))
-            .select(
-                *keys, *[F.col(f"_w.{c}").alias(c) for c in out_cols]
+        if _one_shuffle_merge():
+            # place first, aggregate in place: the LWW dedupe and the
+            # per-bucket placement share one shuffle (see
+            # _one_shuffle_merge). `_bucket` is already on `batch`.
+            placed, extra = place_exact_buckets(batch, n_buckets)
+            gcols = list(dict.fromkeys([*extra, "_bucket", *keys]))
+            delta = (
+                placed.groupBy(*gcols)
+                .agg(F.max_by(payload, order).alias("_w"))
+                .select(
+                    "_bucket",
+                    *keys,
+                    *[F.col(f"_w.{c}").alias(c) for c in out_cols],
+                )
             )
-            .withColumn("_bucket", bucket_expr(key_col, n_buckets))
-        )
-        delta = repartition_exact_buckets(delta, n_buckets)
+        else:
+            delta = (
+                batch.groupBy(*keys)
+                .agg(F.max_by(payload, order).alias("_w"))
+                .select(
+                    *keys, *[F.col(f"_w.{c}").alias(c) for c in out_cols]
+                )
+                .withColumn("_bucket", bucket_expr(key_col, n_buckets))
+            )
+            delta = repartition_exact_buckets(delta, n_buckets)
         obs = None
         if observe_stats:
             from pyspark.sql import Observation
@@ -375,24 +407,39 @@ def merge_into(
     u = t.unionByName(s)
     payload = F.struct(*data_cols, "_last_offset", "_deleted")
     order = F.struct(F.col("ts"), F.col("_last_offset"), F.col("_pref"))
-    merged = (
-        u.groupBy(*keys)
-        .agg(F.max_by(payload, order).alias("_w"))
-        .select(
+    def sel(df: DataFrame, *head: str) -> DataFrame:
+        """Winner projection shared by both plan shapes; `head` carries
+        group-key columns (e.g. _bucket) straight through."""
+        return df.select(
+            *head,
             *keys,
             *[F.col(f"_w.{c}").alias(c) for c in data_cols],
             F.col("_w._last_offset").alias("_last_offset"),
             F.col("_w._deleted").alias("_deleted"),
         )
-    )
     # one data file per touched bucket: co-locate each bucket's rows in
     # a single partition before partitionBy, else every reduce task
     # writes a sliver into every bucket dir (tasks x buckets small
     # files; measured 1024 files/commit at 32x32)
-    merged = repartition_exact_buckets(
-        merged.withColumn("_bucket", bucket_expr(key_col, n_buckets)),
-        touched,
-    )
+    if _one_shuffle_merge():
+        # place the UNION by bucket salt first, then aggregate in
+        # place: LWW dedupe + placement in one shuffle (see
+        # _one_shuffle_merge)
+        u = u.withColumn("_bucket", bucket_expr(key_col, n_buckets))
+        placed, extra = place_exact_buckets(u, touched)
+        gcols = list(dict.fromkeys([*extra, "_bucket", *keys]))
+        merged = sel(
+            placed.groupBy(*gcols).agg(F.max_by(payload, order).alias("_w")),
+            "_bucket",
+        )
+    else:
+        merged = sel(
+            u.groupBy(*keys).agg(F.max_by(payload, order).alias("_w"))
+        )
+        merged = repartition_exact_buckets(
+            merged.withColumn("_bucket", bucket_expr(key_col, n_buckets)),
+            touched,
+        )
 
     # observe applied-row stats on the commit write itself (no extra
     # action): rows_written = post-merge row count of the touched

@@ -95,6 +95,49 @@ def _partition_salts(n_parts: int) -> list[int]:
     return salts
 
 
+def place_exact_buckets(
+    df: DataFrame, buckets, bucket_col: str = "_bucket"
+) -> tuple[DataFrame, list[str]]:
+    """Repartition so each bucket gets its OWN shuffle partition, and
+    return ``(placed_df, partition_cols)`` where `partition_cols` are
+    the column(s) this shuffle hash-partitioned on.
+
+    A caller that immediately aggregates can prepend `partition_cols`
+    to its groupBy keys: Catalyst recognizes the existing
+    HashPartitioning as satisfying the aggregate's required
+    distribution (partitioning exprs ⊆ grouping exprs), so the
+    aggregation runs partition-local with NO second exchange — the
+    placement shuffle and the aggregation shuffle collapse into one.
+    Only valid when every partition column is functionally determined
+    by the intended group keys (here: `_bucket` = f(key_col), and the
+    salt = g(_bucket)), so the groups are unchanged."""
+    values = (
+        list(range(buckets)) if isinstance(buckets, int) else list(buckets)
+    )
+    n = len(values)
+    if n <= 1:
+        # a single partition satisfies every distribution — downstream
+        # groupBys already run exchange-free with no extra key
+        return df.repartition(1), []
+    if os.environ.get("SPARK_GRAFT_EXACT_PLACEMENT", "1") == "0":
+        # A/B escape hatch: the pre-fix hash placement (collision
+        # stragglers and all), for same-host comparison runs
+        return df.repartition(n, bucket_col), [bucket_col]
+    salts = _partition_salts(n)
+    mapping = F.create_map(
+        *[
+            F.lit(int(x))
+            for v, s in zip(values, salts)
+            for x in (v, s)
+        ]
+    )
+    placed = df.withColumn(
+        "_salt_pt",
+        F.element_at(mapping, F.col(bucket_col).cast("int")),
+    ).repartition(n, "_salt_pt")
+    return placed, ["_salt_pt"]
+
+
 def repartition_exact_buckets(
     df: DataFrame, buckets, bucket_col: str = "_bucket"
 ) -> DataFrame:
@@ -108,32 +151,11 @@ def repartition_exact_buckets(
     salt whose Spark hash lands in a distinct partition: exact 1:1
     placement, no extra job, no sampling, and still exactly one data
     file per touched bucket."""
-    values = (
-        list(range(buckets)) if isinstance(buckets, int) else list(buckets)
-    )
-    n = len(values)
-    if n <= 1:
-        return df.repartition(1)
-    if os.environ.get("SPARK_GRAFT_EXACT_PLACEMENT", "1") == "0":
-        # A/B escape hatch: the pre-fix hash placement (collision
-        # stragglers and all), for same-host comparison runs
-        return df.repartition(n, bucket_col)
-    salts = _partition_salts(n)
-    mapping = F.create_map(
-        *[
-            F.lit(int(x))
-            for v, s in zip(values, salts)
-            for x in (v, s)
-        ]
-    )
-    return (
-        df.withColumn(
-            "_salt_pt",
-            F.element_at(mapping, F.col(bucket_col).cast("int")),
-        )
-        .repartition(n, "_salt_pt")
-        .drop("_salt_pt")
-    )
+    placed, extra = place_exact_buckets(df, buckets, bucket_col)
+    for c in extra:
+        if c != bucket_col:
+            placed = placed.drop(c)
+    return placed
 
 
 def bucket_expr(key_col: str | Column, n_buckets: int) -> Column:

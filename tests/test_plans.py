@@ -221,3 +221,65 @@ def test_chunking_is_shuffle_free(spark):
     )
     assert "Exchange" not in _plan(chunk_text(d))
     assert "Exchange" not in _plan(d.select(redact_pii("text")))
+
+
+def test_merge_lww_and_placement_share_one_shuffle(spark, feed, tmp_path):
+    """The REAL merge plan (round-7 one-shuffle rewrite): the LWW
+    aggregate runs on top of the exact-bucket placement's partitioning
+    — exactly ONE Exchange between the sources and the write, and the
+    single-file-per-touched-bucket property still holds on disk."""
+    from omniparser_spark.cdc.pipeline import CdcPipeline
+    from omniparser_spark.lake.table import (
+        bucket_expr,
+        place_exact_buckets,
+    )
+
+    pipe = CdcPipeline(
+        spark,
+        str(tmp_path / "os_table"),
+        str(tmp_path / "os_ckpt"),
+        n_buckets=4,
+        n_source_parts=8,
+    )
+    raw = feed.filter((F.col("offset") >= 0) & (F.col("offset") <= 999))
+    pipe.apply_batch(raw, batch_id=0, offset_start=0, offset_end=999)
+    raw2 = feed.filter((F.col("offset") >= 1000) & (F.col("offset") <= 1999))
+    pipe.apply_batch(raw2, batch_id=1, offset_start=1000, offset_end=1999)
+
+    # physical consequence on disk: one data file per touched bucket
+    from collections import Counter
+
+    counts = Counter()
+    for r in pipe.table.meta("files").collect():
+        counts[r["bucket"]] += 1
+    assert counts and max(counts.values()) == 1, counts
+
+    # plan shape: the one-shuffle merge (union -> place -> group with
+    # the placement cols prepended) plans exactly one hashpartitioning
+    # Exchange — the aggregate reuses the placement's partitioning
+    t = pipe.table.read(include_hidden=True).select(
+        "conv_id", "turn_idx", "ts", "_last_offset", "_deleted"
+    )
+    from omniparser_spark.operators.normalize import (
+        normalize_flagged,
+        split_flagged,
+    )
+
+    good, _ = split_flagged(normalize_flagged(raw2))
+    s = good.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.col("offset").cast("long").alias("_last_offset"),
+        (F.col("op") == "D").alias("_deleted"),
+    )
+    u = t.unionByName(s).withColumn("_bucket", bucket_expr("conv_id", 4))
+    placed, extra = place_exact_buckets(u, 4)
+    merged = placed.groupBy(*extra, "_bucket", "conv_id", "turn_idx").agg(
+        F.max_by(
+            F.struct("ts", "_last_offset", "_deleted"),
+            F.struct("ts", "_last_offset"),
+        ).alias("w")
+    )
+    plan = _plan(merged)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
