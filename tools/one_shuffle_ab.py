@@ -48,7 +48,10 @@ def main() -> None:
         shuffle_partitions=max(cpus, 8),
     )
 
-    n_events = max(int(10_000_000 * sf), 20_000)
+    n_events = int(
+        os.environ.get("SPARK_GRAFT_AB_EVENTS")
+        or max(int(10_000_000 * sf), 20_000)
+    )
     spec = FeedSpec(n_events=n_events, n_convs=max(n_events // 40, 100), seed=42)
     tmp = tempfile.mkdtemp(prefix="one_shuffle_ab_")
     # the flag is read per merge call, so toggling the env between
