@@ -66,7 +66,16 @@ def _one_shuffle_merge() -> bool:
     aggregate's distribution (no second exchange). Saves a full
     shuffle write+read of the merged output per batch. Escape hatch
     for same-host A/B runs: SPARK_GRAFT_ONE_SHUFFLE_MERGE=0 restores
-    the two-shuffle plan (groupBy keys, then repartition)."""
+    the two-shuffle plan (groupBy keys, then repartition).
+
+    Sizing note: under the one-shuffle plan the aggregate runs at
+    n_buckets-way parallelism (the placement's partition count), so a
+    table whose bucket count is far below the cluster's cores AND
+    whose batches are large under-parallelizes the LWW combine — at
+    scale n_buckets should exceed core count anyway (the bucket count
+    is the write/compaction unit), and an interleaved A/B on the
+    4-bucket view path measured parity, but if a small-bucket table
+    must take huge batches, flip the flag (or rescale_buckets)."""
     import os
 
     return os.environ.get("SPARK_GRAFT_ONE_SHUFFLE_MERGE", "1") != "0"

@@ -57,7 +57,13 @@ def main() -> None:
     # the flag is read per merge call, so toggling the env between
     # pipelines inside one session flips the plan without a restart
     arms = {"one_shuffle": "1", "two_shuffle": "0"}
-    out: dict = {"n_events": n_events, "cpus": cpus, "trials": trials, "arms": {}}
+    # SPARK_GRAFT_AB_MODE=mor benches the merge-on-read delta write
+    # (the one-shuffle rewrite changed both paths)
+    mode = os.environ.get("SPARK_GRAFT_AB_MODE", "cow")
+    out: dict = {
+        "n_events": n_events, "cpus": cpus, "trials": trials,
+        "merge_mode": mode, "arms": {},
+    }
     try:
         feed = materialize_feed(spark, spec, f"{tmp}/feed", num_partitions=cpus * 2)
         warm = CdcPipeline(
@@ -73,6 +79,7 @@ def main() -> None:
                 p = CdcPipeline(
                     spark, f"{tmp}/{arm}_t{trial}_tab", f"{tmp}/{arm}_t{trial}_ck",
                     n_buckets=max(cpus, 16), n_source_parts=spec.n_source_parts,
+                    merge_mode=mode,
                 )
                 t0 = time.time()
                 p.run_feed(feed, spec.n_events, batch_size=max(n_events // 4, 1))
