@@ -1102,11 +1102,13 @@ def _parse_jpeg_stream(blob: bytes):
     ``bpr`` (blocks per row in the component's own grid) and
     ``blocks`` (64-lists, natural order, the component's raster block
     order). Supported: baseline sequential (SOF0), 8-bit, one scan,
-    grayscale / 4:4:4 / 4:2:0, with DRI/RSTn restart intervals
+    grayscale and any divisible chroma sampling grid — 4:4:4, 4:2:0,
+    4:2:2, 4:1:1, 4:4:0 (every component's factors in 1..4 and
+    dividing the max factors) — with DRI/RSTn restart intervals
     (predictor reset + bit realignment + sequence-number verification,
     T.81 E.2.4); everything else raises loudly (progressive, 16-bit
-    quant, 4:2:2/4:1:1, multi-scan) — honest gates, never a wrong
-    decode.
+    quant, non-divisible sampling mixes, multi-scan) — honest gates,
+    never a wrong decode.
     """
     import struct
 
@@ -1160,16 +1162,26 @@ def _parse_jpeg_stream(blob: bytes):
                         "tq": spec[2],
                     }
                 )
-            samplings = sorted((c["h"], c["v"]) for c in specs)
-            if ncomp == 3 and samplings not in (
-                [(1, 1), (1, 1), (1, 1)],   # 4:4:4
-                [(1, 1), (1, 1), (2, 2)],   # 4:2:0
-            ):
-                raise NotImplementedError(
-                    "unsupported chroma sampling "
-                    + str([(c["h"], c["v"]) for c in specs])
-                    + " (only 4:4:4 and 4:2:0)"
+            # any sampling grid where every component's factors divide
+            # the max factors decodes with the general interleaved-MCU
+            # loop + integer nearest-neighbor upsample below: 4:4:4
+            # (1x1), 4:2:0 (2x2), 4:2:2 (2x1), 4:1:1 (4x1), 4:4:0
+            # (1x2), ... T.81 allows non-divisible mixes (e.g. Y 3x1
+            # with Cb 2x1) but no real encoder emits them — gate.
+            if ncomp == 3:
+                hm = max(c["h"] for c in specs)
+                vm = max(c["v"] for c in specs)
+                bad = any(
+                    not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4)
+                    or hm % c["h"] or vm % c["v"]
+                    for c in specs
                 )
+                if bad:
+                    raise NotImplementedError(
+                        "unsupported chroma sampling "
+                        + str([(c["h"], c["v"]) for c in specs])
+                        + " (factors must be 1..4 and divide the max)"
+                    )
         elif code in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                       0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
@@ -1374,14 +1386,15 @@ def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, bytes]:
 
 
 def make_jpeg_color(
-    width: int, height: int, seed: int = 0, restart_interval: int = 0
+    width: int, height: int, seed: int = 0, restart_interval: int = 0,
+    sampling: tuple[int, int] = (2, 2),
 ) -> bytes:
-    """A complete, valid baseline YCbCr 4:2:0 color JPEG: SOF0 with
-    three components (Y sampling 2x2, Cb/Cr 1x1), two quant tables,
-    class-0 and class-1 Huffman table slots, interleaved MCU scan —
-    the exact stream shape Kafka's most common real-world image
-    payload carries. The image is a mosaic of constant 16x16 MCU
-    tiles:
+    """A complete, valid baseline YCbCr color JPEG: SOF0 with three
+    components (Y sampling ``sampling`` = (h, v), Cb/Cr 1x1 — (2, 2)
+    is 4:2:0, (2, 1) is 4:2:2, (4, 1) is 4:1:1, (1, 1) is 4:4:4), two
+    quant tables, class-0 and class-1 Huffman table slots, interleaved
+    MCU scan — the exact stream shapes real camera/library encoders
+    emit. The image is a mosaic of constant (8h)x(8v) MCU tiles:
 
         Y (mx, my) = 128 + 2 * (((mx*31 + my*17 + seed) % 64) - 32)
         Cb(mx, my) = 128 + 2 * (((mx*13 + my*7  + seed) % 64) - 32)
@@ -1395,7 +1408,11 @@ def make_jpeg_color(
     the interleaved-MCU + chroma path."""
     import struct
 
-    assert width % 16 == 0 and height % 16 == 0, "pad to full MCUs"
+    hy, vy = sampling
+    assert hy in (1, 2, 4) and vy in (1, 2, 4), "Y factors 1/2/4"
+    assert width % (8 * hy) == 0 and height % (8 * vy) == 0, (
+        "pad to full MCUs"
+    )
     quant = [16] * 64
     dc_map = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_map = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
@@ -1416,8 +1433,8 @@ def make_jpeg_color(
 
     rst_n = 0
     mcu_i = 0
-    for my in range(height // 16):
-        for mx in range(width // 16):
+    for my in range(height // (8 * vy)):
+        for mx in range(width // (8 * hy)):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
                 # restart boundary (T.81 E.2.4): byte-align, emit the
                 # cycling RSTn, reset EVERY component's DC predictor
@@ -1430,7 +1447,7 @@ def make_jpeg_color(
             yv = 128 + 2 * (((mx * 31 + my * 17 + seed) % 64) - 32)
             cbv = 128 + 2 * (((mx * 13 + my * 7 + seed) % 64) - 32)
             crv = 128 + 2 * (((mx * 5 + my * 23 + seed) % 64) - 32)
-            for _ in range(4):  # Y blocks, 2x2 row-major
+            for _ in range(hy * vy):  # Y blocks, h x v row-major
                 put_dc_only(1, (yv - 128) // 2)
             put_dc_only(2, (cbv - 128) // 2)
             put_dc_only(3, (crv - 128) // 2)
@@ -1444,7 +1461,7 @@ def make_jpeg_color(
     sof = seg(
         0xFFC0,
         struct.pack(">BHHB", 8, height, width, 3)
-        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     huff = (
         bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)

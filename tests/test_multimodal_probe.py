@@ -410,14 +410,17 @@ def test_jpeg_honest_gates():
     # decode_jpeg_quantized stays the grayscale half by contract
     with _pytest.raises(NotImplementedError, match="multi-component"):
         decode_jpeg_quantized(make_jpeg_color(16, 16, 1))
-    # 4:2:2 (Y 2x1) is a real format the decoder does NOT implement —
-    # it must gate, not mis-tile the MCUs
-    c422 = bytearray(make_jpeg_color(16, 16, 1))
-    sof = c422.find(b"\xff\xc0")
-    assert c422[sof + 11] == 0x22  # Y sampling byte
-    c422[sof + 11] = 0x21
+    # 4:2:2 / 4:1:1 decode as of r7 (test_jpeg_color_sampling_grids);
+    # a NON-divisible sampling mix (Y 3x2 with Cb 2x1 — T.81-legal,
+    # emitted by no real encoder) must still gate at SOF parse, not
+    # mis-tile the MCUs
+    cbad = bytearray(make_jpeg_color(16, 16, 1))
+    sof = cbad.find(b"\xff\xc0")
+    assert cbad[sof + 11] == 0x22  # Y sampling byte
+    cbad[sof + 11] = 0x32
+    cbad[sof + 14] = 0x21  # Cb: h=2 does not divide hmax=3
     with _pytest.raises(NotImplementedError, match="sampling"):
-        decode_jpeg_pixels(bytes(c422))
+        decode_jpeg_pixels(bytes(cbad))
     with _pytest.raises(ValueError):
         decode_jpeg_quantized(b"\x00\x01not a jpeg")
 
@@ -454,6 +457,51 @@ def test_jpeg_color_roundtrip_exact():
                 )
                 tile = a[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
                 assert np.all(tile == want), (mx, my, want)
+
+
+def test_jpeg_color_sampling_grids():
+    """4:2:2 (Y 2x1), 4:1:1 (Y 4x1) and 4:4:4 (Y 1x1) decode — the
+    general interleaved-MCU loop + integer chroma upsample — equal the
+    closed form on every pixel, with and without restart intervals
+    (the DC-only mosaic quantizes losslessly at every grid)."""
+    import numpy as np
+
+    from omniparser_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg_color,
+    )
+
+    for hy, vy, w, h, seed, rst in (
+        (2, 1, 32, 16, 3, 0),    # 4:2:2
+        (2, 1, 48, 24, 9, 3),    # 4:2:2 + RSTn
+        (4, 1, 64, 16, 5, 0),    # 4:1:1
+        (4, 1, 32, 8, 21, 2),    # 4:1:1 + RSTn
+        (1, 1, 24, 16, 7, 0),    # 4:4:4
+    ):
+        blob = make_jpeg_color(
+            w, h, seed=seed, restart_interval=rst, sampling=(hy, vy)
+        )
+        gw, gh, rgb = decode_jpeg_pixels(blob)
+        assert (gw, gh, len(rgb)) == (w, h, 3 * w * h)
+        a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+        tw, th = 8 * hy, 8 * vy
+        for my in range(h // th):
+            for mx in range(w // tw):
+                yv = 128 + 2 * (((mx * 31 + my * 17 + seed) % 64) - 32)
+                cb = 128 + 2 * (((mx * 13 + my * 7 + seed) % 64) - 32)
+                cr = 128 + 2 * (((mx * 5 + my * 23 + seed) % 64) - 32)
+
+                def px(v):
+                    return min(max(int(np.floor(v + 0.5)), 0), 255)
+
+                want = (
+                    px(yv + 1.402 * (cr - 128.0)),
+                    px(yv - 0.344136 * (cb - 128.0)
+                       - 0.714136 * (cr - 128.0)),
+                    px(yv + 1.772 * (cb - 128.0)),
+                )
+                tile = a[my * th : my * th + th, mx * tw : mx * tw + tw]
+                assert np.all(tile == want), (hy, vy, mx, my, want)
 
 
 def test_jpeg_features_are_pixel_derived(spark):
