@@ -8719,9 +8719,13 @@ def _multimodal_jpeg_color(spark, sf_dir):
     r7: three of every four fixtures now carry a DRI segment with
     RST0..RST7 markers in the scan (restart_interval = i % 4 MCUs —
     predictor resets, bit realignment, cycling sequence numbers per
-    T.81 E.2.4). Restart markers change the ENTROPY STREAM but not the
-    decoded pixels, so the closed-form oracle is unchanged — a decoder
-    that mishandles the predictor reset or realignment produces wrong
+    T.81 E.2.4), and every fifth fixture is a PROGRESSIVE (SOF2)
+    stream — interleaved DC-first scan at Al=1, DC refinement scan,
+    then one non-interleaved AC scan per component (T.81 G.2
+    multi-scan accumulation). Both variations change the ENTROPY
+    STREAM but not the decoded pixels, so the closed-form oracle is
+    unchanged — a decoder that mishandles the predictor reset,
+    realignment, point transform, or scan accumulation produces wrong
     histograms and hash-fails."""
     from omniparser_spark.operators.multimodal import (
         MEDIA_SCHEMA,
@@ -8732,10 +8736,14 @@ def _multimodal_jpeg_color(spark, sf_dir):
     rows = []
     for i in range(50):
         w, h = 16 * (1 + i % 2), 16 * (1 + (i * 2) % 3)
+        prog = i % 5 == 0
         rows.append(
             (i, "image",
-             bytearray(make_jpeg_color(w, h, seed=i,
-                                       restart_interval=i % 4)),
+             bytearray(make_jpeg_color(
+                 w, h, seed=i,
+                 restart_interval=0 if prog else i % 4,
+                 progressive=prog,
+             )),
              ("image/jpeg", w, h, 0))
         )
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)

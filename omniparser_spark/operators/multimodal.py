@@ -1067,6 +1067,156 @@ def encode_jpeg_blocks(
     return b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
 
 
+_PROGRESSIVE_SCRIPT = (
+    (0, 0, 0, 1),    # DC first, point transform 1
+    (1, 5, 0, 2),    # AC band 1-5 first at Al=2
+    (6, 63, 0, 2),   # AC band 6-63 first at Al=2
+    (1, 63, 2, 1),   # AC refinement 2 -> 1
+    (1, 63, 1, 0),   # AC refinement 1 -> 0
+    (0, 0, 1, 0),    # DC refinement
+)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    qblocks: list[list[int]],
+    quant: list[int],
+    scans=_PROGRESSIVE_SCRIPT,
+) -> bytes:
+    """Assemble a valid PROGRESSIVE (SOF2) grayscale JPEG from the same
+    quantized natural-order blocks :func:`encode_jpeg_blocks` takes,
+    through a libjpeg-style scan script of (Ss, Se, Ah, Al) —
+    spectral selection + successive approximation per T.81 G.1:
+    DC first scans code point-transformed diffs (arithmetic shift,
+    G.1.2.1), DC refinement emits one bit per block, AC first scans
+    code magnitude-truncated bands with EOB codes, AC refinement
+    interleaves newly-nonzero run/sign codes with correction bits for
+    previously-nonzero coefficients (G.1.2.3, mirroring the reference
+    encoder's ZRL/buffered-bit ordering). EOB runs are flushed at
+    length 1 so the standard Huffman tables (which lack EOBn>1
+    symbols) suffice."""
+    import struct
+
+    assert width % 8 == 0 and height % 8 == 0, "pad to full blocks"
+    dc_map = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_map = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    zzb = [[blk[_ZIGZAG[i]] for i in range(64)] for blk in qblocks]
+
+    def put_sym(wtr, m, sym):
+        code, ln = m[sym]
+        wtr.put(code, ln)
+
+    def scan_entropy(ss: int, se: int, ah: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        if ss == 0:  # DC scan
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            if ah == 0:
+                prev = 0
+                for zz in zzb:
+                    t = zz[0] >> al  # arithmetic shift (G.1.2.1)
+                    diff, prev = t - prev, t
+                    s = _category(diff)
+                    put_sym(wtr, dc_map, s)
+                    if s:
+                        amp = diff if diff >= 0 else diff + (1 << s) - 1
+                        wtr.put(amp, s)
+            else:
+                for zz in zzb:
+                    wtr.put((zz[0] >> al) & 1, 1)
+        elif ah == 0:  # AC first scan for this band (G.1.2.2)
+            for zz in zzb:
+                # point transform: magnitude shift, sign preserved
+                vals = [
+                    (abs(zz[k]) >> al) * (1 if zz[k] >= 0 else -1)
+                    for k in range(ss, se + 1)
+                ]
+                last_nz = -1
+                for i, t in enumerate(vals):
+                    if t:
+                        last_nz = i
+                run = 0
+                for i in range(last_nz + 1):
+                    t = vals[i]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        put_sym(wtr, ac_map, 0xF0)  # ZRL
+                        run -= 16
+                    s = _category(t)
+                    put_sym(wtr, ac_map, (run << 4) | s)
+                    amp = t if t >= 0 else t + (1 << s) - 1
+                    wtr.put(amp, s)
+                    run = 0
+                if last_nz < se - ss:
+                    put_sym(wtr, ac_map, 0x00)  # EOB (run length 1)
+        else:  # AC refinement (G.1.2.3)
+            for zz in zzb:
+                absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+                eob = -1  # index of the LAST newly-nonzero coefficient
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i
+                run = 0
+                br: list[int] = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        run += 1
+                        continue
+                    # ZRLs that cannot fold into EOB, each carrying the
+                    # correction bits buffered so far (reference
+                    # encoder's ordering — the decoder reads them
+                    # positionally during the ZRL's 16-zero advance)
+                    while run > 15 and i <= eob:
+                        put_sym(wtr, ac_map, 0xF0)
+                        run -= 16
+                        for b in br:
+                            wtr.put(b, 1)
+                        br = []
+                    if t > 1:  # previously nonzero: one correction bit
+                        br.append(t & 1)
+                        continue
+                    # newly nonzero at this precision: run/1 + sign
+                    put_sym(wtr, ac_map, (run << 4) | 1)
+                    wtr.put(1 if zz[ss + i] > 0 else 0, 1)
+                    run = 0
+                    for b in br:
+                        wtr.put(b, 1)
+                    br = []
+                if run > 0 or br:  # EOB (run length 1) + its corrections
+                    put_sym(wtr, ac_map, 0x00)
+                    for b in br:
+                        wtr.put(b, 1)
+        return wtr.flush()
+
+    def seg(marker: int, bodyb: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(bodyb) + 2) + bodyb
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xFFDB, bytes([0]) + bytes(quant[_ZIGZAG[i]] for i in range(64))
+    )
+    out += seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    out += seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
+    )
+    for ss, se, ah, al in scans:
+        out += seg(
+            0xFFDA,
+            bytes([1, 1, 0x00, ss, se, (ah << 4) | al]),
+        )
+        out += scan_entropy(ss, se, ah, al)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
     """A complete, valid baseline grayscale JPEG. The image is a mosaic
     of constant 8x8 tiles, value
@@ -1090,6 +1240,185 @@ def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
             blk[0] = (v - 128) // 2  # 8*(v-128)/q00 with q00=16
             blocks.append(blk)
     return encode_jpeg_blocks(width, height, blocks, quant)
+
+
+def _progressive_scan(
+    blob: bytes,
+    pos: int,
+    body: bytes,
+    specs: list[dict],
+    qtabs: dict,
+    htabs: dict,
+    w: int,
+    h: int,
+    restart_interval: int,
+    pcomps: list[dict] | None,
+) -> tuple[int, list[dict]]:
+    """Decode ONE progressive (SOF2) scan's entropy segment starting at
+    `pos`, accumulating coefficients into per-component zigzag state
+    (T.81 G.2): DC first/refinement scans (interleaved or single
+    component, point transform Al), AC first scans with EOB-run codes
+    (G.1.2.2, always non-interleaved), and AC successive-approximation
+    refinement scans with correction bits (G.1.2.3). Returns
+    (position after the scan's entropy data, updated state). Restart
+    markers reset DC predictors and the EOB run per T.81 E.2.4."""
+    ns = body[0]
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+    hmax = max(c["h"] for c in specs)
+    vmax = max(c["v"] for c in specs)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    if pcomps is None:
+        pcomps = []
+        for c in specs:
+            q = qtabs.get(c["tq"])
+            if q is None:
+                raise ValueError("component references undeclared DQT")
+            bpr = mcux * c["h"]
+            nblk = bpr * mcuy * c["v"]
+            # the component's OWN block grid (ceil of its scaled dims,
+            # T.81 A.2.2) — non-interleaved scans cover exactly these
+            # blocks, NOT the MCU-padded grid they are stored in
+            nbw = (-(-(w * c["h"]) // hmax) + 7) // 8
+            nbh = (-(-(h * c["v"]) // vmax) + 7) // 8
+            pcomps.append(
+                {**c, "quant": q, "bpr": bpr, "nbw": nbw, "nbh": nbh,
+                 "zz": [[0] * 64 for _ in range(nblk)]}
+            )
+    by_id = {c["id"]: c for c in pcomps}
+    scomps = []
+    for i in range(ns):
+        cid, tdta = body[1 + 2 * i], body[2 + 2 * i]
+        comp = by_id.get(cid)
+        if comp is None:
+            raise ValueError("scan references unknown component")
+        scomps.append((comp, htabs.get((0, tdta >> 4)),
+                       htabs.get((1, tdta & 0xF))))
+    r = _BitReader(blob, pos)
+    preds = {c["id"]: 0 for c in pcomps}
+    state = {"eobrun": 0, "i": 0, "n": 0}
+
+    def at_restart_boundary() -> None:
+        i = state["i"]
+        if restart_interval and i and i % restart_interval == 0:
+            r.restart(state["n"])
+            state["n"] = (state["n"] + 1) & 0x7
+            state["eobrun"] = 0
+            for k in preds:
+                preds[k] = 0
+        state["i"] = i + 1
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+
+        def one_dc(comp, dc_tab, idx) -> None:
+            zz = comp["zz"][idx]
+            if ah == 0:  # first scan: baseline DC diff, shifted by Al
+                if dc_tab is None:
+                    raise ValueError("DC scan references undeclared DHT")
+                s = r.symbol(dc_tab)
+                preds[comp["id"]] += _extend(r.bits(s), s)
+                zz[0] = preds[comp["id"]] << al
+            elif r.bit():  # refinement: one bit per block
+                zz[0] |= 1 << al
+
+        if ns == 1:
+            comp, dc_tab, _ = scomps[0]
+            for u in range(comp["nbw"] * comp["nbh"]):
+                at_restart_boundary()
+                row, col = divmod(u, comp["nbw"])
+                one_dc(comp, dc_tab, row * comp["bpr"] + col)
+        else:  # interleaved MCU order over the scan's components
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    at_restart_boundary()
+                    for comp, dc_tab, _ in scomps:
+                        for dv in range(comp["v"]):
+                            for dh in range(comp["h"]):
+                                idx = (
+                                    (my * comp["v"] + dv) * comp["bpr"]
+                                    + mx * comp["h"] + dh
+                                )
+                                one_dc(comp, dc_tab, idx)
+    else:  # AC scan: always single-component (T.81 B.2.3)
+        if ns != 1:
+            raise ValueError("interleaved AC scan")
+        if se < ss or se > 63:
+            raise ValueError("bad spectral band")
+        comp, _, ac_tab = scomps[0]
+        if ac_tab is None:
+            raise ValueError("AC scan references undeclared DHT")
+        p1, m1 = 1 << al, -1 << al
+        for u in range(comp["nbw"] * comp["nbh"]):
+            at_restart_boundary()
+            row, col = divmod(u, comp["nbw"])
+            zz = comp["zz"][row * comp["bpr"] + col]
+            if ah == 0:  # first scan for this band (G.1.2.2)
+                if state["eobrun"]:
+                    state["eobrun"] -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = r.symbol(ac_tab)
+                    rr, sz = rs >> 4, rs & 0xF
+                    if sz == 0:
+                        if rr == 15:  # ZRL
+                            k += 16
+                            continue
+                        state["eobrun"] = (1 << rr) - 1
+                        if rr:
+                            state["eobrun"] += r.bits(rr)
+                        break
+                    k += rr
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    zz[k] = _extend(r.bits(sz), sz) << al
+                    k += 1
+            else:  # refinement (G.1.2.3): correction bits interleave
+                k = ss
+                if state["eobrun"] == 0:
+                    while k <= se:
+                        rs = r.symbol(ac_tab)
+                        rr, sz = rs >> 4, rs & 0xF
+                        newval = 0
+                        if sz == 0:
+                            if rr != 15:  # EOB run (current block incl.)
+                                state["eobrun"] = 1 << rr
+                                if rr:
+                                    state["eobrun"] += r.bits(rr)
+                                break
+                            # rr == 15: ZRL — skip 16 zero-history coefs
+                        else:
+                            if sz != 1:
+                                raise ValueError(
+                                    "AC refinement size != 1"
+                                )
+                            newval = p1 if r.bit() else m1
+                        # advance over rr zero-history coefficients,
+                        # emitting corrections for nonzero-history ones
+                        while k <= se:
+                            if zz[k] != 0:
+                                if r.bit() and not (zz[k] & p1):
+                                    zz[k] += p1 if zz[k] > 0 else m1
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if newval and k <= se:
+                            zz[k] = newval
+                        k += 1
+                if state["eobrun"] > 0:
+                    while k <= se:  # tail corrections for this block
+                        if zz[k] != 0:
+                            if r.bit() and not (zz[k] & p1):
+                                zz[k] += p1 if zz[k] > 0 else m1
+                        k += 1
+                    state["eobrun"] -= 1
+    r._n = 0  # discard pad bits: markers resume at the next byte
+    return r.pos, pcomps
 
 
 def _parse_jpeg_stream(blob: bytes):
@@ -1120,12 +1449,27 @@ def _parse_jpeg_stream(blob: bytes):
     w = h = None
     specs: list[dict] | None = None
     restart_interval = 0
+    progressive = False
+    pcomps: list[dict] | None = None  # progressive coefficient state
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = blob[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if pcomps is not None:
+                # progressive: all scans consumed — convert the
+                # accumulated zigzag coefficients to the natural-order
+                # block contract shared with the baseline path
+                for c in pcomps:
+                    c["blocks"] = []
+                    for zzb in c["zz"]:
+                        nat = [0] * 64
+                        for i in range(64):
+                            nat[_ZIGZAG[i]] = zzb[i]
+                        c["blocks"].append(nat)
+                    del c["zz"]
+                return w, h, pcomps
             raise ValueError("EOI before SOS")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
@@ -1145,8 +1489,11 @@ def _parse_jpeg_stream(blob: bytes):
                     nat[_ZIGZAG[k]] = tbl[k]
                 qtabs[pq_tq & 0xF] = nat
                 i += 65
-        elif code == 0xFFC0:  # SOF0 baseline
+        elif code in (0xFFC0, 0xFFC2):  # SOF0 baseline / SOF2 progressive
+            progressive = code == 0xFFC2
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if _prec != 8:
+                raise NotImplementedError(f"{_prec}-bit precision")
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG")
             specs = []
@@ -1182,10 +1529,11 @@ def _parse_jpeg_stream(blob: bytes):
                         + str([(c["h"], c["v"]) for c in specs])
                         + " (factors must be 1..4 and divide the max)"
                     )
-        elif code in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+        elif code in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                       0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
-                f"non-baseline SOF marker 0xFF{marker:02X}"
+                f"unsupported SOF marker 0xFF{marker:02X} "
+                "(baseline SOF0 and progressive SOF2 only)"
             )
         elif code == 0xFFC4:  # DHT
             i = 0
@@ -1203,6 +1551,12 @@ def _parse_jpeg_stream(blob: bytes):
         elif code == 0xFFDA:  # SOS
             if specs is None or w is None:
                 raise ValueError("SOS before SOF0")
+            if progressive:
+                pos, pcomps = _progressive_scan(
+                    blob, pos, body, specs, qtabs, htabs, w, h,
+                    restart_interval, pcomps,
+                )
+                continue
             ns = body[0]
             if ns != len(specs):
                 raise NotImplementedError(
@@ -1387,7 +1741,7 @@ def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, bytes]:
 
 def make_jpeg_color(
     width: int, height: int, seed: int = 0, restart_interval: int = 0,
-    sampling: tuple[int, int] = (2, 2),
+    sampling: tuple[int, int] = (2, 2), progressive: bool = False,
 ) -> bytes:
     """A complete, valid baseline YCbCr color JPEG: SOF0 with three
     components (Y sampling ``sampling`` = (h, v), Cb/Cr 1x1 — (2, 2)
@@ -1405,7 +1759,15 @@ def make_jpeg_color(
     YCbCr equals the closed form exactly, and the RGB result is the
     deterministic JFIF conversion of it: the same
     compression-invariant-oracle pattern as make_jpeg, now through
-    the interleaved-MCU + chroma path."""
+    the interleaved-MCU + chroma path.
+
+    ``progressive=True`` emits the same image as a SOF2 progressive
+    stream instead: an interleaved 3-component DC-first scan (Al=1), a
+    DC-refinement scan (Al=0), then one non-interleaved AC-first scan
+    per component (Ss=1..Se=63 — pure EOB codes, the mosaic has no AC
+    energy). Decoded pixels are identical to the baseline stream, so
+    the closed-form oracle carries over unchanged. Restart intervals
+    are baseline-only (assert)."""
     import struct
 
     hy, vy = sampling
@@ -1413,9 +1775,99 @@ def make_jpeg_color(
     assert width % (8 * hy) == 0 and height % (8 * vy) == 0, (
         "pad to full MCUs"
     )
+    assert not (progressive and restart_interval), (
+        "progressive fixtures don't take restart intervals"
+    )
     quant = [16] * 64
     dc_map = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_map = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_q = bytes(quant[_ZIGZAG[i]] for i in range(64))
+    if progressive:
+        mcux, mcuy = width // (8 * hy), height // (8 * vy)
+
+        def mcu_dc(mx: int, my: int) -> tuple[int, int, int]:
+            yv = 128 + 2 * (((mx * 31 + my * 17 + seed) % 64) - 32)
+            cbv = 128 + 2 * (((mx * 13 + my * 7 + seed) % 64) - 32)
+            crv = 128 + 2 * (((mx * 5 + my * 23 + seed) % 64) - 32)
+            return (yv - 128) // 2, (cbv - 128) // 2, (crv - 128) // 2
+
+        # per-MCU, per-component DC lists in interleaved order (Y
+        # contributes hy*vy identical blocks per MCU, Cb/Cr one each)
+        def dc_stream():
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    dy, dcb, dcr = mcu_dc(mx, my)
+                    for _ in range(hy * vy):
+                        yield 1, dy
+                    yield 2, dcb
+                    yield 3, dcr
+
+        # scan 1: interleaved DC first, Al=1 (diff of dc >> 1)
+        w1 = _BitWriter()
+        pred = {1: 0, 2: 0, 3: 0}
+        for cid, dc in dc_stream():
+            t = dc >> 1
+            diff, pred[cid] = t - pred[cid], t
+            s = _category(diff)
+            code, ln = dc_map[s]
+            w1.put(code, ln)
+            if s:
+                amp = diff if diff >= 0 else diff + (1 << s) - 1
+                w1.put(amp, s)
+        # scan 2: DC refinement to Al=0 (one bit per block)
+        w2 = _BitWriter()
+        for _cid, dc in dc_stream():
+            w2.put(dc & 1, 1)
+        # scans 3-5: AC first per component — no AC energy, one EOB
+        # (run length 1) per block of the component's own grid
+        eob_code, eob_len = ac_map[0x00]
+        ac_scans = []
+        for cid, nblk in (
+            (1, mcux * hy * mcuy * vy),
+            (2, mcux * mcuy),
+            (3, mcux * mcuy),
+        ):
+            wa = _BitWriter()
+            for _ in range(nblk):
+                wa.put(eob_code, eob_len)
+            ac_scans.append((cid, wa.flush()))
+
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xFFDB, bytes([0]) + zz_q + bytes([1]) + zz_q)
+        out += seg(
+            0xFFC2,
+            struct.pack(">BHHB", 8, height, width, 3)
+            + bytes([1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        out += seg(
+            0xFFC4,
+            bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+            + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)
+            + bytes([0x01]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+            + bytes([0x11]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
+        )
+        out += seg(
+            0xFFDA,
+            bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01]),
+        )
+        out += w1.flush()
+        out += seg(
+            0xFFDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10])
+        )
+        out += w2.flush()
+        for cid, blob_ac in ac_scans:
+            tdta = 0x00 if cid == 1 else 0x11
+            out += seg(
+                0xFFDA, bytes([1, cid, tdta, 1, 63, 0x00])
+            )
+            out += blob_ac
+        out += b"\xff\xd9"
+        return bytes(out)
+
     wtr = _BitWriter()
     prev = {1: 0, 2: 0, 3: 0}
 
@@ -1452,11 +1904,6 @@ def make_jpeg_color(
             put_dc_only(2, (cbv - 128) // 2)
             put_dc_only(3, (crv - 128) // 2)
     entropy = wtr.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    zz_q = bytes(quant[_ZIGZAG[i]] for i in range(64))
     dqt = seg(0xFFDB, bytes([0]) + zz_q + bytes([1]) + zz_q)
     sof = seg(
         0xFFC0,

@@ -388,10 +388,11 @@ def test_jpeg_idct_matches_direct_formula():
 
 
 def test_jpeg_honest_gates():
-    """Progressive / unsupported-sampling JPEGs must refuse loudly,
-    never decode wrong; the grayscale quantized API refuses color
-    (decode_jpeg_pixels is the color path). Restart intervals are
-    SUPPORTED as of r7 — see test_jpeg_restart_intervals."""
+    """Unsupported JPEG shapes must refuse loudly, never decode wrong;
+    the grayscale quantized API refuses color (decode_jpeg_pixels is
+    the color path). Restart intervals and progressive (SOF2) are
+    SUPPORTED as of r7 — see test_jpeg_restart_intervals /
+    test_jpeg_progressive_*."""
     import pytest as _pytest
 
     from omniparser_spark.operators.multimodal import (
@@ -403,10 +404,23 @@ def test_jpeg_honest_gates():
 
     good = bytearray(make_jpeg(8, 8, 1))
     sof = good.find(b"\xff\xc0")
+    # SOF1 extended-sequential / SOF3 lossless stay gated
+    for m in (0xC1, 0xC3):
+        bad = bytearray(good)
+        bad[sof + 1] = m
+        with _pytest.raises(NotImplementedError, match="SOF"):
+            decode_jpeg_quantized(bytes(bad))
+    # a baseline scan relabeled SOF2 is a MALFORMED progressive stream
+    # (its single scan spans Ss=0..Se=63) — refuse, don't misparse
     prog = bytearray(good)
-    prog[sof + 1] = 0xC2  # SOF2 progressive
-    with _pytest.raises(NotImplementedError):
+    prog[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="DC scan"):
         decode_jpeg_quantized(bytes(prog))
+    # 12-bit precision gates on either SOF kind
+    deep = bytearray(good)
+    deep[sof + 4] = 12
+    with _pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg_quantized(bytes(deep))
     # decode_jpeg_quantized stays the grayscale half by contract
     with _pytest.raises(NotImplementedError, match="multi-component"):
         decode_jpeg_quantized(make_jpeg_color(16, 16, 1))
@@ -502,6 +516,88 @@ def test_jpeg_color_sampling_grids():
                 )
                 tile = a[my * th : my * th + th, mx * tw : mx * tw + tw]
                 assert np.all(tile == want), (hy, vy, mx, my, want)
+
+
+def test_jpeg_progressive_roundtrip_grayscale():
+    """Progressive (SOF2) grayscale: encoding arbitrary quantized
+    blocks through a successive-approximation scan script and decoding
+    must reproduce the blocks bit-exactly — spectral bands, EOB runs,
+    ZRL-with-correction-bit interleave, DC point transform, deep Al
+    ladders, every path. Shapes chosen adversarially: band-end
+    singletons (long zero runs), corrections straddling runs, dense
+    blocks, magnitude-1 coefficients that only appear in the last
+    refinement."""
+    import random
+
+    from omniparser_spark.operators.multimodal import (
+        decode_jpeg_quantized,
+        encode_jpeg_progressive,
+    )
+
+    rng = random.Random(2026)
+    scripts = [
+        None,
+        ((0, 0, 0, 3), (1, 63, 0, 3), (1, 63, 3, 2), (1, 63, 2, 1),
+         (1, 63, 1, 0), (0, 0, 1, 2), (0, 0, 1, 1), (0, 0, 1, 0)),
+        ((0, 0, 0, 0), (1, 2, 0, 0), (3, 63, 0, 1), (3, 63, 1, 0)),
+    ]
+    quant = [16] * 64
+    for trial in range(60):
+        nbx, nby = rng.choice([(1, 1), (2, 2), (5, 1), (4, 3)])
+        blocks = []
+        for _ in range(nbx * nby):
+            blk = [0] * 64
+            blk[0] = rng.choice([0, 1, -1, 255, -256,
+                                 rng.randint(-500, 500)])
+            shape = rng.randint(0, 5)
+            if shape == 1:
+                blk[63] = rng.choice([1, -1, 3, -3])
+            elif shape == 2:
+                blk[1] = rng.randint(-7, 7)
+                blk[40] = rng.choice([1, -1])
+            elif shape == 3:
+                for k in range(1, 64):
+                    blk[k] = rng.randint(-3, 3)
+            elif shape == 4:
+                blk[20] = rng.choice([4, -4, 5, -5])
+                blk[62] = rng.choice([1, -1])
+            elif shape == 5:
+                for _ in range(rng.randint(1, 8)):
+                    blk[rng.randint(1, 63)] = rng.randint(-1000, 1000)
+            blocks.append(blk)
+        sc = rng.choice(scripts)
+        kw = {} if sc is None else {"scans": sc}
+        blob = encode_jpeg_progressive(
+            nbx * 8, nby * 8, blocks, quant, **kw
+        )
+        gw, gh, q, got = decode_jpeg_quantized(blob)
+        assert (gw, gh, q) == (nbx * 8, nby * 8, quant)
+        assert got == blocks, (trial, sc)
+
+
+def test_jpeg_progressive_color_equals_baseline():
+    """Progressive color streams (interleaved DC first + DC refine +
+    per-component AC scans) decode to the SAME pixels as the baseline
+    encoding of the same mosaic, across sampling grids — the scan
+    structure changes, the image must not."""
+    from omniparser_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg_color,
+    )
+
+    for hy, vy, w, h, seed in (
+        (2, 2, 32, 32, 4), (2, 1, 32, 16, 9),
+        (1, 1, 16, 16, 3), (4, 1, 64, 8, 13),
+    ):
+        base = decode_jpeg_pixels(
+            make_jpeg_color(w, h, seed, sampling=(hy, vy))
+        )
+        prog = decode_jpeg_pixels(
+            make_jpeg_color(
+                w, h, seed, sampling=(hy, vy), progressive=True
+            )
+        )
+        assert base == prog, (hy, vy, w, h)
 
 
 def test_jpeg_features_are_pixel_derived(spark):
