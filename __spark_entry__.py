@@ -6592,7 +6592,14 @@ def _multimodal_pixels(spark, sf_dir):
     from the float32 feature vector (hist = round(f * n_pixels):
     f32 error <= 224 * 6e-8 << 0.5). Histogram buckets are emitted as
     16 scalar columns b0..b15 (the minhash m0..m7 convention) because
-    the driver canonicalizer cannot sort array-typed columns."""
+    the driver canonicalizer cannot sort array-typed columns.
+
+    r7: every third fixture is Adam7-INTERLACED (seven independently
+    filtered pass sub-images, PNG spec §8.2) — same pixels, different
+    scanline structure, so the oracle is unchanged. A non-interlacing
+    decoder fails loudly on the pass-structured byte layout; PIXEL
+    placement correctness (histogram-invariant) is pinned by the
+    exact-pixel test in tests/test_multimodal_probe.py."""
     from omniparser_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         extract_features,
@@ -6603,7 +6610,8 @@ def _multimodal_pixels(spark, sf_dir):
     for i in range(60):
         w, h = 8 + i % 9, 8 + (i * 3) % 7
         rows.append(
-            (i, "image", bytearray(make_png(w, h, seed=i)),
+            (i, "image",
+             bytearray(make_png(w, h, seed=i, interlaced=i % 3 == 0)),
              ("image/png", w, h, 0))
         )
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -8071,7 +8079,14 @@ def _multimodal_gif(spark, sf_dir):
     counts from the compressed stream. Buckets emitted as 16 scalar
     columns b0..b15 — the driver canonicalizer cannot sort array-typed
     columns. Counts reconstructed exactly from the float32 features
-    (n <= 18*16 = 288, f32 error << 0.5)."""
+    (n <= 18*16 = 288, f32 error << 0.5).
+
+    r7: every third fixture is INTERLACED (GIF89a four-pass row order
+    with the descriptor flag set) — same pixels, different row
+    storage, oracle unchanged. The histogram is row-order-invariant,
+    so ROW-order correctness is pinned by the exact-pixel test
+    (tests/test_multimodal_probe.py test_png_gif_interlaced_decode);
+    the driver row proves the interlaced path runs end-to-end."""
     from omniparser_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         extract_features,
@@ -8082,7 +8097,8 @@ def _multimodal_gif(spark, sf_dir):
     for i in range(50):
         w, h = 8 + i % 11, 8 + (i * 5) % 9
         rows.append(
-            (i, "image", bytearray(make_gif(w, h, seed=i)),
+            (i, "image",
+             bytearray(make_gif(w, h, seed=i, interlaced=i % 3 == 0)),
              ("image/gif", w, h, 0))
         )
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -8795,9 +8811,14 @@ _CHANGED_SINCE_VERIFIED: dict[str, int] = {
     "corpus_curation_funnel": 6,    # + lm_ok sixth stage
     # empty docs now pass through as ('',0,0) in BOTH engine and oracle
     "text_strip_substring_spans": 7,
-    # fixtures now carry DRI/RSTn restart intervals (decode path change;
-    # decoded pixels — hence the oracle — are unchanged)
+    # fixtures now carry DRI/RSTn restart intervals AND progressive
+    # (SOF2) streams (decode path change; decoded pixels — hence the
+    # oracle — are unchanged)
     "multimodal_jpeg_color_features": 7,
+    # every third fixture is now Adam7- / GIF89a-interlaced (decode
+    # path change; pixels and oracle unchanged)
+    "multimodal_pixel_features": 7,
+    "multimodal_gif_features": 7,
 }
 
 

@@ -45,8 +45,10 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
     inflate the concatenated IDAT data with zlib, and reverse all five
     scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9).
     Supports 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha,
-    RGBA), non-interlaced. Returns (width, height, channels, pixels)
-    with pixels in row-major scanline order.
+    RGBA), both non-interlaced and Adam7-interlaced (seven
+    independently filtered sub-images scattered over the pixel grid,
+    spec §8.2). Returns (width, height, channels, pixels) with pixels
+    in row-major scanline order.
 
     This is the round-2 verdict's "real codec behind one modality":
     features derived from these pixels are compression-invariant
@@ -62,8 +64,8 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError("only 8-bit PNG supported")
     color = blob[25]
     interlace = blob[28]
-    if interlace != 0:
-        raise NotImplementedError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     try:
         channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
     except KeyError:
@@ -81,9 +83,43 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length  # len + type + body + crc
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
+    if interlace == 1:  # Adam7 (PNG spec §8.2): 7 independently
+        # filtered sub-images scattered over the pixel grid
+        out = bytearray(h * stride)
+        off = 0
+        for x0, dx, y0, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass: contributes NO bytes at all
+            plen = ph * (pw * channels + 1)
+            sub = _png_defilter(raw[off : off + plen], pw, ph, channels)
+            off += plen
+            for py in range(ph):
+                for px in range(pw):
+                    d = ((y0 + py * dy) * w + x0 + px * dx) * channels
+                    s = (py * pw + px) * channels
+                    out[d : d + channels] = sub[s : s + channels]
+        if off != len(raw):
+            raise ValueError("PNG pixel data size mismatch")
+        return w, h, channels, bytes(out)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data size mismatch")
+    return w, h, channels, bytes(_png_defilter(raw, w, h, channels))
 
+
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def _png_defilter(raw: bytes, w: int, h: int, channels: int) -> bytearray:
+    """Reverse the five PNG scanline filters over one (sub-)image of
+    h scanlines, each a filter byte + w*channels samples (spec §9)."""
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
     out = bytearray(h * stride)
     prev_start = -1
     for y in range(h):
@@ -127,7 +163,7 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[start : start + stride] = line
         prev_start = start
-    return w, h, channels, bytes(out)
+    return out
 
 
 _GIF_SIGS = (b"GIF87a", b"GIF89a")
@@ -250,7 +286,8 @@ def decode_gif_pixels(blob: bytes) -> tuple[int, int, bytes, list[tuple]]:
     descriptor and color tables, skip extension blocks, and LZW-
     decompress the first image's indexed pixel data. Returns (width,
     height, color-index pixels row-major, palette as (r,g,b) tuples).
-    Non-interlaced only (interlaced raises NotImplementedError)."""
+    Interlaced images (GIF89a four-pass row order) are de-interlaced
+    to natural row order."""
     import struct
 
     info = parse_gif_header(blob)
@@ -285,8 +322,7 @@ def decode_gif_pixels(blob: bytes) -> tuple[int, int, bytes, list[tuple]]:
                 tuple(blob[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)
             ]
             pos += 3 * n
-        if packed & 0x40:
-            raise NotImplementedError("interlaced GIF not supported")
+        interlaced = bool(packed & 0x40)
         min_code_size = blob[pos]
         pos += 1
         lzw = bytearray()
@@ -297,7 +333,19 @@ def decode_gif_pixels(blob: bytes) -> tuple[int, int, bytes, list[tuple]]:
         indices = _lzw_decode(bytes(lzw), min_code_size)
         if len(indices) < w * h:
             raise ValueError("GIF pixel data size mismatch")
-        return w, h, indices[: w * h], palette
+        indices = indices[: w * h]
+        if interlaced:
+            # GIF89a interlace: rows stored in four passes (every 8th
+            # from 0, every 8th from 4, every 4th from 2, every 2nd
+            # from 1) — scatter back to natural order
+            nat = bytearray(w * h)
+            si = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for y in range(start, h, step):
+                    nat[y * w : (y + 1) * w] = indices[si : si + w]
+                    si += w
+            indices = bytes(nat)
+        return w, h, indices, palette
     raise ValueError("GIF contains no image descriptor")
 
 
@@ -653,9 +701,13 @@ def probe_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=PROBE_SCHEMA)
 
 
-def make_png(width: int, height: int, seed: int = 0) -> bytes:
+def make_png(
+    width: int, height: int, seed: int = 0, interlaced: bool = False
+) -> bytes:
     """A complete, valid grayscale PNG built with stdlib zlib/struct —
-    deterministic test media with REAL structure (CRCs included)."""
+    deterministic test media with REAL structure (CRCs included).
+    ``interlaced=True`` stores the same image Adam7-interlaced (the
+    seven pass sub-images in pass order, each scanline filter 0)."""
     import struct
     import zlib
 
@@ -667,11 +719,27 @@ def make_png(width: int, height: int, seed: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(
-        b"\x00" + bytes((x * 31 + y * 17 + seed) % 256 for x in range(width))
-        for y in range(height)
+    def px(x: int, y: int) -> int:
+        return (x * 31 + y * 17 + seed) % 256
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 0, 0, 0, 1 if interlaced else 0
     )
+    if interlaced:
+        raw = b"".join(
+            b"\x00" + bytes(
+                px(x0 + pxi * dx, y0 + py * dy)
+                for pxi in range((width - x0 + dx - 1) // dx)
+            )
+            for x0, dx, y0, dy in _ADAM7
+            for py in range((height - y0 + dy - 1) // dy)
+            if (width - x0 + dx - 1) // dx > 0
+        )
+    else:
+        raw = b"".join(
+            b"\x00" + bytes(px(x, y) for x in range(width))
+            for y in range(height)
+        )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -680,20 +748,33 @@ def make_png(width: int, height: int, seed: int = 0) -> bytes:
     )
 
 
-def make_gif(width: int, height: int, seed: int = 0) -> bytes:
+def make_gif(
+    width: int, height: int, seed: int = 0, interlaced: bool = False
+) -> bytes:
     """A complete, valid GIF89a built with the real `_lzw_encode` above
     — deterministic test media whose pixel data is GENUINELY LZW-
     compressed (growing code widths, dictionary buildup), so only a
     real decoder reproduces the index stream. Pixel index formula:
     (x*31 + y*17 + seed) % 256 (same closed form as make_png); palette
-    entry i = (i, (i*7) % 256, (i*13) % 256)."""
+    entry i = (i, (i*7) % 256, (i*13) % 256). ``interlaced=True``
+    stores the rows in GIF89a four-pass interlace order with the
+    descriptor flag set."""
     import struct
 
-    indices = bytes(
-        (x * 31 + y * 17 + seed) % 256
-        for y in range(height)
-        for x in range(width)
-    )
+    def row(y: int) -> bytes:
+        return bytes(
+            (x * 31 + y * 17 + seed) % 256 for x in range(width)
+        )
+
+    if interlaced:
+        ys = [
+            y
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for y in range(start, height, step)
+        ]
+    else:
+        ys = list(range(height))
+    indices = b"".join(row(y) for y in ys)
     gct = b"".join(
         bytes((i, (i * 7) % 256, (i * 13) % 256)) for i in range(256)
     )
@@ -706,7 +787,10 @@ def make_gif(width: int, height: int, seed: int = 0) -> bytes:
         b"GIF89a"
         + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256
         + gct
-        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + b"\x2c"
+        + struct.pack(
+            "<HHHHB", 0, 0, width, height, 0x40 if interlaced else 0
+        )
         + bytes([8])  # LZW min code size
         + sub_blocks
         + b"\x00"  # block terminator

@@ -600,6 +600,30 @@ def test_jpeg_progressive_color_equals_baseline():
         assert base == prog, (hy, vy, w, h)
 
 
+def test_png_gif_interlaced_decode():
+    """Adam7 PNG (seven independently filtered sub-images) and GIF89a
+    four-pass interlace must decode to the SAME pixels as the
+    non-interlaced encodings — including sizes whose Adam7 passes are
+    empty (1x1, 5x3) or degenerate in one axis (2x9, 9x2)."""
+    from omniparser_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_png_pixels,
+        make_gif,
+        make_png,
+    )
+
+    for w, h, seed in (
+        (8, 8, 0), (5, 3, 7), (1, 1, 2), (17, 9, 11),
+        (16, 16, 5), (2, 9, 3), (9, 2, 4), (7, 7, 6),
+    ):
+        assert decode_png_pixels(make_png(w, h, seed)) == (
+            decode_png_pixels(make_png(w, h, seed, interlaced=True))
+        ), ("png", w, h)
+        assert decode_gif_pixels(make_gif(w, h, seed)) == (
+            decode_gif_pixels(make_gif(w, h, seed, interlaced=True))
+        ), ("gif", w, h)
+
+
 def test_jpeg_features_are_pixel_derived(spark):
     """extract_features on JPEG media: the feature vector must be the
     decoded pixel-value histogram (counts reconstruct exactly), not a
