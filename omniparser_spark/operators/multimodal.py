@@ -44,11 +44,12 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
     """REAL PNG pixel decode, pure stdlib: walk the chunk stream,
     inflate the concatenated IDAT data with zlib, and reverse all five
     scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9).
-    Supports 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha,
-    RGBA), both non-interlaced and Adam7-interlaced (seven
+    Supports 8-bit depth, color types 0/2/3/4/6 (gray, RGB, palette,
+    gray+alpha, RGBA), both non-interlaced and Adam7-interlaced (seven
     independently filtered sub-images scattered over the pixel grid,
-    spec §8.2). Returns (width, height, channels, pixels) with pixels
-    in row-major scanline order.
+    spec §8.2). Palette images resolve indices through PLTE and return
+    RGB. Returns (width, height, channels, pixels) with pixels in
+    row-major scanline order.
 
     This is the round-2 verdict's "real codec behind one modality":
     features derived from these pixels are compression-invariant
@@ -67,22 +68,37 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     try:
-        channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        # type 3 = palette: one index sample/pixel, resolved via PLTE
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     except KeyError:
         raise NotImplementedError(f"PNG color type {color} not supported")
 
     idat = bytearray()
+    plte: bytes | None = None
     pos = 8
     while pos + 8 <= len(blob):
         length, ctype = struct.unpack(">I4s", blob[pos : pos + 8])
         body = blob[pos + 8 : pos + 8 + length]
         if ctype == b"IDAT":
             idat += body
+        elif ctype == b"PLTE":
+            plte = bytes(body)
         elif ctype == b"IEND":
             break
         pos += 12 + length  # len + type + body + crc
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
+
+    def finish(out: bytearray) -> tuple[int, int, int, bytes]:
+        if color != 3:
+            return w, h, channels, bytes(out)
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        pal = [plte[3 * i : 3 * i + 3] for i in range(len(plte) // 3)]
+        try:
+            return w, h, 3, b"".join(pal[i] for i in out)
+        except IndexError:
+            raise ValueError("PNG palette index out of range")
     if interlace == 1:  # Adam7 (PNG spec §8.2): 7 independently
         # filtered sub-images scattered over the pixel grid
         out = bytearray(h * stride)
@@ -102,10 +118,10 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
                     out[d : d + channels] = sub[s : s + channels]
         if off != len(raw):
             raise ValueError("PNG pixel data size mismatch")
-        return w, h, channels, bytes(out)
+        return finish(out)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data size mismatch")
-    return w, h, channels, bytes(_png_defilter(raw, w, h, channels))
+    return finish(_png_defilter(raw, w, h, channels))
 
 
 _ADAM7 = (
@@ -702,12 +718,17 @@ def probe_media(media: DataFrame) -> DataFrame:
 
 
 def make_png(
-    width: int, height: int, seed: int = 0, interlaced: bool = False
+    width: int, height: int, seed: int = 0, interlaced: bool = False,
+    palette: bool = False,
 ) -> bytes:
     """A complete, valid grayscale PNG built with stdlib zlib/struct —
     deterministic test media with REAL structure (CRCs included).
     ``interlaced=True`` stores the same image Adam7-interlaced (the
-    seven pass sub-images in pass order, each scanline filter 0)."""
+    seven pass sub-images in pass order, each scanline filter 0).
+    ``palette=True`` stores it as color type 3: the same sample values
+    as palette INDICES plus a PLTE whose entry i is
+    (i, (i*7) % 256, (i*13) % 256) — the make_gif palette — so the
+    decoded RGB has closed form (v, (v*7)%256, (v*13)%256)."""
     import struct
     import zlib
 
@@ -723,7 +744,8 @@ def make_png(
         return (x * 31 + y * 17 + seed) % 256
 
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, 0, 0, 0, 1 if interlaced else 0
+        ">IIBBBBB", width, height, 8, 3 if palette else 0, 0, 0,
+        1 if interlaced else 0,
     )
     if interlaced:
         raw = b"".join(
@@ -740,9 +762,21 @@ def make_png(
             b"\x00" + bytes(px(x, y) for x in range(width))
             for y in range(height)
         )
+    plte = (
+        chunk(
+            b"PLTE",
+            b"".join(
+                bytes((i, (i * 7) % 256, (i * 13) % 256))
+                for i in range(256)
+            ),
+        )
+        if palette
+        else b""
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )

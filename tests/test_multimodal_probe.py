@@ -624,6 +624,39 @@ def test_png_gif_interlaced_decode():
         ), ("gif", w, h)
 
 
+def test_png_palette_decode():
+    """Color type 3 (palette) PNG: indices defilter like grayscale and
+    resolve through PLTE to RGB — closed form (v, v*7%256, v*13%256)
+    per pixel, in both plain and Adam7-interlaced layouts. A palette
+    image without a PLTE chunk must refuse."""
+    import pytest as _pytest
+
+    from omniparser_spark.operators.multimodal import (
+        decode_png_pixels,
+        make_png,
+    )
+
+    for w, h, seed in ((8, 8, 0), (5, 3, 7), (17, 9, 11), (1, 1, 2)):
+        for inter in (False, True):
+            gw, gh, ch, pix = decode_png_pixels(
+                make_png(w, h, seed, interlaced=inter, palette=True)
+            )
+            assert (gw, gh, ch) == (w, h, 3)
+            for y in range(h):
+                for x in range(w):
+                    v = (x * 31 + y * 17 + seed) % 256
+                    want = bytes((v, (v * 7) % 256, (v * 13) % 256))
+                    at = (y * w + x) * 3
+                    assert pix[at : at + 3] == want, (w, h, inter, x, y)
+    # strip the PLTE chunk -> must refuse, not decode indices as gray
+    blob = bytearray(make_png(8, 8, 1, palette=True))
+    i = blob.find(b"PLTE") - 4
+    ln = int.from_bytes(blob[i : i + 4], "big")
+    del blob[i : i + 12 + ln]
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png_pixels(bytes(blob))
+
+
 def test_jpeg_features_are_pixel_derived(spark):
     """extract_features on JPEG media: the feature vector must be the
     decoded pixel-value histogram (counts reconstruct exactly), not a
