@@ -418,24 +418,44 @@ def decode_bmp_pixels(blob: bytes) -> tuple[int, int, bytes]:
 
 
 def decode_wav_samples(blob: bytes) -> tuple[int, int, list[int]]:
-    """REAL 16-bit PCM WAV decode, pure stdlib: (sample_rate, channels,
-    interleaved samples as signed ints)."""
+    """REAL integer-PCM WAV decode, pure stdlib: (sample_rate,
+    channels, interleaved samples as signed ints). 8-bit (stored
+    unsigned, returned centered at 0), 16-, 24- and 32-bit PCM;
+    float (format 3) and compressed formats gate loudly."""
     import array
     import struct
 
     fmt = parse_wav_header(blob)  # validates RIFF/fmt/data presence
-    if fmt["bit_depth"] != 16:
-        raise NotImplementedError("only 16-bit PCM WAV supported")
+    if fmt.get("audio_format", 1) != 1:
+        raise NotImplementedError(
+            f"WAV audio format {fmt['audio_format']} (integer PCM only)"
+        )
+    depth = fmt["bit_depth"]
+    if depth not in (8, 16, 24, 32):
+        raise NotImplementedError(f"{depth}-bit PCM WAV")
     pos = 12
     while pos + 8 <= len(blob):
         cid, size = struct.unpack("<4sI", blob[pos : pos + 8])
         if cid == b"data":
             data = blob[pos + 8 : pos + 8 + size]
-            samples = array.array("h")
-            samples.frombytes(data[: len(data) - (len(data) % 2)])
-            if _sys_is_big_endian():
-                samples.byteswap()
-            return fmt["sample_rate"], fmt["channels"], samples.tolist()
+            if depth == 8:  # stored unsigned per the WAV spec
+                out = [b - 128 for b in data]
+            elif depth == 24:
+                n = len(data) // 3
+                out = [
+                    int.from_bytes(
+                        data[3 * i : 3 * i + 3], "little", signed=True
+                    )
+                    for i in range(n)
+                ]
+            else:
+                samples = array.array("h" if depth == 16 else "i")
+                usable = len(data) - (len(data) % samples.itemsize)
+                samples.frombytes(data[:usable])
+                if _sys_is_big_endian():
+                    samples.byteswap()
+                out = samples.tolist()
+            return fmt["sample_rate"], fmt["channels"], out
         pos += 8 + size + (size & 1)
     raise ValueError("missing data chunk")
 
@@ -652,10 +672,11 @@ def parse_wav_header(blob: bytes) -> dict:
         if cid == b"fmt " and size >= 16:
             if pos + 24 > len(blob):
                 raise ValueError("truncated fmt chunk")
-            _tag, ch, rate, _bps, _align, depth = struct.unpack(
+            tag, ch, rate, _bps, _align, depth = struct.unpack(
                 "<HHIIHH", blob[pos + 8 : pos + 24]
             )
-            fmt = {"channels": ch, "sample_rate": rate, "bit_depth": depth}
+            fmt = {"channels": ch, "sample_rate": rate,
+                   "bit_depth": depth, "audio_format": tag}
         elif cid == b"data":
             data_size = size
         pos += 8 + size + (size & 1)
@@ -863,18 +884,32 @@ def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
 
 
 def make_wav(
-    sample_rate: int = 16000, duration_ms: int = 250, channels: int = 1
+    sample_rate: int = 16000, duration_ms: int = 250, channels: int = 1,
+    bit_depth: int = 16,
 ) -> bytes:
-    """A complete, valid 16-bit PCM WAV built with stdlib struct."""
+    """A complete, valid integer-PCM WAV built with stdlib struct.
+    Closed-form sample i: 16-bit = ((i*797) % 20000) - 10000; 8-bit =
+    ((i*797) % 200) - 100 (stored unsigned +128); 24/32-bit = the
+    16-bit value << 8 / << 16."""
     import struct
 
     n_samples = sample_rate * duration_ms // 1000
-    data = b"".join(
-        struct.pack("<h", ((i * 797) % 20000) - 10000)
-        for i in range(n_samples * channels)
-    )
+
+    def sample(i: int) -> bytes:
+        if bit_depth == 8:
+            return bytes([((i * 797) % 200) - 100 + 128])
+        v = ((i * 797) % 20000) - 10000
+        if bit_depth == 16:
+            return struct.pack("<h", v)
+        if bit_depth == 24:
+            return (v << 8).to_bytes(3, "little", signed=True)
+        return struct.pack("<i", v << 16)
+
+    data = b"".join(sample(i) for i in range(n_samples * channels))
+    bw = bit_depth // 8
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
-                      sample_rate * channels * 2, channels * 2, 16)
+                      sample_rate * channels * bw, channels * bw,
+                      bit_depth)
     return (
         b"RIFF"
         + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))

@@ -20,7 +20,7 @@ def test_parse_helpers_roundtrip():
     got = parse_wav_header(wav)
     assert got == {
         "channels": 2, "sample_rate": 8000, "bit_depth": 16,
-        "duration_ms": 125,
+        "audio_format": 1, "duration_ms": 125,
     }
 
 
@@ -655,6 +655,41 @@ def test_png_palette_decode():
     del blob[i : i + 12 + ln]
     with _pytest.raises(ValueError, match="PLTE"):
         decode_png_pixels(bytes(blob))
+
+
+def test_wav_pcm_depth_matrix():
+    """8/16/24/32-bit integer PCM, mono and stereo, decode to the
+    closed-form sample values (8-bit is stored unsigned and returned
+    centered); float WAV (format 3) gates loudly instead of decoding
+    its bit pattern as integers."""
+    import struct
+
+    import pytest as _pytest
+
+    from omniparser_spark.operators.multimodal import (
+        decode_wav_samples,
+        make_wav,
+    )
+
+    forms = {
+        8: lambda i: ((i * 797) % 200) - 100,
+        16: lambda i: ((i * 797) % 20000) - 10000,
+        24: lambda i: (((i * 797) % 20000) - 10000) << 8,
+        32: lambda i: (((i * 797) % 20000) - 10000) << 16,
+    }
+    for bd, form in forms.items():
+        for ch in (1, 2):
+            rate, c, s = decode_wav_samples(
+                make_wav(8000, 50, channels=ch, bit_depth=bd)
+            )
+            n = 8000 * 50 // 1000 * ch
+            assert (rate, c, len(s)) == (8000, ch, n)
+            assert all(s[i] == form(i) for i in range(n)), (bd, ch)
+    blob = bytearray(make_wav(8000, 10, bit_depth=32))
+    i = blob.find(b"fmt ") + 8
+    blob[i : i + 2] = struct.pack("<H", 3)  # IEEE float tag
+    with _pytest.raises(NotImplementedError, match="integer PCM"):
+        decode_wav_samples(bytes(blob))
 
 
 def test_jpeg_features_are_pixel_derived(spark):
