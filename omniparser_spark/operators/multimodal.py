@@ -391,29 +391,57 @@ def parse_bmp_header(blob: bytes) -> dict:
 
 
 def decode_bmp_pixels(blob: bytes) -> tuple[int, int, bytes]:
-    """REAL BMP pixel decode, pure stdlib: 24-bit uncompressed BI_RGB.
-    Handles the two things naive readers get wrong — rows are stored
-    BOTTOM-UP (unless height is negative) and padded to 4-byte
-    boundaries, and channels are BGR order.  Returns (width, height,
-    RGB bytes row-major top-down)."""
+    """REAL BMP pixel decode, pure stdlib: 24-bit uncompressed BI_RGB
+    and 8-bit palette (indices resolved through the BGRX color table
+    that follows the info header). Handles the two things naive
+    readers get wrong — rows are stored BOTTOM-UP (unless height is
+    negative) and padded to 4-byte boundaries, and stored channels are
+    BGR order. Returns (width, height, RGB bytes row-major
+    top-down)."""
+    import struct
+
     info = parse_bmp_header(blob)
     if info["compression"] != 0:
         raise NotImplementedError("compressed BMP not supported")
-    if info["bit_depth"] != 24:
-        raise NotImplementedError("only 24-bit BMP supported")
+    if info["bit_depth"] not in (8, 24):
+        raise NotImplementedError(
+            f"{info['bit_depth']}-bit BMP (8-bit palette / 24-bit only)"
+        )
     w, h = info["width"], info["height"]
-    stride = (w * 3 + 3) & ~3
     start = info["data_offset"]
+    pal = None
+    if info["bit_depth"] == 8:
+        # color table: BGRX quads between the info header and the
+        # pixel data; biClrUsed (offset 46) 0 means the full 256
+        (used,) = struct.unpack("<I", blob[46:50])
+        n = used or 256
+        (hdr_size,) = struct.unpack("<I", blob[14:18])
+        tab = blob[14 + hdr_size : 14 + hdr_size + 4 * n]
+        if len(tab) < 4 * n:
+            raise ValueError("BMP color table truncated")
+        pal = [
+            (tab[4 * i + 2], tab[4 * i + 1], tab[4 * i])  # BGRX -> RGB
+            for i in range(n)
+        ]
+    bpp = 1 if pal else 3
+    stride = (w * bpp + 3) & ~3
     if start + stride * h > len(blob):
         raise ValueError("BMP pixel data truncated")
     out = bytearray(w * h * 3)
     for y in range(h):
         src_row = y if info["top_down"] else h - 1 - y
-        row = blob[start + src_row * stride : start + src_row * stride + w * 3]
+        row = blob[start + src_row * stride : start + src_row * stride
+                   + w * bpp]
         for x in range(w):
-            b, g, r = row[3 * x : 3 * x + 3]
             o = (y * w + x) * 3
-            out[o], out[o + 1], out[o + 2] = r, g, b
+            if pal:
+                idx = row[x]
+                if idx >= len(pal):
+                    raise ValueError("BMP palette index out of range")
+                out[o], out[o + 1], out[o + 2] = pal[idx]
+            else:
+                b, g, r = row[3 * x : 3 * x + 3]
+                out[o], out[o + 1], out[o + 2] = r, g, b
     return w, h, bytes(out)
 
 
@@ -853,34 +881,53 @@ def make_gif(
     )
 
 
-def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
-    """A complete, valid 24-bit BI_RGB BMP built with stdlib struct —
-    rows written BOTTOM-UP with real 4-byte padding (so only a decoder
-    that honors both reproduces the image).  Pixel (x, y):
+def make_bmp(
+    width: int, height: int, seed: int = 0, palette: bool = False
+) -> bytes:
+    """A complete, valid BI_RGB BMP built with stdlib struct — rows
+    written BOTTOM-UP with real 4-byte padding (so only a decoder that
+    honors both reproduces the image).  24-bit pixel (x, y):
     R = (x*31 + y*17 + seed) % 256 (the shared closed form),
-    G = (x*5 + seed) % 256, B = (y*11 + seed) % 256."""
+    G = (x*5 + seed) % 256, B = (y*11 + seed) % 256.
+    ``palette=True`` stores it 8-bit instead: the R closed form as
+    palette INDICES with BGRX color table entry i =
+    ((i*13) % 256, (i*7) % 256, i, 0) — decoded RGB has closed form
+    (v, (v*7) % 256, (v*13) % 256), the make_png/make_gif palette."""
     import struct
 
-    stride = (width * 3 + 3) & ~3
-    pad = b"\x00" * (stride - width * 3)
+    bpp = 1 if palette else 3
+    stride = (width * bpp + 3) & ~3
+    pad = b"\x00" * (stride - width * bpp)
     rows = []
     for y in range(height - 1, -1, -1):  # bottom-up storage order
         row = bytearray()
         for x in range(width):
-            r = (x * 31 + y * 17 + seed) % 256
-            g = (x * 5 + seed) % 256
-            b = (y * 11 + seed) % 256
-            row += bytes((b, g, r))  # BGR on disk
+            v = (x * 31 + y * 17 + seed) % 256
+            if palette:
+                row.append(v)
+            else:
+                g = (x * 5 + seed) % 256
+                b = (y * 11 + seed) % 256
+                row += bytes((b, g, v))  # BGR on disk
         rows.append(bytes(row) + pad)
     pixel_data = b"".join(rows)
+    table = (
+        b"".join(
+            bytes(((i * 13) % 256, (i * 7) % 256, i, 0))  # BGRX
+            for i in range(256)
+        )
+        if palette
+        else b""
+    )
     info = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
-        len(pixel_data), 2835, 2835, 0, 0,
+        "<IiiHHIIiiII", 40, width, height, 1, 8 * bpp, 0,
+        len(pixel_data), 2835, 2835, 256 if palette else 0, 0,
     )
+    offset = 14 + 40 + len(table)
     file_header = struct.pack(
-        "<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40
+        "<2sIHHI", b"BM", offset + len(pixel_data), 0, 0, offset
     )
-    return file_header + info + pixel_data
+    return file_header + info + table + pixel_data
 
 
 def make_wav(

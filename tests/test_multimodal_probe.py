@@ -657,6 +657,33 @@ def test_png_palette_decode():
         decode_png_pixels(bytes(blob))
 
 
+def test_bmp_palette_decode():
+    """8-bit palette BMP: indices stored bottom-up with 4-byte row
+    padding resolve through the BGRX color table to RGB — closed form
+    (v, v*7%256, v*13%256) per pixel; 16-bit depth stays gated."""
+    import pytest as _pytest
+
+    from omniparser_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        make_bmp,
+    )
+
+    for w, h, seed in ((8, 8, 0), (5, 3, 7), (17, 9, 11), (1, 1, 2)):
+        gw, gh, pix = decode_bmp_pixels(make_bmp(w, h, seed, palette=True))
+        assert (gw, gh) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                v = (x * 31 + y * 17 + seed) % 256
+                o = (y * w + x) * 3
+                assert pix[o : o + 3] == bytes(
+                    (v, (v * 7) % 256, (v * 13) % 256)
+                ), (w, h, x, y)
+    bad = bytearray(make_bmp(8, 8, 1))
+    bad[28] = 16  # biBitCount
+    with _pytest.raises(NotImplementedError, match="16-bit"):
+        decode_bmp_pixels(bytes(bad))
+
+
 def test_wav_pcm_depth_matrix():
     """8/16/24/32-bit integer PCM, mono and stereo, decode to the
     closed-form sample values (8-bit is stored unsigned and returned
