@@ -401,8 +401,13 @@ def decode_bmp_pixels(blob: bytes) -> tuple[int, int, bytes]:
     import struct
 
     info = parse_bmp_header(blob)
-    if info["compression"] != 0:
-        raise NotImplementedError("compressed BMP not supported")
+    if info["compression"] not in (0, 1):
+        raise NotImplementedError(
+            f"BMP compression {info['compression']} "
+            "(BI_RGB and BI_RLE8 only)"
+        )
+    if info["compression"] == 1 and info["bit_depth"] != 8:
+        raise ValueError("BI_RLE8 requires 8-bit depth")
     if info["bit_depth"] not in (8, 24):
         raise NotImplementedError(
             f"{info['bit_depth']}-bit BMP (8-bit palette / 24-bit only)"
@@ -425,13 +430,52 @@ def decode_bmp_pixels(blob: bytes) -> tuple[int, int, bytes]:
         ]
     bpp = 1 if pal else 3
     stride = (w * bpp + 3) & ~3
-    if start + stride * h > len(blob):
+    rle: bytearray | None = None
+    if info["compression"] == 1:
+        # BI_RLE8: decode the escape-coded stream into a storage-order
+        # index raster; pixels no opcode writes (delta skips, early
+        # EOL/EOB) default to palette index 0 per the format
+        rle = bytearray(w * h)
+        x = ry = 0
+        p = start
+        while p + 1 < len(blob):
+            a, b2 = blob[p], blob[p + 1]
+            p += 2
+            if a:  # encoded run: `a` copies of b2
+                for _ in range(a):
+                    if x < w and ry < h:
+                        rle[ry * w + x] = b2
+                    x += 1
+            elif b2 == 0:  # end of line
+                x, ry = 0, ry + 1
+            elif b2 == 1:  # end of bitmap
+                break
+            elif b2 == 2:  # delta: skip right/up in storage order
+                if p + 1 >= len(blob):
+                    raise ValueError("BMP RLE delta truncated")
+                x += blob[p]
+                ry += blob[p + 1]
+                p += 2
+            else:  # absolute mode: b2 literal indices, word-aligned
+                if p + b2 > len(blob):
+                    raise ValueError("BMP RLE literal truncated")
+                for i in range(b2):
+                    if x < w and ry < h:
+                        rle[ry * w + x] = blob[p + i]
+                    x += 1
+                p += b2 + (b2 & 1)
+        else:
+            raise ValueError("BMP RLE stream missing end-of-bitmap")
+    elif start + stride * h > len(blob):
         raise ValueError("BMP pixel data truncated")
     out = bytearray(w * h * 3)
     for y in range(h):
         src_row = y if info["top_down"] else h - 1 - y
-        row = blob[start + src_row * stride : start + src_row * stride
-                   + w * bpp]
+        if rle is not None:
+            row = rle[src_row * w : src_row * w + w]
+        else:
+            row = blob[start + src_row * stride : start + src_row * stride
+                       + w * bpp]
         for x in range(w):
             o = (y * w + x) * 3
             if pal:
@@ -881,8 +925,42 @@ def make_gif(
     )
 
 
+def _rle8_encode(rows: list[bytes]) -> bytes:
+    """BI_RLE8-encode storage-order index rows: maximal encoded runs,
+    absolute mode for literal stretches of >=3 (spec minimum),
+    single-pixel runs otherwise; EOL after each row, EOB at the end."""
+    out = bytearray()
+    for ri, r in enumerate(rows):
+        i, w = 0, len(r)
+        while i < w:
+            j = i
+            while j < w and r[j] == r[i] and j - i < 255:
+                j += 1
+            if j - i >= 3:
+                out += bytes((j - i, r[i]))
+                i = j
+                continue
+            k = i
+            while k < w and k - i < 255:
+                if k + 2 < w and r[k] == r[k + 1] == r[k + 2]:
+                    break
+                k += 1
+            lit = r[i:k]
+            if len(lit) >= 3:
+                out += bytes((0, len(lit))) + lit
+                if len(lit) & 1:
+                    out += b"\x00"  # word alignment
+            else:
+                for b in lit:
+                    out += bytes((1, b))
+            i = k
+        out += bytes((0, 1 if ri == len(rows) - 1 else 0))  # EOL / EOB
+    return bytes(out)
+
+
 def make_bmp(
-    width: int, height: int, seed: int = 0, palette: bool = False
+    width: int, height: int, seed: int = 0, palette: bool = False,
+    rle: bool = False,
 ) -> bytes:
     """A complete, valid BI_RGB BMP built with stdlib struct — rows
     written BOTTOM-UP with real 4-byte padding (so only a decoder that
@@ -892,9 +970,13 @@ def make_bmp(
     ``palette=True`` stores it 8-bit instead: the R closed form as
     palette INDICES with BGRX color table entry i =
     ((i*13) % 256, (i*7) % 256, i, 0) — decoded RGB has closed form
-    (v, (v*7) % 256, (v*13) % 256), the make_png/make_gif palette."""
+    (v, (v*7) % 256, (v*13) % 256), the make_png/make_gif palette.
+    ``rle=True`` (implies palette) BI_RLE8-compresses the index rows
+    (absolute-mode stretches + encoded runs + EOL/EOB escapes)."""
     import struct
 
+    if rle and not palette:
+        raise ValueError("rle=True requires palette=True")
     bpp = 1 if palette else 3
     stride = (width * bpp + 3) & ~3
     pad = b"\x00" * (stride - width * bpp)
@@ -910,7 +992,12 @@ def make_bmp(
                 b = (y * 11 + seed) % 256
                 row += bytes((b, g, v))  # BGR on disk
         rows.append(bytes(row) + pad)
-    pixel_data = b"".join(rows)
+    if rle:
+        pixel_data = _rle8_encode(
+            [r[:width] for r in rows]  # unpadded storage-order indices
+        )
+    else:
+        pixel_data = b"".join(rows)
     table = (
         b"".join(
             bytes(((i * 13) % 256, (i * 7) % 256, i, 0))  # BGRX
@@ -920,7 +1007,7 @@ def make_bmp(
         else b""
     )
     info = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 8 * bpp, 0,
+        "<IiiHHIIiiII", 40, width, height, 1, 8 * bpp, 1 if rle else 0,
         len(pixel_data), 2835, 2835, 256 if palette else 0, 0,
     )
     offset = 14 + 40 + len(table)

@@ -684,6 +684,52 @@ def test_bmp_palette_decode():
         decode_bmp_pixels(bytes(bad))
 
 
+def test_bmp_rle8_decode():
+    """BI_RLE8 BMP: the escape-coded stream (encoded runs, absolute
+    mode with word alignment, EOL/EOB, delta skips defaulting skipped
+    pixels to palette 0) decodes to the same pixels as the
+    uncompressed 8-bit palette encoding; a stream without the
+    end-of-bitmap escape refuses."""
+    import struct
+
+    import pytest as _pytest
+
+    from omniparser_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        make_bmp,
+    )
+
+    for w, h, seed in ((8, 8, 0), (5, 3, 7), (17, 9, 11), (1, 1, 2)):
+        assert decode_bmp_pixels(
+            make_bmp(w, h, seed, palette=True)
+        ) == decode_bmp_pixels(
+            make_bmp(w, h, seed, palette=True, rle=True)
+        ), (w, h, seed)
+
+    def with_stream(stream: bytes) -> bytes:
+        blob = bytearray(make_bmp(4, 3, 0, palette=True))
+        start = struct.unpack("<I", blob[10:14])[0]
+        blob = blob[:start] + stream
+        blob[30:34] = struct.pack("<I", 1)  # BI_RLE8
+        blob[34:38] = struct.pack("<I", len(stream))
+        blob[2:6] = struct.pack("<I", start + len(stream))
+        return bytes(blob)
+
+    # encoded run + early EOL + delta skip past the edge + EOB:
+    # storage row 0 all index 5; row 1 starts [7,7] then everything
+    # the delta skips stays palette index 0
+    w, h, pix = decode_bmp_pixels(
+        with_stream(bytes([4, 5, 0, 0, 2, 7, 0, 2, 2, 1, 3, 9, 0, 1]))
+    )
+    v = 5
+    assert pix[(2 * 4) * 3 : (2 * 4 + 1) * 3] == bytes(
+        (v, v * 7 % 256, v * 13 % 256)
+    )
+    assert pix[(1 * 4 + 2) * 3 : (1 * 4 + 3) * 3] == b"\x00\x00\x00"
+    with _pytest.raises(ValueError, match="end-of-bitmap"):
+        decode_bmp_pixels(with_stream(bytes([4, 5, 0, 0])))
+
+
 def test_wav_pcm_depth_matrix():
     """8/16/24/32-bit integer PCM, mono and stereo, decode to the
     closed-form sample values (8-bit is stored unsigned and returned
