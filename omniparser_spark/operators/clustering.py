@@ -24,6 +24,8 @@ per round — the wrong trade for shallow dedup graphs; the
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -219,29 +221,55 @@ def kmeans_lloyd(
 
     def _assign(frame: DataFrame) -> DataFrame:
         # score_j = |c_j|^2 - 2 x.c_j  (= dist_j - |x|^2): same argmin
-        # as squared distance, but each dim contributes ONE x*lit term
-        # instead of a duplicated (x - c) subtree — halves the codegen
-        # size of the k x dim expression.  |c|^2 is driver-computed in
-        # exact arithmetic (python ints for integer centroids, the same
+        # as squared distance.  |c|^2 is driver-computed in exact
+        # arithmetic (python ints for integer centroids, the same
         # left-assoc double sum as the oracle for updated ones).
-        dists = []
+        #
+        # Evaluated as a VECTORIZED Arrow batch (numpy), not a k x dim
+        # JVM expression tree: that tree exceeds the whole-stage-codegen
+        # method limit ("Whole-stage codegen disabled for plan" at
+        # k=8 x dim=64) and falls back to row-at-a-time interpreted
+        # eval.  numpy applies the SAME left-associative per-dim chain
+        # elementwise — int64 arithmetic for integer centroids (exact,
+        # same wrap semantics as the JVM long path), IEEE float64 for
+        # updated ones — and takes the FIRST index of the per-row min
+        # (np.argmin), which is exactly the array_position tie-break
+        # the oracle's (dist, cl) order uses.  Bit-identical results,
+        # ~vector speed per guide §4.2.
+        all_int = all(
+            isinstance(v, int) and not isinstance(v, bool)
+            for c in cents
+            for v in c
+        )
+        c2s = []
         for c in cents:
             c2 = 0
             for v in c:
                 c2 = c2 + v * v  # left-assoc, matches the oracle's order
-            terms = F.lit(c2)
-            for d in range(dim):
-                terms = terms - F.col(f"_e{d}") * F.lit(2 * c[d])
-            dists.append(terms)
-        # array argmin, NOT a when-chain fold: when(d_j < best, ...)
-        # duplicates the running best twice per level -> 2^k copies of
-        # the 64-term distance subtrees (measured: 25 MiB task binary,
-        # ~2 min of codegen).  In the array each distance appears once;
-        # array_position takes the FIRST index of the min, which is the
-        # lower-cluster tie-break the oracle's (dist, cl) order uses.
-        arr = F.array(*dists)
-        cluster = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
-        return frame.withColumn("cluster", cluster)
+            c2s.append(c2)
+        muls = [[2 * v for v in c] for c in cents]
+        dtype = np.int64 if all_int else np.float64
+
+        @F.pandas_udf("int")
+        def _argmin(cols: pd.DataFrame) -> pd.Series:
+            mask = cols.isna().any(axis=1).to_numpy()
+            out = np.empty(len(cols), dtype=object)
+            out[mask] = None  # any NULL dim -> NULL cluster (as before)
+            if (~mask).any():
+                x = cols[~mask].to_numpy(dtype=dtype)
+                scores = np.empty((x.shape[0], len(cents)), dtype=dtype)
+                for j in range(len(cents)):
+                    acc = np.full(x.shape[0], c2s[j], dtype=dtype)
+                    for d in range(dim):
+                        acc = acc - x[:, d] * muls[j][d]
+                    scores[:, j] = acc
+                out[~mask] = list(np.argmin(scores, axis=1).tolist())
+            return pd.Series(out)
+
+        return frame.withColumn(
+            "cluster",
+            _argmin(F.struct(*[F.col(f"_e{d}") for d in range(dim)])),
+        )
 
     try:
         init = (
@@ -346,13 +374,32 @@ def semantic_dedup(
         norm2 = t if norm2 is None else norm2 + t
     z = q.withColumn("_n2", norm2).join(asg, id_col)
 
-    a, b = z.alias("a"), z.alias("b")
+    # spread the PROBE side over the cluster: z inherits the (tiny)
+    # embedding scan's partitioning — often a single split — and the
+    # broadcast join below does all its quadratic probe work on the
+    # probe side's partitions.  A keyless round-robin repartition costs
+    # one exchange of the O(n) quantized rows and buys full-width
+    # parallelism for the O(n^2/k) pair evaluation.
+    n_parts = max(
+        vecs.sparkSession.sparkContext.defaultParallelism, 8
+    )
+    a, b = z.repartition(n_parts).alias("a"), z.alias("b")
     dot = None
     for d in range(dim):
         t = F.col(f"a._e{d}") * F.col(f"b._e{d}")
         dot = t if dot is None else dot + t
+    # BROADCAST the build side: the only equi-key is `cluster`, whose k
+    # distinct values would otherwise hash the shuffle join onto k
+    # partitions (k=8 on 32 cores = 4x idle + per-cluster skew — the
+    # measured straggler in the 20k x 64-dim bench shape).  Broadcasting
+    # keeps the quadratic probe work distributed over ALL of the
+    # streaming side's partitions; the build side is one row per vector
+    # (quantized dims + norm + cluster), far under the broadcast cap for
+    # any k-bounded cluster shape this operator is sized for (at true
+    # web scale SemDeDup shards by cluster first — k in the tens of
+    # thousands — and the per-cluster frames broadcast all the same).
     pairs = a.join(
-        b,
+        F.broadcast(b),
         (F.col("a.cluster") == F.col("b.cluster"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(
