@@ -82,6 +82,17 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _w(df: DataFrame) -> DataFrame:
+    """Width guard for compute-heavy narrow stages: the testdata
+    tables compress to a handful of MB, so a scan is 1-2 file splits
+    and any expensive projection chained onto it runs on 1-2 cores
+    (operators/width.py; guide §2.6). No-op once the input carries
+    cluster-width partitions, i.e. at any production scale."""
+    from omniparser_spark.operators.width import widen
+
+    return widen(df)
+
+
 # ---------------------------------------------------------------- CDC core
 
 @_q(
@@ -186,7 +197,7 @@ def _lww_window(spark, sf_dir):
 )
 def _dec_csv(spark, sf_dir):
     """CSV source (S1/S2): from_csv over a delimited payload column."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _w(_t(spark, sf_dir, "events"))
     enc = ev.select(
         "event_id",
         F.concat_ws(
@@ -219,7 +230,7 @@ def _dec_csv(spark, sf_dir):
 )
 def _dec_json(spark, sf_dir):
     """JSON source (S6): from_json on the real `props` JSON column."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _w(_t(spark, sf_dir, "events"))
     parsed = F.from_json(F.col("props"), "k bigint")
     return ev.select("event_id", parsed.getField("k").alias("k_val"))
 
@@ -245,7 +256,7 @@ def _dec_json(spark, sf_dir):
 def _dec_fixed(spark, sf_dir):
     """Fixed-length source (S3/S4): 1-based code-point substring slicing
     incl. multi-byte text (rune semantics, reference decl.go:34-55)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _w(_t(spark, sf_dir, "documents"))
     enc = docs.select(
         "doc_id",
         F.concat(
@@ -285,7 +296,7 @@ def _dec_xml(spark, sf_dir):
     """XML source (S5): from_xml with attribute + element extraction."""
     from pyspark.sql import types as T
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _w(_t(spark, sf_dir, "events"))
     enc = ev.select(
         "event_id",
         F.concat(
@@ -1028,7 +1039,7 @@ def _tok(spark, sf_dir):
 def _fp(spark, sf_dir):
     from omniparser_spark.functions.text import fingerprint
 
-    d = _t(spark, sf_dir, "documents")
+    d = _w(_t(spark, sf_dir, "documents"))
     return d.filter(F.length(F.trim("text")) > 0).select(
         "doc_id", fingerprint("text").alias("fp")
     )
@@ -2111,7 +2122,7 @@ def _dec_maxwell(spark, sf_dir):
     positions (every 29th) are continuable quarantine rows."""
     from omniparser_spark.sources.maxwell import decode_maxwell
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _w(_t(spark, sf_dir, "events"))
     eid = F.col("event_id")
     row_ts = F.date_format(
         F.date_trunc("second", F.col("ts").cast("timestamp")),
@@ -2298,11 +2309,13 @@ def _dec_avro_wire(spark, sf_dir):
         encode_wire,
     )
 
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.col("user_id").cast("string").alias("uid"),
-        F.col("event_type").alias("role"),
-        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    ev = _w(
+        _t(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("user_id").cast("string").alias("uid"),
+            F.col("event_type").alias("role"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        )
     )
 
     enc_schema = T.StructType([T.StructField("payload", T.BinaryType())])
@@ -2387,11 +2400,13 @@ def _dec_proto_wire(spark, sf_dir):
         encode_wire,
     )
 
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.col("user_id").cast("string").alias("uid"),
-        F.col("event_type").alias("role"),
-        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    ev = _w(
+        _t(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("user_id").cast("string").alias("uid"),
+            F.col("event_type").alias("role"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        )
     )
 
     enc_schema = T.StructType([T.StructField("payload", T.BinaryType())])
@@ -2636,7 +2651,7 @@ def _cdc_export_avro_frames(spark, sf_dir):
     from omniparser_spark.cdc.export import encode_changes_avro
     from omniparser_spark.sources.avro_wire import decode_avro_wire
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _w(_t(spark, sf_dir, "events"))
     changes = ev.select(
         F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
         (F.col("event_id") % 40).cast("int").alias("turn_idx"),
@@ -3146,7 +3161,7 @@ def _spec_transform(spark, sf_dir):
             },
         }
     }
-    o = _t(spark, sf_dir, "orders")
+    o = _w(_t(spark, sf_dir, "orders"))
     anchored = o.select(
         F.struct(
             F.col("o_orderkey").alias("okey"),
@@ -3912,7 +3927,7 @@ def _langid(spark, sf_dir):
     tie-break) — pure column expressions (functions/text.py)."""
     from omniparser_spark.functions.text import detect_language
 
-    d = _t(spark, sf_dir, "documents")
+    d = _w(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", detect_language(F.col("text")).alias("lang_id"))
 
 
@@ -4045,7 +4060,7 @@ def _decode_plugin(spark, sf_dir):
         )
 
     register_format("kv", _kv_decoder)
-    ev = _t(spark, sf_dir, "events")
+    ev = _w(_t(spark, sf_dir, "events"))
     raw = ev.select(
         F.col("event_id").alias("offset"),
         F.lit("kv").alias("format"),
@@ -4887,7 +4902,7 @@ def _tfidf(spark, sf_dir):
     the ln-based score is rounded to 4 dp."""
     from omniparser_spark.operators.tfidf import tfidf_top_terms
 
-    d = _t(spark, sf_dir, "documents")
+    d = _w(_t(spark, sf_dir, "documents"))
     return tfidf_top_terms(d, k=5)
 
 
@@ -5093,7 +5108,7 @@ def _redact(spark, sf_dir):
     the corpus)."""
     from omniparser_spark.functions.redact import redact_pii
 
-    d = _t(spark, sf_dir, "documents")
+    d = _w(_t(spark, sf_dir, "documents"))
     synth = d.select(
         "doc_id",
         F.concat(
@@ -5136,7 +5151,7 @@ def _chunk(spark, sf_dir):
     in at least one chunk."""
     from omniparser_spark.functions.redact import chunk_text
 
-    d = _t(spark, sf_dir, "documents")
+    d = _w(_t(spark, sf_dir, "documents"))
     return chunk_text(d, chunk_words=64, overlap_words=16).select(
         "doc_id", "chunk_idx", "chunk", "n_words"
     )
@@ -6143,7 +6158,7 @@ def _select_token_budget(spark, sf_dir):
     from omniparser_spark.functions.text import quality_score, token_count
     from omniparser_spark.operators.selection import select_token_budget
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _w(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         quality_score(F.col("text")).alias("q"),
         token_count(F.col("text")).cast("int").alias("n_tokens"),
@@ -6296,7 +6311,7 @@ def _dec_edi_hierarchy(spark, sf_dir):
     from omniparser_spark.operators.assembly import assemble_parent_child
     from omniparser_spark.sources.edi import edi_tree
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _w(_t(spark, sf_dir, "events"))
     off = F.col("event_id")
     # raw NM1 name carries element + release delimiters -> escape pass
     name = F.concat(F.col("event_type"), F.lit(" x*y?z "), off.cast("string"))
@@ -7112,7 +7127,7 @@ def _lm_perplexity(spark, sf_dir):
         train_unigram_lm,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _w(_t(spark, sf_dir, "documents"))
     lm = train_unigram_lm(d.filter(F.col("doc_id") % 2 == 0))
     scored = perplexity_score(d, lm).persist()
     try:

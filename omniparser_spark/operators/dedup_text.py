@@ -178,6 +178,8 @@ def with_minhash_signature(
     project-collapse would otherwise inline the shingle pipeline into
     every per-seed min (num_hashes x md5 cost — measured 7x slower).
     """
+    from omniparser_spark.operators.width import widen
+
     xs = F.transform(
         word_shingles(F.col(text_col), k), lambda s: _h(s) % MINHASH_P
     )
@@ -185,7 +187,10 @@ def with_minhash_signature(
     def rehash(a: int, b: int):
         return lambda x: (x * a + b) % MINHASH_P
 
-    staged = df.withColumn("_mh_xs", xs)
+    # the md5-per-shingle pass is the expensive stage and chains onto
+    # the scan; guarantee it cluster width (guide §2.6 — measured
+    # 36 s -> 2 s at local[32] on a 2-split corpus)
+    staged = widen(df).withColumn("_mh_xs", xs)
     mins = [
         F.array_min(F.transform("_mh_xs", rehash(a, b)))
         for a, b in minhash_params(num_hashes)
@@ -317,9 +322,13 @@ def with_simhash(
     bit-count array is projected once so the md5 word-hash pass and the
     fold don't get inlined into every majority-vote term.
     """
+    from omniparser_spark.operators.width import widen
+
     words = F.split(normalized_text(F.col(text_col)), " ")
     hashes = F.transform(words, lambda w: _h(w))
-    staged = df.withColumn(
+    # same width guard as with_minhash_signature: the md5-per-word
+    # fold must not ride a 1-2 split scan
+    staged = widen(df).withColumn(
         "_sh_ones", _simhash_bit_counts(hashes, bits)
     ).withColumn("_sh_n", F.size(hashes).cast("long"))
     out = _simhash_from_counts(F.col("_sh_ones"), F.col("_sh_n"), bits)
@@ -478,7 +487,9 @@ def dedup_boilerplate_lines(
     The md5 is an internal shuffle-width optimization: equality on
     the 16-byte digest stands in for equality on the normalized line.
     """
-    lines = df.select(
+    from omniparser_spark.operators.width import widen
+
+    lines = widen(df).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias(
             "_pos", "_line"
@@ -563,9 +574,13 @@ def duplicate_spans(
     """
     from pyspark.sql import Window
 
+    from omniparser_spark.operators.width import widen
+
     toks = F.split(normalized_text(F.col(text_col)), " ")
+    # the per-position window-md5 projection below is the hot stage —
+    # give it cluster width instead of the corpus scan's 1-2 splits
     base = (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        widen(df).filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(F.col(id_col), toks.alias("_ws"))
         .filter(F.size("_ws") >= k)
     )
@@ -642,10 +657,12 @@ def strip_duplicate_spans(
             ).alias("_spans")
         )
     )
+    from omniparser_spark.operators.width import widen
+
     toks = F.split(normalized_text(F.col(text_col)), " ")
     # empty/whitespace docs carry ZERO tokens (split('') would yield
     # one empty token and miscount n_tokens_kept as 1)
-    base = df.select(
+    base = widen(df).select(
         F.col(id_col),
         F.when(
             F.length(F.trim(F.col(text_col))) > 0, toks

@@ -92,6 +92,19 @@ _CANAL_OPS = {"INSERT": "I", "UPDATE": "U", "DELETE": "D"}
 CANAL_MAX_ROWS_PER_EVENT = 4096
 
 
+def _once(col: Column) -> Column:
+    """Nondeterministic identity barrier: wraps the parsed envelope
+    struct so the optimizer can neither inline it into every field
+    reference (CollapseProject) nor substitute it into pushed-down
+    filters. Without it the plan audit found EIGHT copies of the full
+    to_json+from_json chain inside the pushed `_ok` filter plus one
+    per projected field (guide §4.4's duplicated-evaluation fix,
+    applied to a JVM expression — there is no public
+    `asNondeterministic` for columns, so the idiom is a
+    value-preserving shuffle of a one-element array)."""
+    return F.element_at(F.shuffle(F.array(col)), 1)
+
+
 def _map_op(op: Column, mapping: dict[str, str]) -> Column:
     out = F.lit(None).cast("string")
     for src, canon in mapping.items():
@@ -112,7 +125,7 @@ def decode_maxwell(
     Control records (bootstrap-start/complete, DDL) and rows with an
     unparsable position quarantine instead of failing the batch.
     """
-    env = F.from_json(F.col(payload_col), MAXWELL_STRUCT)
+    env = _once(F.from_json(F.col(payload_col), MAXWELL_STRUCT))
     parsed = df.withColumn("_env", env)
     op = F.col("_env.type")
     canon_op = _map_op(op, _MAXWELL_OPS)
@@ -183,7 +196,7 @@ def decode_canal(
     rows, which would alias offsets) quarantine as whole envelopes with
     a NULL row payload.
     """
-    env = F.from_json(F.col(payload_col), CANAL_STRUCT)
+    env = _once(F.from_json(F.col(payload_col), CANAL_STRUCT))
     parsed = df.withColumn("_env", env)
     op = F.col("_env.type")
     canon_op = _map_op(op, _CANAL_OPS)
