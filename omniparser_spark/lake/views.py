@@ -408,36 +408,45 @@ def sync_rollup_view(
         # a group whose live-row count reaches zero leaves the view
         F.when(new_n <= 0, "D").otherwise("U").alias("op"),
     )
-    # observe_stats=False: a version range whose commits are all
-    # changelog-neutral (compaction, erasure) yields ZERO changed
-    # groups — an empty merge write would hang its Observation
-    rec = merge_into(
-        view,
-        rows,
-        batch_id=int(vsum.get("batch_id", -1)) + 1,
-        keys=(group_col,),
-        max_offset=to_v,
-        observe_stats=False,
-    )
-    if rec is not None:
-        # hand off: advance the primary pin to the new frontier (ONE
-        # atomic tags write), then release the in-flight pin. A crash
-        # between the two leaves to_v double-pinned — harmless; the
-        # next sync's fenced path drops the leftover.
-        table.retarget_tag(tag, to_v)
-        try:
-            table.drop_tag(tag_next)
-        except KeyError:
-            pass
-    return {
-        "fenced": rec is None,
-        "from_version": from_version,
-        "to_version": to_v,
-        # counted directly (the merge's Observation is off — see above);
-        # one extra action over the O(changed groups) delta frame
-        "groups_touched": rows.count() if rec is not None else 0,
-        "view_buckets_read": touched,
-    }
+    # persist the O(changed groups) delta frame: without it the
+    # changelog-read + preimage-join pipeline above is evaluated three
+    # times per sync (merge's touched-bucket collect, the merge write,
+    # and the groups_touched count below) — measured as the dominant
+    # per-epoch cost of the streaming view path
+    rows = rows.persist()
+    try:
+        # observe_stats=False: a version range whose commits are all
+        # changelog-neutral (compaction, erasure) yields ZERO changed
+        # groups — an empty merge write would hang its Observation
+        rec = merge_into(
+            view,
+            rows,
+            batch_id=int(vsum.get("batch_id", -1)) + 1,
+            keys=(group_col,),
+            max_offset=to_v,
+            observe_stats=False,
+        )
+        if rec is not None:
+            # hand off: advance the primary pin to the new frontier (ONE
+            # atomic tags write), then release the in-flight pin. A crash
+            # between the two leaves to_v double-pinned — harmless; the
+            # next sync's fenced path drops the leftover.
+            table.retarget_tag(tag, to_v)
+            try:
+                table.drop_tag(tag_next)
+            except KeyError:
+                pass
+        return {
+            "fenced": rec is None,
+            "from_version": from_version,
+            "to_version": to_v,
+            # counted on the cached delta frame (the merge's
+            # Observation is off — see above)
+            "groups_touched": rows.count() if rec is not None else 0,
+            "view_buckets_read": touched,
+        }
+    finally:
+        rows.unpersist()
 
 
 # ------------------------------------------------------------ HLL view
@@ -570,23 +579,29 @@ def sync_hll_view(
             F.lit("U").alias("op"),
         )
     )
-    rec = merge_into(
-        view, merged, batch_id=int(vsum.get("batch_id", -1)) + 1,
-        keys=(group_col,), max_offset=to_v, observe_stats=False,
-    )
-    if rec is not None:
-        table.retarget_tag(tag, to_v)
-        try:
-            table.drop_tag(tag_next)
-        except KeyError:
-            pass
-    return {
-        "fenced": rec is None,
-        "from_version": from_version,
-        "to_version": to_v,
-        "groups_touched": merged.count() if rec is not None else 0,
-        "view_buckets_read": touched,
-    }
+    # persist for the same three-evaluation reason as sync_rollup_view
+    # (prune collect + merge write + groups_touched count)
+    merged = merged.persist()
+    try:
+        rec = merge_into(
+            view, merged, batch_id=int(vsum.get("batch_id", -1)) + 1,
+            keys=(group_col,), max_offset=to_v, observe_stats=False,
+        )
+        if rec is not None:
+            table.retarget_tag(tag, to_v)
+            try:
+                table.drop_tag(tag_next)
+            except KeyError:
+                pass
+        return {
+            "fenced": rec is None,
+            "from_version": from_version,
+            "to_version": to_v,
+            "groups_touched": merged.count() if rec is not None else 0,
+            "view_buckets_read": touched,
+        }
+    finally:
+        merged.unpersist()
 
 
 def read_hll_view(view: LakeTable) -> DataFrame:
