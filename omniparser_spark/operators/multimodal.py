@@ -1,11 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride through the engine as ``binary`` columns with a
-typed metadata struct — the Spark-side plumbing (schema, partitioning,
-Arrow batch shape, UDF signatures) is real and tested; the actual
-codec work is stubbed behind ``DECODERS`` because the sandbox image
-ships no media libraries. Swapping in PIL/torchaudio/decord is a
-one-function change per modality; nothing else moves.
+typed metadata struct, and ``DECODERS`` dispatches to REAL pure-stdlib
+codecs: PNG (inflate + all five filters, Adam7 interlace, palette),
+GIF (LZW, 89a interlace), BMP (24-bit, 8-bit palette, RLE8), WAV
+(8/16/24/32-bit integer PCM), and JPEG (baseline + progressive SOF2,
+DRI/RSTn restarts, all divisible chroma grids). Formats the engine
+cannot decode bit-correctly gate loudly instead of guessing —
+MP3/video, float/compressed WAV, JPEG arithmetic/12-bit/SOF1/SOF3.
+Swapping in PIL/torchaudio/decord remains a one-function change per
+modality; nothing else moves.
 
 Batch-shape notes for 100 TB media:
 - binary cells stream through Arrow record batches; cap
@@ -489,6 +493,10 @@ def decode_bmp_pixels(blob: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
+# unsigned-byte -> XOR 0x80 lookup for the 8-bit WAV fast path
+_WAV8_XOR_TABLE = bytes((i ^ 0x80) for i in range(256))
+
+
 def decode_wav_samples(blob: bytes) -> tuple[int, int, list[int]]:
     """REAL integer-PCM WAV decode, pure stdlib: (sample_rate,
     channels, interleaved samples as signed ints). 8-bit (stored
@@ -511,15 +519,27 @@ def decode_wav_samples(blob: bytes) -> tuple[int, int, list[int]]:
         if cid == b"data":
             data = blob[pos + 8 : pos + 8 + size]
             if depth == 8:  # stored unsigned per the WAV spec
-                out = [b - 128 for b in data]
+                # (b - 128) for unsigned b == signed reinterpretation of
+                # b XOR 0x80: one C-speed translate + array decode
+                # instead of a per-sample Python subtraction
+                out = array.array(
+                    "b", data.translate(_WAV8_XOR_TABLE)
+                ).tolist()
             elif depth == 24:
                 n = len(data) // 3
-                out = [
-                    int.from_bytes(
-                        data[3 * i : 3 * i + 3], "little", signed=True
-                    )
-                    for i in range(n)
-                ]
+                # pad each 3-byte little-endian sample into the HIGH
+                # bytes of an int32 via three strided slice copies
+                # (C-speed), then arithmetic-shift the sign back in —
+                # no per-sample int.from_bytes
+                buf = bytearray(4 * n)
+                buf[1::4] = data[0 : 3 * n : 3]
+                buf[2::4] = data[1 : 3 * n : 3]
+                buf[3::4] = data[2 : 3 * n : 3]
+                wide = array.array("i")
+                wide.frombytes(bytes(buf))
+                if _sys_is_big_endian():
+                    wide.byteswap()
+                out = [v >> 8 for v in wide]
             else:
                 samples = array.array("h" if depth == 16 else "i")
                 usable = len(data) - (len(data) % samples.itemsize)
