@@ -4429,15 +4429,13 @@ def _cdc_streaming_view(spark, sf_dir):
     # delta source) rely on offsets being monotone with commits; a
     # shuffled feed would violate the transport contract, not the
     # engine (per-row LWW still converges either way).
-    feed = _feed_by_offset(feed).persist()
-    total = feed.agg(F.max("offset")).collect()[0][0] + 1
-    step = (total + 7) // 8
-    for i in range(8):
-        feed.filter(
-            (F.col("offset") >= i * step)
-            & (F.col("offset") < (i + 1) * step)
-        ).coalesce(1).write.mode("append").parquet(f"{tmp}/feed")
-    feed.unpersist()
+    # ONE range-partitioned write + mtime stamping (stage_stream_dir)
+    # instead of eight serial coalesce(1) append jobs: identical
+    # monotone-offset file layout (part-i holds ascending range i,
+    # mtimes stamped in part order), ~8 write jobs -> 1.
+    from omniparser_spark.streaming.windows import stage_stream_dir
+
+    stage_stream_dir(feed, f"{tmp}/feed", n_files=8, order_by="offset")
     pipe = CdcPipeline(
         spark, f"{tmp}/table", f"{tmp}/ckpt", n_buckets=8, n_source_parts=8
     )

@@ -52,6 +52,7 @@ from pyspark.sql import types as T
 from omniparser_spark.lake.table import (
     LakeTable,
     bucket_expr,
+    fixed_shape_job,
     place_exact_buckets,
     repartition_exact_buckets,
 )
@@ -374,10 +375,11 @@ def merge_into(
         # round-3 scaling A/B). Column pruning makes this distinct a
         # key-only pass: `_bucket` needs just the key column, so the
         # scan decodes one field, not the whole payload schema.
-        touched = sorted(
-            int(r["_bucket"])
-            for r in batch.select("_bucket").distinct().collect()
-        )
+        with fixed_shape_job(batch.sparkSession):
+            touched = sorted(
+                int(r["_bucket"])
+                for r in batch.select("_bucket").distinct().collect()
+            )
     else:
         touched = list(range(n_buckets))
     target = table.read(

@@ -233,16 +233,17 @@ def _touched_view_buckets(
     `group_col` is a merge key of the source, so a changed row's group
     is identical in pre and post image and the changelog's post-image
     group column covers every touched group (including deletes)."""
-    from omniparser_spark.lake.table import bucket_expr
+    from omniparser_spark.lake.table import bucket_expr, fixed_shape_job
 
-    return sorted(
-        int(r["_b"])
-        for r in changed.select(
-            bucket_expr(group_col, n_buckets).alias("_b")
+    with fixed_shape_job(changed.sparkSession):
+        return sorted(
+            int(r["_b"])
+            for r in changed.select(
+                bucket_expr(group_col, n_buckets).alias("_b")
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    )
 
 
 def sync_rollup_view(

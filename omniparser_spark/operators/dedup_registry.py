@@ -84,15 +84,16 @@ class DedupRegistry:
         )
         # registry lookup, bucket-pruned to the batch's hash footprint
         summary = self.table.summary()
-        from omniparser_spark.lake.table import bucket_expr
+        from omniparser_spark.lake.table import bucket_expr, fixed_shape_job
 
-        touched = sorted(
-            int(r["_b"])
-            for r in hashed.select(
-                bucket_expr("content_hash", int(summary["n_buckets"]))
-                .alias("_b")
-            ).distinct().collect()
-        )
+        with fixed_shape_job(hashed.sparkSession):
+            touched = sorted(
+                int(r["_b"])
+                for r in hashed.select(
+                    bucket_expr("content_hash", int(summary["n_buckets"]))
+                    .alias("_b")
+                ).distinct().collect()
+            )
         seen = self.table.read(buckets=touched).select(
             "content_hash",
             F.col("canonical_id").alias("_reg_canon"),
@@ -300,14 +301,17 @@ class NearDupRegistry:
         new = self._banded(batch, id_col, text_col).persist()
         try:
             summary = self.table.summary()
-            touched = sorted(
-                int(r["_b"])
-                for r in new.select(
-                    bucket_expr(
-                        "band_key", int(summary["n_buckets"])
-                    ).alias("_b")
-                ).distinct().collect()
-            )
+            from omniparser_spark.lake.table import fixed_shape_job
+
+            with fixed_shape_job(new.sparkSession):
+                touched = sorted(
+                    int(r["_b"])
+                    for r in new.select(
+                        bucket_expr(
+                            "band_key", int(summary["n_buckets"])
+                        ).alias("_b")
+                    ).distinct().collect()
+                )
             old = self.table.read(buckets=touched).join(
                 new.select("band_key").distinct(), "band_key", "leftsemi"
             )
