@@ -266,18 +266,9 @@ def kmeans_lloyd(
                 out[~mask] = list(np.argmin(scores, axis=1).tolist())
             return pd.Series(out)
 
-        # Non-deterministic marking (the function IS pure): downstream
-        # plans filter/join on `cluster` (isnotnull from the cluster
-        # equi-join, the kept-filter), and the optimizer pushes that
-        # predicate below this projection by DUPLICATING the Arrow UDF —
-        # two ArrowEvalPython nodes, every row shipped to Python twice
-        # (guide §4.4).  asNondeterministic pins a single evaluation;
-        # results are unchanged.
         return frame.withColumn(
             "cluster",
-            _argmin.asNondeterministic()(
-                F.struct(*[F.col(f"_e{d}") for d in range(dim)])
-            ),
+            _argmin(F.struct(*[F.col(f"_e{d}") for d in range(dim)])),
         )
 
     try:
