@@ -96,15 +96,16 @@ class HistorySink:
         # footprint (one key-only distinct, the same insurance pass
         # the merge runs): without this each history batch scans the
         # whole table twice
-        from omniparser_spark.lake.table import bucket_expr
+        from omniparser_spark.lake.table import bucket_expr, fixed_shape_job
 
         n_buckets = int(summary["n_buckets"])
-        touched = sorted(
-            int(r["_b"])
-            for r in changes.select(
-                bucket_expr(summary["key_col"], n_buckets).alias("_b")
-            ).distinct().collect()
-        )
+        with fixed_shape_job(changes.sparkSession):
+            touched = sorted(
+                int(r["_b"])
+                for r in changes.select(
+                    bucket_expr(summary["key_col"], n_buckets).alias("_b")
+                ).distinct().collect()
+            )
         # current version per affected key, with its fence position
         cur = (
             self.table.read(buckets=touched, include_hidden=True)
@@ -194,6 +195,10 @@ class HistorySink:
                 max_offset=max_offset,
                 mode=self.merge_mode,
                 observe_stats=False,
+                # the batch's keys are a subset of `changes`' keys, so
+                # the touched set above covers the merge — skips a
+                # second full key-distinct pass inside merge_into
+                touched_buckets=touched,
             )
         finally:
             joined.unpersist()

@@ -140,6 +140,7 @@ def merge_into(
     observe_stats: bool = True,
     stage: bool = False,
     mode: str = "cow",
+    touched_buckets: Sequence[int] | None = None,
 ) -> dict[str, Any] | None:
     """Apply one micro-batch (need NOT be pre-deduped: the merge's
     max_by aggregate picks the per-key LWW winner among all batch rows
@@ -335,6 +336,19 @@ def merge_into(
             ),
         }
 
+    if touched_buckets is not None:
+        # caller-known bucket footprint (HistorySink, the view syncs:
+        # they already ran a key-only distinct for their OWN pruned
+        # reads — re-collecting the same set here would be a second
+        # full pass over the batch). A SUPERSET is sound: rewriting a
+        # bucket the batch misses carries its content through the LWW
+        # union unchanged (the documented prune contract); a subset
+        # would lose rows, so callers must pass a cover of the batch's
+        # keys.
+        prune_exact = False
+        touched_override = sorted({int(b) for b in touched_buckets})
+    else:
+        touched_override = None
     if prune_exact is None:
         # asymmetric risk: exact pruning costs O(batch); skipping it
         # costs O(table) when the batch's keys are concentrated. Only
@@ -380,6 +394,8 @@ def merge_into(
                 int(r["_bucket"])
                 for r in batch.select("_bucket").distinct().collect()
             )
+    elif touched_override is not None:
+        touched = touched_override
     else:
         touched = list(range(n_buckets))
     target = table.read(

@@ -426,6 +426,10 @@ def sync_rollup_view(
             keys=(group_col,),
             max_offset=to_v,
             observe_stats=False,
+            # `rows`' groups come from the same changed-group set the
+            # touched list was computed over — passing it skips the
+            # merge's own distinct pass over the cached delta
+            touched_buckets=touched,
         )
         if rec is not None:
             # hand off: advance the primary pin to the new frontier (ONE
@@ -587,6 +591,9 @@ def sync_hll_view(
         rec = merge_into(
             view, merged, batch_id=int(vsum.get("batch_id", -1)) + 1,
             keys=(group_col,), max_offset=to_v, observe_stats=False,
+            # merged's groups == the sketched groups the touched list
+            # was computed over — skip the merge's own distinct pass
+            touched_buckets=touched,
         )
         if rec is not None:
             table.retarget_tag(tag, to_v)

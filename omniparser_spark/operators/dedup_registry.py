@@ -144,6 +144,10 @@ class DedupRegistry:
             batch_id=batch_id,
             max_offset=batch_id,
             observe_stats=False,
+            # new_rows' hashes are a subset of the probed batch's, so
+            # the probe's touched set covers the merge — skips a second
+            # key-distinct pass over the batch
+            touched_buckets=touched,
         )
         return annotated.drop("_reg_canon", "_batch_canon")
 
@@ -364,6 +368,8 @@ class NearDupRegistry:
                 batch_id=batch_id,
                 max_offset=batch_id,
                 observe_stats=False,
+                # the probe's band-bucket set IS the merge's footprint
+                touched_buckets=touched,
             )
             return out
         finally:
