@@ -181,3 +181,74 @@ def test_repartition_exact_buckets_one_per_partition(spark):
         assert all(r["nb"] == 1 for r in per_part)
         assert out.columns == df.columns
         assert out.count() == df.count()
+
+
+def test_caller_supplied_touched_buckets(spark, tmp_path):
+    """`touched_buckets=` (round 8): the merge skips its own key-only
+    distinct job and trusts the caller's bucket cover. A SUPERSET is
+    sound (an extra rewritten bucket carries through the LWW union
+    unchanged) and final state must be byte-identical to the
+    self-pruned merge."""
+    from omniparser_spark.lake.table import bucket_expr
+
+    def build(path, touched_for_second):
+        t = LakeTable.create(
+            spark, str(tmp_path / path), SCHEMA, key_col="conv_id",
+            n_buckets=16, merge_keys=("conv_id", "turn_idx"),
+        )
+        boot = [(f"c{i}", 1, i) for i in range(400)]
+        merge_into(t, _batch(spark, boot), batch_id=0,
+                   expected_rows=400, max_offset=399)
+        hot = [(f"c{i}", 2, 400 + i) for i in range(7)]
+        merge_into(t, _batch(spark, hot), batch_id=1,
+                   expected_rows=7, max_offset=406,
+                   touched_buckets=touched_for_second)
+        return t
+
+    hot_keys = [f"c{i}" for i in range(7)]
+    hot_buckets = sorted(
+        {
+            r["_b"]
+            for r in spark.createDataFrame(
+                [(k,) for k in hot_keys], "conv_id string"
+            ).select(bucket_expr("conv_id", 16).alias("_b")).collect()
+        }
+    )
+    # exact cover, a strict superset, and the self-pruned control
+    t_exact = build("exact", hot_buckets)
+    t_super = build("super", sorted(set(hot_buckets) | {0, 1, 2, 3}))
+    t_ctrl = build("ctrl", None)
+
+    def state(t):
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in t.read().collect()
+        )
+
+    ref = state(t_ctrl)
+    assert len(ref) == 407
+    assert state(t_exact) == ref
+    assert state(t_super) == ref
+
+
+def test_fixed_shape_job_restores_conf(spark):
+    """The AQE scope must restore the prior value on exit and on
+    error, and be a no-op when AQE is already off (the _drive loop)."""
+    from omniparser_spark.lake.table import fixed_shape_job
+
+    key = "spark.sql.adaptive.enabled"
+    spark.conf.set(key, "true")
+    with fixed_shape_job(spark):
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == "true"
+    try:
+        with fixed_shape_job(spark):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == "true"
+    spark.conf.set(key, "false")
+    with fixed_shape_job(spark):
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == "false"
+    spark.conf.set(key, "true")
